@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication pack — the flagship LLM-data-pipeline operators, built
+  * scale-first: every near-dup strategy here is blocked/bucketed so no
+  * full cross-join of the corpus ever appears in a plan (the reference's
+  * all-pairs consolidation, alma/consolidation/engine.py:271-328, is an
+  * O(n²) pattern we deliberately do NOT reproduce; SURVEY §4(c)).
+  *
+  *  - exact dedup: hash-groupBy (one shuffle on the hash);
+  *  - MinHash-LSH: shingle → per-band min-hash signature → bucket join —
+  *    candidate pairs only form inside (band, signature) buckets;
+  *  - n-gram Jaccard verification on a linear pair set;
+  *  - embedding near-dup: cosine pairs inside a coarse block (label),
+  *    the blocked form of a similarity self-join (SURVEY J2).
+  */
+object Dedup {
+
+  // Exact dedup via content hash: groups + representative (min doc_id).
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("first_doc"))
+      .orderBy("fp")
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS fp, count(*)::BIGINT AS cnt, min(doc_id) AS first_doc
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** MinHash-LSH candidate pairs: 4 bands, signature = min md5 over
+    * salted 3-token shingles. Docs collide only within a (band, sig)
+    * bucket, so the self-join is bucket-local — the scale-safe shape of
+    * the similarity self-join.
+    */
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = TextAnalysisShared.shingles(col("text"))
+    val sigCols = (0 until 4).map { b =>
+      array_min(transform(sh, x => md5(concat(lit(s"$b:"), x).cast("binary")))).as(s"sig_$b")
+    }
+    val sigs = docs.select(col("doc_id") +: sigCols: _*)
+      .selectExpr("doc_id",
+        "stack(4, 0L, sig_0, 1L, sig_1, 2L, sig_2, 3L, sig_3) as (band, sig)")
+    val a = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("bands_matched"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupMinhashLshSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+      |  FROM t),
+      |sig AS (
+      |  SELECT doc_id, b.band,
+      |    list_min(list_transform(shingles, s -> md5(b.band || ':' || s))) AS sig
+      |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) b)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS bands_matched
+      |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
+  // n-gram Jaccard similarity over a linear candidate pair set
+  // (consecutive doc ids) — the verification stage of near-dup.
+  private def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = docs.select(col("doc_id").as("doc_a"),
+      array_distinct(split(col("text"), " ")).as("ta"))
+    val b = docs.select(col("doc_id").as("doc_b"),
+      array_distinct(split(col("text"), " ")).as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val uni = size(col("ta")) + size(col("tb")) - inter
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / uni, 6).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  private val dedupJaccardPairsSql =
+    """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
+      |        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
+  // Embedding-cosine near-dup inside a coarse block (label): the
+  // blocked similarity self-join. Block-local pairs only.
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= 0.3)
+      .select("label", "vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val dedupEmbeddingSql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("q_dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql)),
+    Q("q_dedup_jaccard_pairs", dedupJaccardPairs, Some(dedupJaccardPairsSql)),
+    Q("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
+}
+
+/** Shared text helpers used across operator packs. */
+private[operators] object TextAnalysisShared {
+  import org.apache.spark.sql.Column
+
+  /** 3-token shingles of the whitespace tokenization. */
+  def shingles(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+  }
+}

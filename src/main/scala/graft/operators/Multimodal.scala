@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * with feature extraction over the bytes. The real decode (image/audio
+  * libraries) is not available in this environment, so the decode stage
+  * is a deterministic stub — but the Spark-side contract (binary column,
+  * metadata struct, per-row feature extraction, partition-parallel) is
+  * the real one a 100 TB media pipeline would use.
+  */
+object Multimodal {
+
+  // Binary payload + metadata features, fully column-expressed (the
+  // cheap metadata pass that runs before any expensive decode).
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))
+      .orderBy("doc_id")
+
+  private val multimodalMetaSql =
+    """SELECT doc_id, source,
+      |  octet_length(text::BLOB)::BIGINT AS n_bytes,
+      |  ascii(substr(text, 1, 1))::BIGINT AS first_byte
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stubbed decode + feature extraction over the binary payload. The
+    * decode itself is a deterministic fake (byte statistics standing in
+    * for decoded-media features); the plumbing — binary column in, fixed
+    * schema of features out, executed per partition with no driver
+    * round-trip — is the real production shape.
+    */
+  def decodeFeatures(payload: Array[Byte]): (Long, Long, Double) = {
+    // STUB: real impl would decode image/audio here. Deterministic fake:
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) { checksum = (checksum * 31 + (payload(i) & 0xff)) & 0xffffffffL; i += 1 }
+    val meanByte = if (payload.isEmpty) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+    (payload.length.toLong, checksum, meanByte)
+  }
+
+  // Rows-only query (no ANSI-SQL oracle: the stub decoder is library
+  // code): binary ingest → per-partition feature extraction.
+  private def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPayload = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    withPayload
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (nBytes, checksum, meanByte) = decodeFeatures(payload)
+        (id, nBytes, checksum, math.rint(meanByte * 10000) / 10000)
+      })
+      .toDF("doc_id", "n_bytes", "checksum", "mean_byte")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    Q("q_multimodal_decode", multimodalDecode, None))
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship retrieval pipeline — the reference's read path as one
+  * declarative Spark plan (reference: alma/retrieval/engine.py:158-374:
+  * embed query → kNN similarity → predicate filter → multi-factor score →
+  * threshold → top-k; scoring weights alma/retrieval/scoring.py:96-121).
+  *
+  * Shape at scale: one scan of the memory table with the similarity and
+  * score as columns (no side index, no reorder step — the score
+  * propagation bug class of the reference, BENCHMARK-REPORT.md §3, cannot
+  * exist here), ending in a TakeOrderedAndProject top-k.
+  */
+object Retrieval {
+
+  /** filter → similarity → composite score → threshold → top-k over the
+    * documents ⋈ embeddings corpus, querying with vector 0.
+    */
+  def pipeline(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val joined = Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+    val sim = VectorFunctions.cosineConst(col("embedding"), q)
+    val lengthPrior = least(col("n_chars").cast("double") / lit(500.0), lit(1.0))
+    val langPrior = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.5))
+    val score = round(lit(0.5) * sim + lit(0.3) * lengthPrior + lit(0.2) * langPrior, 6)
+    joined
+      .withColumn("sim", round(sim, 4))
+      .withColumn("score", score)
+      .filter(col("score") >= 0.2)
+      .select("doc_id", "lang", "sim", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val pipelineSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |j AS (
+      |  SELECT d.doc_id, d.lang, d.n_chars,
+      |    list_cosine_similarity(e.v, (SELECT qv FROM q)) AS rawsim
+      |  FROM documents d JOIN e ON d.doc_id = e.vec_id),
+      |sc AS (
+      |  SELECT doc_id, lang, round(rawsim, 4) AS sim,
+      |    round(0.5 * rawsim
+      |        + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0)
+      |        + 0.2 * (CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END), 6) AS score
+      |  FROM j)
+      |SELECT doc_id, lang, sim, score FROM sc
+      |WHERE score >= 0.2
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_retrieval_pipeline", pipeline, Some(pipelineSql)))
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pack for a training-data pipeline: token counting,
+  * quality scoring, marker-based language/domain identification, document
+  * fingerprinting (md5 + min-shingle-hash), and SimHash — the Spark
+  * expression of the reference's extraction/compression scalar layer
+  * (reference: alma/ingestion/memory_extractor.py:52-470 rule scoring;
+  * alma/utils/tokenizer.py chars/4 estimator;
+  * alma/compression/pipeline.py:698-900 sentence scoring).
+  *
+  * Everything is a per-row column expression or a narrow explode +
+  * groupBy(doc_id) — embarrassingly parallel, no cross-document shuffle,
+  * which is exactly what a 100 TB corpus pass needs.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  // A12 token counting + chars/4 estimator.
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("length(text) div 4").cast("long").as("est_tokens"),
+        round(length(col("text")).cast("double") / size(split(col("text"), " ")), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |  (length(text) // 4)::BIGINT AS est_tokens,
+      |  round(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Quality scoring: length prior + stopword-ratio prior.
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
+    val ratio = nStop / n
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("n_stop"),
+        round(ratio, 6).as("stop_ratio"),
+        round(least(n / lit(100.0), lit(1.0)) * lit(0.5) + (lit(1.0) - ratio) * lit(0.5), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityScoreSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    len(toks)::BIGINT AS n_tokens,
+      |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')))::BIGINT AS n_stop
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_stop,
+      |  round(n_stop::DOUBLE / n_tokens, 6) AS stop_ratio,
+      |  round(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5 + (1.0::DOUBLE - n_stop::DOUBLE / n_tokens) * 0.5, 6) AS quality
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // Marker-based language/domain ID (n-gram-heuristic shape): count
+  // marker-set hits per class, argmax with deterministic tie-break.
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nEn = size(filter(toks, t => t.isin("the", "a", "of")))
+    val nTech = size(filter(toks, t => t.isin("data", "table", "row", "spark")))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        nEn.cast("long").as("n_en"),
+        nTech.cast("long").as("n_tech"),
+        when(nEn >= nTech, lit("en")).otherwise(lit("tech")).as("class_pred"))
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, lang,
+      |  len(list_filter(toks, x -> x IN ('the', 'a', 'of')))::BIGINT AS n_en,
+      |  len(list_filter(toks, x -> x IN ('data', 'table', 'row', 'spark')))::BIGINT AS n_tech,
+      |  CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a', 'of')))
+      |         >= len(list_filter(toks, x -> x IN ('data', 'table', 'row', 'spark')))
+      |       THEN 'en' ELSE 'tech' END AS class_pred
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** 3-token shingles of the whitespace tokenization. */
+  private def shingles(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+  }
+
+  // Document fingerprinting: whole-doc md5 + min shingle hash (the
+  // deterministic rolling-fingerprint used for near-dup blocking).
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"),
+        array_min(transform(shingles(col("text")), sh => md5(sh.cast("binary")))).as("min_shingle_fp"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, md5(text) AS fp,
+      |  list_min(list_transform(
+      |    list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')),
+      |    s -> md5(s))) AS min_shingle_fp
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // SimHash (16-bit, nibble-granular over md5 of each token): per doc,
+  // for each hex position p, sum +1/-1 by whether the digit's high bit is
+  // set; the sign vector is the fingerprint.
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", md5(col("t").cast("binary")))
+    val sums = (1 to 16).map { p =>
+      sum(when(expr(s"conv(substring(h, $p, 1), 16, 10)").cast("int") >= 8, 1)
+        .otherwise(-1)).as(s"s$p")
+    }
+    val bits = (1 to 16).map { p =>
+      when(col(s"s$p") >= 0, lit("1")).otherwise(lit("0"))
+    }
+    tok.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val simhashSql = {
+    val sums = (1 to 16).map { p =>
+      s"sum(CASE WHEN instr('0123456789abcdef', substr(h, $p, 1)) >= 9 THEN 1 ELSE -1 END)::BIGINT AS s$p"
+    }.mkString(",\n    ")
+    val bits = (1 to 16).map { p =>
+      s"(CASE WHEN s$p >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_token_stats", tokenStats, Some(tokenStatsSql)),
+    Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    Q("q_langid", langId, Some(langIdSql)),
+    Q("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    Q("q_simhash", simhash, Some(simhashSql)))
+}

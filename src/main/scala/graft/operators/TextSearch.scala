@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical search pack: TF-IDF, BM25, and Reciprocal Rank Fusion — the
+  * Spark expression of the reference's text/hybrid search (reference:
+  * alma/retrieval/text_search.py:46-194 TF-IDF + BM25;
+  * alma/retrieval/hybrid.py:113-178 RRF with k=60 and normalized
+  * weights).
+  *
+  * The corpus statistics (DF, avgdl, N) are tiny aggregates that Spark
+  * broadcasts; the token explode is the only wide operation and shuffles
+  * on (doc_id, term) — both properties hold at 100 TB. The final global
+  * rank for RRF is a top-k over doc scores, which collapses to a
+  * TakeOrderedAndProject; the rank windows here are over the (small)
+  * per-query result set, not the corpus.
+  */
+object TextSearch {
+
+  private val Bm25Terms = Seq("data", "join", "spark")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private def tok(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  // V5 TF-IDF: per-doc top-5 terms by tf*ln(N/df).
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val t = tok(s, dir)
+    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = t.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "rn", "term", "tfidf")
+      .orderBy("doc_id", "rn")
+  }
+
+  private val tfidfSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, rn, term, tfidf FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      |  FROM sc) t
+      |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
+
+  /** BM25 scores for the fixed query, unlimited (shared by bm25 top-k and
+    * RRF). Okapi BM25 with k1=1.2, b=0.75.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val t = tok(s, dir)
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg("dl").as("avgdl"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val tf = t.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * lit(K1 + 1.0) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(round(sum(idf * tfNorm), 6).as("bm25"))
+  }
+
+  private val bm25ScoresSql =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+      |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+      |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+      |       WHERE term IN ('data', 'join', 'spark') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |bm AS (
+      |  SELECT tf.doc_id,
+      |    round(sum(
+      |      ln(1.0::DOUBLE + (n.n - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+      |      (tf.tf * 2.2::DOUBLE / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / avgdl.avgdl)))
+      |    ), 6) AS bm25
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN avgdl CROSS JOIN n
+      |  GROUP BY tf.doc_id)""".stripMargin
+
+  // V6 BM25 top-20 for the fixed query.
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  private val bm25TopKSql =
+    s"""WITH $bm25ScoresSql
+       |SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  // V7 RRF: fuse the BM25 ranking with a doc-length ranking, k=60.
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val ra = bm25Scores(s, dir)
+      .withColumn("rank_a", row_number().over(wa).cast("long"))
+      .select("doc_id", "rank_a")
+    val wb = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    val rb = Tables.documents(s, dir)
+      .withColumn("rank_b", row_number().over(wb).cast("long"))
+      .select("doc_id", "rank_b")
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)), 6))
+      .select("doc_id", "rank_a", "rank_b", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val rrfFusionSql =
+    s"""WITH $bm25ScoresSql,
+       |ra AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a FROM bm),
+       |rb AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_b FROM documents)
+       |SELECT doc_id, rank_a, rank_b,
+       |  round(coalesce(1.0::DOUBLE / (60 + rank_a), 0.0) + coalesce(1.0::DOUBLE / (60 + rank_b), 0.0), 6) AS rrf
+       |FROM ra FULL OUTER JOIN rb USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_tfidf_topterms", tfidfTopTerms, Some(tfidfSql)),
+    Q("q_bm25_topk", bm25TopK, Some(bm25TopKSql)),
+    Q("q_rrf_fusion", rrfFusion, Some(rrfFusionSql)))
+}

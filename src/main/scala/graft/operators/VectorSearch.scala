@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector search pack: exact kNN (cosine / dot), a bucketed ANN probe,
+  * per-label centroids, and norms — the Spark expression of the
+  * reference's FAISS layer (reference: alma/storage/sqlite_local.py:469-601:
+  * IndexFlatIP exact search; L2-normalize-once so dot = cosine).
+  *
+  * Exact kNN is a scan + similarity column + top-k: Spark executes the
+  * limit as a per-partition TakeOrderedAndProject, so only k rows per
+  * partition ever move — the right shape for 100 TB. The ANN variant
+  * prunes the scan to one sign-bucket, which at scale becomes a
+  * partition key (bucket pruning instead of a full scan).
+  */
+object VectorSearch {
+
+  /** Collect the single query vector on the driver (the query side of
+    * kNN is a constant broadcast into the plan, like the reference
+    * embedding the query text before searching).
+    */
+  private def queryVec(s: SparkSession, dir: String, id: Long): Array[Double] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === id)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+
+  // V1 exact kNN by cosine, top-10.
+  private def knnCosine(s: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(s, dir, 0L)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), round(cosineConst(col("embedding"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val knnCosineSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS sim
+      |FROM e ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // V2 exact kNN by dot product, top-10.
+  private def knnDot(s: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(s, dir, 0L)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), round(dotD(col("embedding"), lit(q)), 4).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val knnDotSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(v, (SELECT qv FROM q)), 4) AS dot
+      |FROM e ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin
+
+  // ANN probe: scan only the query's sign-bucket (8 sign bits of the
+  // first 8 dims), then exact cosine top-5 inside the bucket.
+  private def annBucket(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", signBucket(col("embedding"), 8))
+    val qRow = e.filter(col("vec_id") === 0).select("embedding", "bucket").head()
+    val q = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    val qb = qRow.getLong(1)
+    e.filter(col("bucket") === qb)
+      .select(col("vec_id"), col("bucket"),
+        round(cosineConst(col("embedding"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val annBucketSql = {
+    val bucketExpr = (1 to 8)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, ($bucketExpr)::BIGINT AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0)
+       |SELECT vec_id, bucket,
+       |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS sim
+       |FROM e WHERE bucket = (SELECT qb FROM q)
+       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  // Per-label centroids (IVF coarse-quantizer training shape):
+  // posexplode + groupBy(label, dim) — one shuffle keyed by (label, dim).
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").cast("double").as("x"))
+      .groupBy("label", "pos")
+      .agg(round(avg("x"), 6).as("c"))
+      .orderBy("label", "pos")
+
+  private val centroidsSql =
+    """SELECT label, r.range AS pos, round(avg(embedding[r.range]::DOUBLE), 6) AS c
+      |FROM embeddings, range(1, 65) r
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  // L2 norms per vector.
+  private def vectorNorms(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), round(norm2(col("embedding")), 4).as("l2"))
+      .orderBy("vec_id")
+
+  private val vectorNormsSql =
+    """SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_knn_cosine", knnCosine, Some(knnCosineSql)),
+    Q("q_knn_dot", knnDot, Some(knnDotSql)),
+    Q("q_ann_bucket", annBucket, Some(annBucketSql)),
+    Q("q_centroids", centroids, Some(centroidsSql)),
+    Q("q_vector_norms", vectorNorms, Some(vectorNormsSql)))
+}
