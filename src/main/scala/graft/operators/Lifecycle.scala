@@ -1,0 +1,485 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import graft.functions.VectorFunctions
+import graft.sources.Ingestion
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Memory-lifecycle pack: trust-aware scoring, consolidation (connected
+  * components + merge aggregates), state reducers, occurrence upsert,
+  * health metrics, rule-based extraction, chunking, token budgeting,
+  * progressive disclosure, mode boosts, verified retrieval, batch kNN,
+  * archive snapshot, and strategy matching.
+  *
+  * Reference semantics: alma/retrieval/trust_scoring.py:99-347 (R12);
+  * alma/consolidation/engine.py:271-574 (J2+A5 — rebuilt here as
+  * LSH-bucketed pairs + iterative min-label connected components, NOT
+  * the reference's O(n²) all-pairs); alma/workflow/reducers.py:50-234
+  * (A6); alma/storage/base.py:238-253 (A3 upsert);
+  * alma/learning/forgetting.py:872-1207 (A9);
+  * alma/ingestion/memory_extractor.py:52-470 (S8);
+  * alma/ingestion/file_miner.py:119-445 (S7);
+  * alma/retrieval/budget.py:198-472 (R15);
+  * alma/retrieval/progressive.py:125-530 (R16);
+  * alma/retrieval/engine.py:717-802 (R8/R9);
+  * alma/retrieval/verification.py:317-520 (R14);
+  * alma/learning/protocols.py:382-422 (J3).
+  */
+object Lifecycle {
+
+  // -------------------------------------------------------------------
+  // R12/J5 trust-aware scoring: per-agent trust profile (performance +
+  // behavior + neutral prior), broadcast-joined as a 5th score factor.
+  private def trustScoring(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val n = (t: String) => sum(when(col("event_type") === t, 1L).otherwise(0L))
+    val profile = e.groupBy("user_id")
+      .agg(n("purchase").as("n_p"), n("error").as("n_e"),
+        n("click").as("n_c"), n("view").as("n_v"))
+      .select(col("user_id"),
+        round(least(
+          when(pmod(col("user_id"), lit(2)) === 0,
+            trustRaw * lit(1.1)).otherwise(trustRaw),
+          lit(1.0)), 6).as("trust"))
+    Scoring.scored(s, dir)
+      .join(broadcast(profile), Seq("user_id"))
+      .withColumn("trusted_score", round(lit(0.8) * col("score") + lit(0.2) * col("trust"), 6))
+      .select("event_id", "user_id", "score", "trust", "trusted_score")
+      .orderBy(col("trusted_score").desc, col("event_id"))
+      .limit(50)
+  }
+
+  private def trustRaw = {
+    val perf = when(col("n_p") + col("n_e") === 0, lit(0.5))
+      .otherwise(col("n_p").cast("double") / (col("n_p") + col("n_e")))
+    val behav = when(col("n_c") + col("n_v") === 0, lit(0.5))
+      .otherwise(col("n_c").cast("double") / (col("n_c") + col("n_v")))
+    lit(0.4) * perf + lit(0.4) * behav + lit(0.2) * lit(0.5)
+  }
+
+  private val trustScoringSql =
+    s"""WITH scored AS (${Scoring.scoredSql}),
+       |prof AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_p,
+       |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_e,
+       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_c,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_v
+       |  FROM events GROUP BY user_id),
+       |tr AS (
+       |  SELECT user_id,
+       |    round(least(
+       |      CASE WHEN user_id % 2 = 0 THEN raw * 1.1 ELSE raw END, 1.0), 6) AS trust
+       |  FROM (
+       |    SELECT user_id,
+       |      0.4 * (CASE WHEN n_p + n_e = 0 THEN 0.5::DOUBLE ELSE n_p::DOUBLE / (n_p + n_e) END)
+       |      + 0.4 * (CASE WHEN n_c + n_v = 0 THEN 0.5::DOUBLE ELSE n_c::DOUBLE / (n_c + n_v) END)
+       |      + 0.2 * 0.5::DOUBLE AS raw
+       |    FROM prof) p)
+       |SELECT s.event_id, s.user_id, s.score, tr.trust,
+       |  round(0.8 * s.score + 0.2 * tr.trust, 6) AS trusted_score
+       |FROM scored s JOIN tr ON s.user_id = tr.user_id
+       |ORDER BY trusted_score DESC, s.event_id LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
+  // J2+A5 consolidation: LSH candidate pairs → connected components via
+  // iterative min-label propagation (lineage truncated per round) →
+  // per-group merge aggregates. The loop runs to fixpoint — component
+  // diameter iterations, each a bucket-local join, never O(n²).
+  private def consolidateMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = TextAnalysisShared.shingles(col("text"))
+    val sigCols = (0 until 4).map { b =>
+      array_min(transform(sh, x => md5(concat(lit(s"$b:"), x).cast("binary")))).as(s"sig_$b")
+    }
+    val sigs = docs.select(col("doc_id") +: sigCols: _*)
+      .selectExpr("doc_id",
+        "stack(4, 0L, sig_0, 1L, sig_1, 2L, sig_2, 3L, sig_3) as (band, sig)")
+    val a = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val propagated = labels.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("comp"))
+      val next = labels.select("node", "comp").union(propagated)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+    }
+    labels.join(docs, col("node") === col("doc_id"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("group_size"),
+        min("doc_id").as("rep_doc"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("comp")
+  }
+
+  private val consolidateMergeSql =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+      |  FROM t),
+      |sig AS (
+      |  SELECT doc_id, b.band,
+      |    list_min(list_transform(shingles, s -> md5(b.band || ':' || s))) AS sig
+      |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, minid) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.minid FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node, min(minid) AS comp FROM reach GROUP BY node)
+      |SELECT c.comp, count(*)::BIGINT AS group_size, min(d.doc_id) AS rep_doc,
+      |  sum(d.n_chars)::BIGINT AS sum_chars, round(avg(d.n_chars), 4) AS avg_chars
+      |FROM comp c JOIN documents d ON c.node = d.doc_id
+      |GROUP BY c.comp ORDER BY c.comp""".stripMargin
+
+  // -------------------------------------------------------------------
+  // A6 state reducers: the reducer registry applied key-wise per user.
+  private def stateReducers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy("user_id")
+      .agg(
+        round(Reducers("sum", col("value"), col("event_id")), 2).as("sum_value"),
+        Reducers("min", col("value"), col("event_id")).as("min_value"),
+        Reducers("max", col("value"), col("event_id")).as("max_value"),
+        Reducers("first_value", col("value"), col("event_id")).as("first_value"),
+        Reducers("last_value", col("value"), col("event_id")).as("last_value"),
+        array_join(Reducers("union", col("event_type"), col("event_id")), ",").as("types_csv"))
+      .orderBy("user_id")
+  }
+
+  private val stateReducersSql =
+    """SELECT user_id,
+      |  round(sum(value), 2) AS sum_value,
+      |  min(value) AS min_value,
+      |  max(value) AS max_value,
+      |  arg_min(value, event_id) AS first_value,
+      |  arg_max(value, event_id) AS last_value,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // A3 occurrence upsert: base state MERGEd with a delta batch —
+  // counts add, last-validated takes the newest timestamp.
+  private def occurrenceUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+    val base = e.filter(col("ts") < cutoff).groupBy("user_id")
+      .agg(count(lit(1)).as("base_cnt"), max(unix_micros(col("ts"))).as("base_last"))
+    val delta = e.filter(col("ts") >= cutoff).groupBy("user_id")
+      .agg(count(lit(1)).as("delta_cnt"), max(unix_micros(col("ts"))).as("delta_last"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),
+        coalesce(col("delta_cnt"), lit(0L)).as("delta_cnt"),
+        (coalesce(col("base_cnt"), lit(0L)) + coalesce(col("delta_cnt"), lit(0L))).as("merged_cnt"),
+        greatest(col("base_last"), col("delta_last")).as("last_seen_us"))
+      .orderBy("user_id")
+  }
+
+  private val occurrenceUpsertSql =
+    """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+      |base AS (
+      |  SELECT user_id, count(*)::BIGINT AS base_cnt, max(epoch_us(ts)) AS base_last
+      |  FROM e WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id),
+      |delta AS (
+      |  SELECT user_id, count(*)::BIGINT AS delta_cnt, max(epoch_us(ts)) AS delta_last
+      |  FROM e WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id)
+      |SELECT user_id,
+      |  coalesce(base_cnt, 0) AS base_cnt,
+      |  coalesce(delta_cnt, 0) AS delta_cnt,
+      |  coalesce(base_cnt, 0) + coalesce(delta_cnt, 0) AS merged_cnt,
+      |  greatest(base_last, delta_last) AS last_seen_us
+      |FROM base FULL OUTER JOIN delta USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // A9 health metrics: per-type counts + staleness/low-value ratios +
+  // alert flags vs thresholds.
+  private def healthMetrics(s: SparkSession, dir: String): DataFrame = {
+    val stale = to_timestamp(lit("2024-01-15 00:00:00"))
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(when(col("ts") < stale, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6).as("stale_ratio"),
+        round(sum(when(col("value") < 50.0, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6).as("low_value_ratio"))
+      .withColumn("alert", col("stale_ratio") > 0.5)
+      .orderBy("event_type")
+  }
+
+  private val healthMetricsSql =
+    """WITH e AS (SELECT event_type, value, ts::TIMESTAMP AS ts FROM events)
+      |SELECT event_type, count(*)::BIGINT AS n,
+      |  round(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS stale_ratio,
+      |  round(sum(CASE WHEN value < 50.0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS low_value_ratio,
+      |  (round(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) > 0.5) AS alert
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // S8 rule-based memory extraction: marker-pattern classify + per-class
+  // confidence over the corpus vocabulary.
+  private def extractMemories(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val cls =
+      when(t.rlike("\\bjoin\\b") && t.rlike("\\bfilter\\b"), "query_pattern")
+        .when(t.rlike("\\b(table|scan)\\b"), "storage")
+        .when(t.rlike("\\bstream\\b"), "streaming")
+        .otherwise("other")
+    val conf =
+      when(cls === "query_pattern", 0.8)
+        .when(cls === "storage", 0.6)
+        .when(cls === "streaming", 0.5)
+        .otherwise(0.3)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), cls.as("memory_type"), conf.as("confidence"))
+      .filter(col("confidence") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val extractMemoriesSql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CASE WHEN regexp_matches(text, '\b(join)\b') AND regexp_matches(text, '\b(filter)\b') THEN 'query_pattern'
+      |         WHEN regexp_matches(text, '\b(table|scan)\b') THEN 'storage'
+      |         WHEN regexp_matches(text, '\b(stream)\b') THEN 'streaming'
+      |         ELSE 'other' END AS memory_type
+      |  FROM documents)
+      |SELECT doc_id, memory_type,
+      |  CASE WHEN memory_type = 'query_pattern' THEN 0.8::DOUBLE
+      |       WHEN memory_type = 'storage' THEN 0.6::DOUBLE
+      |       WHEN memory_type = 'streaming' THEN 0.5::DOUBLE
+      |       ELSE 0.3::DOUBLE END AS confidence
+      |FROM c
+      |WHERE memory_type IN ('query_pattern', 'storage', 'streaming')
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // S7 chunking as a dataset op: fixed-size overlapping char chunks
+  // (flatMap — rows in, more rows out, no shuffle).
+  private def chunkText(s: SparkSession, dir: String): DataFrame =
+    Ingestion.chunkDocuments(Tables.documents(s, dir), size = 200, overlap = 40)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkTextSql =
+    """SELECT doc_id, r.range AS chunk_id, substr(text, (r.range * 160 + 1)::INT, 200) AS chunk
+      |FROM documents, range(0, 64) r
+      |WHERE r.range * 160 < length(text)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // R15 token budget, distributed form: score-ordered running token sum
+  // with a cutoff (the window-based greedy knapsack).
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val est = expr("length(text) div 4").cast("long")
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("est_tokens", est)
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+      .filter(col("cum_tokens") <= 2000)
+      .select("doc_id", "n_chars", "est_tokens", "cum_tokens")
+      .orderBy("cum_tokens")
+  }
+
+  private val tokenBudgetSql =
+    """SELECT doc_id, n_chars, est_tokens, cum_tokens FROM (
+      |  SELECT doc_id, n_chars, (length(text) // 4)::BIGINT AS est_tokens,
+      |    sum((length(text) // 4)::BIGINT) OVER (
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+      |  FROM documents) t
+      |WHERE cum_tokens <= 2000 ORDER BY cum_tokens""".stripMargin
+
+  // -------------------------------------------------------------------
+  // R16 progressive disclosure: rank-dependent projection depth
+  // (full → summary → headline).
+  private def progressive(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 35)
+      .select(col("doc_id"), col("rn"),
+        when(col("rn") <= 5, "full").when(col("rn") <= 15, "summary")
+          .otherwise("headline").as("level"),
+        when(col("rn") <= 5, substring(col("text"), 1, 400))
+          .when(col("rn") <= 15, substring(col("text"), 1, 120))
+          .otherwise(substring(col("text"), 1, 40)).as("preview"))
+      .orderBy("rn")
+  }
+
+  private val progressiveSql =
+    """SELECT doc_id, rn,
+      |  CASE WHEN rn <= 5 THEN 'full' WHEN rn <= 15 THEN 'summary' ELSE 'headline' END AS level,
+      |  CASE WHEN rn <= 5 THEN substr(text, 1, 400)
+      |       WHEN rn <= 15 THEN substr(text, 1, 120)
+      |       ELSE substr(text, 1, 40) END AS preview
+      |FROM (
+      |  SELECT doc_id, text, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 35 ORDER BY rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // R8/R9 mode boosts: diagnostic failure boost ×1.5 and exact-match
+  // boost ladder (sim>0.9 → ×1.3, sim>0.8 → ×1.15), re-sorted.
+  private def modeBoosts(s: SparkSession, dir: String): DataFrame = {
+    val failB = when(col("event_type") === "error", lit(1.5)).otherwise(lit(1.0))
+    val exactB = when(col("sim") > 0.9, lit(1.3))
+      .when(col("sim") > 0.8, lit(1.15)).otherwise(lit(1.0))
+    Scoring.scored(s, dir)
+      .withColumn("boosted", round(col("score") * failB * exactB, 6))
+      .select("event_id", "event_type", "sim", "score", "boosted")
+      .orderBy(col("boosted").desc, col("event_id"))
+      .limit(50)
+  }
+
+  private val modeBoostsSql =
+    s"""WITH scored AS (${Scoring.scoredSql})
+       |SELECT event_id, event_type, sim, score,
+       |  round(score
+       |    * (CASE WHEN event_type = 'error' THEN 1.5::DOUBLE ELSE 1.0::DOUBLE END)
+       |    * (CASE WHEN sim > 0.9 THEN 1.3::DOUBLE WHEN sim > 0.8 THEN 1.15::DOUBLE ELSE 1.0::DOUBLE END), 6) AS boosted
+       |FROM scored
+       |ORDER BY boosted DESC, event_id LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
+  // R14 two-stage verified retrieval: over-fetch 3×k, then verify via
+  // the confidence ladder (≥0.8 verified, ≥0.5 uncertain, else
+  // contradicted) and keep categorized results.
+  private def verifiedRetrieval(s: SparkSession, dir: String): DataFrame =
+    Scoring.scored(s, dir)
+      .orderBy(col("score").desc, col("event_id"))
+      .limit(30)
+      .withColumn("category",
+        when(col("confidence") >= 0.8, "verified")
+          .when(col("confidence") >= 0.5, "uncertain")
+          .otherwise("contradicted"))
+      .select("event_id", "score", "confidence", "category")
+      .orderBy(col("score").desc, col("event_id"))
+
+  private val verifiedRetrievalSql =
+    s"""WITH scored AS (${Scoring.scoredSql}),
+       |stage1 AS (SELECT * FROM scored ORDER BY score DESC, event_id LIMIT 30)
+       |SELECT event_id, score, confidence,
+       |  CASE WHEN confidence >= 0.8 THEN 'verified'
+       |       WHEN confidence >= 0.5 THEN 'uncertain'
+       |       ELSE 'contradicted' END AS category
+       |FROM stage1 ORDER BY score DESC, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // V1 batch kNN: many queries at once — broadcast the query set, one
+  // pass over the corpus, Window top-3 per query (the benchmark-runner
+  // shape, SURVEY §3.3: no per-question rescan).
+  private def knnBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .withColumn("sim", round(VectorFunctions.cosine(col("embedding"), col("qv")), 4))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("query_id", "rn", "vec_id", "sim")
+      .orderBy("query_id", "rn")
+  }
+
+  private val knnBatchSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+      |  FROM e CROSS JOIN q)
+      |SELECT query_id, rn, vec_id, sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM sims) t
+      |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // S10 archive snapshot: full-row snapshot + reason + archived_at
+  // before pruning (append-only archive sink shape).
+  private def archiveSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value") < 5.0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lit("low_value").as("reason"),
+        unix_micros(to_timestamp(lit(Scoring.AsOf))).as("archived_at_us"))
+      .orderBy("event_id")
+
+  private val archiveSnapshotSql =
+    """SELECT event_id, user_id, value, 'low_value' AS reason,
+      |  epoch_us(TIMESTAMP '2024-03-01 00:00:00') AS archived_at_us
+      |FROM events WHERE value < 5.0 ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // J3 strategy-similarity match: each high-value failure matched to the
+  // same user's nearest-by-value purchase (theta join on a similarity
+  // measure, argmin with deterministic tiebreak).
+  private def strategyMatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val errs = e.filter(col("event_type") === "error" && col("value") > 150.0)
+      .select(col("user_id"), col("event_id").as("error_id"), col("value").as("ev"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("value").as("pv"))
+    val diffs = errs.join(purch, Seq("user_id"))
+      .withColumn("d", round(abs(col("ev") - col("pv")), 6))
+    val mins = diffs.groupBy("error_id").agg(min("d").as("dmin"))
+    diffs.join(mins, Seq("error_id"))
+      .filter(col("d") === col("dmin"))
+      .groupBy("error_id")
+      .agg(min("purchase_id").as("matched_purchase"), min("dmin").as("value_gap"))
+      .orderBy("error_id")
+  }
+
+  private val strategyMatchSql =
+    """WITH errs AS (
+      |  SELECT user_id, event_id AS error_id, value AS ev FROM events
+      |  WHERE event_type = 'error' AND value > 150.0),
+      |purch AS (
+      |  SELECT user_id, event_id AS purchase_id, value AS pv FROM events
+      |  WHERE event_type = 'purchase'),
+      |diffs AS (
+      |  SELECT e.error_id, p.purchase_id, round(abs(e.ev - p.pv), 6) AS d
+      |  FROM errs e JOIN purch p USING (user_id)),
+      |mins AS (SELECT error_id, min(d) AS dmin FROM diffs GROUP BY error_id)
+      |SELECT d.error_id, min(d.purchase_id) AS matched_purchase, min(m.dmin) AS value_gap
+      |FROM diffs d JOIN mins m ON d.error_id = m.error_id AND d.d = m.dmin
+      |GROUP BY d.error_id ORDER BY d.error_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_trust_scoring", trustScoring, Some(trustScoringSql)),
+    Q("q_consolidate_merge", consolidateMerge, Some(consolidateMergeSql)),
+    Q("q_state_reducers", stateReducers, Some(stateReducersSql)),
+    Q("q_occurrence_upsert", occurrenceUpsert, Some(occurrenceUpsertSql)),
+    Q("q_health_metrics", healthMetrics, Some(healthMetricsSql)),
+    Q("q_extract_memories", extractMemories, Some(extractMemoriesSql)),
+    Q("q_chunk_text", chunkText, Some(chunkTextSql)),
+    Q("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    Q("q_progressive", progressive, Some(progressiveSql)),
+    Q("q_mode_boosts", modeBoosts, Some(modeBoostsSql)),
+    Q("q_verified_retrieval", verifiedRetrieval, Some(verifiedRetrievalSql)),
+    Q("q_knn_batch", knnBatch, Some(knnBatchSql)),
+    Q("q_archive_snapshot", archiveSnapshot, Some(archiveSnapshotSql)),
+    Q("q_strategy_match", strategyMatch, Some(strategyMatchSql)))
+}

@@ -52,7 +52,7 @@ object Scoring {
     * (purchase→1.0 else 0.3, the reference's outcome rule
     * scoring.py:139-151); confidence: metadata k scaled.
     */
-  private def scored(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def scored(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val sim = least(col("value") / lit(200.0), lit(1.0))
     val rec = recency(col("ts"))
@@ -67,7 +67,7 @@ object Scoring {
       round(lit(0.4) * sim + lit(0.3) * rec + lit(0.2) * succ + lit(0.1) * conf, 6).as("score"))
   }
 
-  private val scoredSql =
+  private[operators] val scoredSql =
     """SELECT event_id, user_id, event_type,
       |  round(least(value / 200.0, 1.0), 6) AS sim,
       |  round(pow(0.5, ((epoch_us(TIMESTAMP '2024-03-01 00:00:00') - epoch_us(ts::TIMESTAMP))::DOUBLE / 86400000000.0) / 30.0), 6) AS recency,
