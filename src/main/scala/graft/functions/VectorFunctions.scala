@@ -1,6 +1,8 @@
 package graft.functions
 
+import graft.functions.expressions.{CosineSimF32, DotProductF32}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
 /** Column-level vector math over `ArrayType(FloatType)` embedding columns.
@@ -8,9 +10,11 @@ import org.apache.spark.sql.functions._
   * Mirrors the semantics of the reference's vector layer (cosine / dot /
   * L2-normalize; reference: alma/storage/sqlite_local.py:555-601 and
   * alma/consolidation/engine.py:330-355) but expressed as Catalyst
-  * higher-order-function expressions so similarity is just a column —
-  * no side index, no driver round-trip. All arithmetic is promoted to
-  * double before accumulating.
+  * expressions so similarity is just a column — no side index, no driver
+  * round-trip. The hot kernels (dot, cosine) are custom codegen
+  * expressions (graft.functions.expressions) that emit a tight primitive
+  * loop inside whole-stage codegen; the higher-order-function forms are
+  * kept for parity testing. All arithmetic is promoted to double.
   *
   * Scale note: these are per-row O(dim) expressions; a kNN over 100 TB is
   * a scan + top-k, which Spark executes as a per-partition
@@ -18,32 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sum of elementwise products, accumulated in double. */
+  /** Sum of elementwise products, accumulated in double (codegen kernel). */
   def dotD(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductF32(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Cosine similarity between two float-vector columns (codegen kernel). */
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimF32(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Dot against a constant query vector. */
+  def dotConst(a: Column, q: Array[Float]): Column = dotD(a, lit(q))
+
+  /** Cosine against a constant query vector. */
+  def cosineConst(a: Column, q: Array[Float]): Column = cosine(a, lit(q))
+
+  /** Reference HOF formulation of dot — CodegenFallback; kept for
+    * kernel-parity tests only.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
+
+  /** Reference HOF formulation of cosine — kept for parity tests. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (norm2(a) * norm2(b))
 
   /** L2 norm, in double. */
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity between two vector columns. */
-  def cosine(a: Column, b: Column): Column = dotD(a, b) / (norm2(a) * norm2(b))
-
-  /** Cosine against a constant query vector whose norm is precomputed on
-    * the driver (the reference's L2-normalize-once trick,
-    * sqlite_local.py:571-572 — normalizing at plan time makes the per-row
-    * work a single dot product).
-    */
-  def cosineConst(a: Column, q: Array[Double]): Column = {
-    val qn = math.sqrt(q.map(x => x * x).sum)
-    dotD(a, lit(q)) / (norm2(a) * lit(qn))
-  }
-
-  /** L2-normalized copy of a vector column (float-preserving). */
+  /** L2-normalized copy of a vector column. */
   def l2normalize(a: Column): Column = {
     val n = norm2(a)
     transform(a, x => (x.cast("double") / n))

@@ -38,14 +38,7 @@ object Dedup {
     * the similarity self-join.
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val sh = TextAnalysisShared.shingles(col("text"))
-    val sigCols = (0 until 4).map { b =>
-      array_min(transform(sh, x => md5(concat(lit(s"$b:"), x).cast("binary")))).as(s"sig_$b")
-    }
-    val sigs = docs.select(col("doc_id") +: sigCols: _*)
-      .selectExpr("doc_id",
-        "stack(4, 0L, sig_0, 1L, sig_1, 2L, sig_2, 3L, sig_3) as (band, sig)")
+    val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
     val a = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
@@ -131,5 +124,22 @@ private[operators] object TextAnalysisShared {
     val toks = split(textCol, " ")
     transform(sequence(lit(1), size(toks) - 2),
       i => concat_ws(" ", slice(toks, i, lit(3))))
+  }
+
+  /** Per-(doc, band) MinHash signatures: min over salted shingle md5s.
+    * Explode + codegen'd md5 + map-side-combined groupBy min — the
+    * shingle transform is evaluated once per doc (not once per band),
+    * and every hash runs inside whole-stage codegen; only (doc, band,
+    * min-hash) rows shuffle, which is what survives a 100 TB corpus.
+    */
+  def bandedMinhashSigs(docs: DataFrame, nBands: Int): DataFrame = {
+    val bandArr = array((0 until nBands).map(b => lit(b.toLong)): _*)
+    docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), col("shingle"), explode(bandArr).as("band"))
+      .select(col("doc_id"), col("band"),
+        md5(concat(col("band").cast("string"), lit(":"), col("shingle")).cast("binary")).as("h"))
+      .groupBy("doc_id", "band")
+      .agg(min("h").as("sig"))
   }
 }

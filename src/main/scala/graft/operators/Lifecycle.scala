@@ -91,13 +91,7 @@ object Lifecycle {
   // diameter iterations, each a bucket-local join, never O(n²).
   private def consolidateMerge(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = TextAnalysisShared.shingles(col("text"))
-    val sigCols = (0 until 4).map { b =>
-      array_min(transform(sh, x => md5(concat(lit(s"$b:"), x).cast("binary")))).as(s"sig_$b")
-    }
-    val sigs = docs.select(col("doc_id") +: sigCols: _*)
-      .selectExpr("doc_id",
-        "stack(4, 0L, sig_0, 1L, sig_1, 2L, sig_2, 3L, sig_3) as (band, sig)")
+    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
     val a = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("band", "sig"))

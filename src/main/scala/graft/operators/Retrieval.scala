@@ -23,7 +23,7 @@ object Retrieval {
     */
   def pipeline(s: SparkSession, dir: String): DataFrame = {
     val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      .select("embedding").head().getSeq[Float](0).toArray
     val joined = Tables.documents(s, dir)
       .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
     val sim = VectorFunctions.cosineConst(col("embedding"), q)

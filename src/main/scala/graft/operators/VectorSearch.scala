@@ -23,9 +23,9 @@ object VectorSearch {
     * kNN is a constant broadcast into the plan, like the reference
     * embedding the query text before searching).
     */
-  private def queryVec(s: SparkSession, dir: String, id: Long): Array[Double] =
+  private def queryVec(s: SparkSession, dir: String, id: Long): Array[Float] =
     Tables.embeddings(s, dir).filter(col("vec_id") === id)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      .select("embedding").head().getSeq[Float](0).toArray
 
   // V1 exact kNN by cosine, top-10.
   private def knnCosine(s: SparkSession, dir: String): DataFrame = {
@@ -46,7 +46,7 @@ object VectorSearch {
   private def knnDot(s: SparkSession, dir: String): DataFrame = {
     val q = queryVec(s, dir, 0L)
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), round(dotD(col("embedding"), lit(q)), 4).as("dot"))
+      .select(col("vec_id"), round(dotConst(col("embedding"), q), 4).as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(10)
   }
@@ -64,7 +64,7 @@ object VectorSearch {
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", signBucket(col("embedding"), 8))
     val qRow = e.filter(col("vec_id") === 0).select("embedding", "bucket").head()
-    val q = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    val q = qRow.getSeq[Float](0).toArray
     val qb = qRow.getLong(1)
     e.filter(col("bucket") === qb)
       .select(col("vec_id"), col("bucket"),
