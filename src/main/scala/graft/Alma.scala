@@ -1,0 +1,218 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.UUID
+
+import graft.functions.{HashEmbedder, VectorFunctions}
+import graft.retrieval.{ModeConfig, Modes, PostProcess, QuerySanitizer}
+import graft.storage._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing engine facade — the reference's `ALMA` core API
+  * re-expressed Spark-first (reference: alma/core.py:246-380:
+  * retrieve + learn; alma/retrieval/engine.py:158-374 read path;
+  * alma/learning/protocols.py:59-279 write path + promotions;
+  * alma/learning/decay.py / forgetting.py:441-515 maintenance).
+  *
+  * All similarity/scoring/top-k run as one declarative plan per memory
+  * type; only the final ≤ top-k rows are collected into the MemorySlice.
+  * Time is always injected (`asOf`), never read from the wall clock.
+  */
+final class Alma(
+    val store: MemoryStore,
+    val projectId: String,
+    scopes: Map[String, MemoryScope] = Map.empty,
+    embedDim: Int = HashEmbedder.Dim) {
+
+  private val spark = store.spark
+  import spark.implicits._
+
+  private def scope(agent: String): MemoryScope =
+    scopes.getOrElse(agent, MemoryScope(agent))
+
+  private def now(asOf: Timestamp) = asOf
+
+  // ---- §3.2 the write path ---------------------------------------------
+  /** Record a task outcome; promote heuristics / anti-patterns when the
+    * thresholds are met (A1: ≥3 occurrences and >0.5 success ratio;
+    * A2: ≥2 similar failures — protocols.py:163-279).
+    */
+  def learn(
+      agent: String,
+      taskType: String,
+      taskDescription: String,
+      success: Boolean,
+      strategyUsed: String,
+      asOf: Timestamp,
+      durationMs: Long = 0L,
+      errorMessage: Option[String] = None): Outcome = {
+    // F10 write guard: learning a strategy that matches a stored
+    // anti-pattern is refused.
+    val guard = store.antiPatterns(Some(projectId), scope(agent).readableAgents)
+      .filter(col("pattern") === strategyUsed).count()
+    require(guard == 0, s"write guard: strategy '$strategyUsed' matches a stored anti-pattern")
+
+    val o = Outcome(
+      id = UUID.randomUUID().toString,
+      agent = agent, projectId = projectId,
+      taskType = taskType, taskDescription = taskDescription,
+      success = success, strategyUsed = strategyUsed,
+      durationMs = durationMs, errorMessage = errorMessage,
+      timestamp = now(asOf),
+      embedding = HashEmbedder.embed(s"$taskDescription $strategyUsed", embedDim),
+      metadata = Map.empty)
+    store.saveOutcomes(Seq(o))
+    promoteHeuristics(agent, taskType, asOf)
+    if (!success) promoteAntiPatterns(agent, asOf)
+    o
+  }
+
+  /** A1 heuristic promotion over recent outcomes of this task type. */
+  private def promoteHeuristics(agent: String, taskType: String, asOf: Timestamp): Unit = {
+    val promoted = store.outcomes(Some(projectId), Seq(agent))
+      .filter(col("taskType") === taskType)
+      .groupBy("strategyUsed")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("succ"))
+      .filter(col("n") >= 3 && col("succ") / col("n") > 0.5)
+      .collect()
+    val rows = promoted.map { r =>
+      val strategy = r.getString(0)
+      val (n, succ) = (r.getLong(1), r.getLong(2))
+      Heuristic(
+        id = s"h-$projectId-$agent-$taskType-${strategy.hashCode}",
+        agent = agent, projectId = projectId,
+        condition = taskType, strategy = strategy,
+        confidence = succ.toDouble / n,
+        occurrenceCount = n, successCount = succ,
+        lastValidated = asOf, createdAt = asOf,
+        embedding = HashEmbedder.embed(s"$taskType $strategy", embedDim),
+        metadata = Map.empty)
+    }
+    if (rows.nonEmpty) {
+      // Replace prior promotions for these keys (deterministic ids make
+      // this an idempotent upsert, not an append of duplicates).
+      val fresh = rows.filterNot(h =>
+        store.heuristics(Some(projectId), Seq(agent)).filter(col("id") === h.id).count() > 0)
+      if (fresh.nonEmpty) store.saveHeuristics(fresh.toSeq)
+      val existing = rows.toSeq diff fresh.toSeq
+      existing.foreach(h => store.upsertHeuristics(Seq(h.copy(occurrenceCount = 0, successCount = 0))))
+    }
+  }
+
+  /** A2 anti-pattern promotion: ≥2 failures with the same error class. */
+  private def promoteAntiPatterns(agent: String, asOf: Timestamp): Unit = {
+    val rows = store.outcomes(Some(projectId), Seq(agent))
+      .filter(!col("success") && col("errorMessage").isNotNull)
+      .groupBy(col("errorMessage"))
+      .agg(count(lit(1)).as("n"), first("strategyUsed").as("strategy"))
+      .filter(col("n") >= 2)
+      .collect()
+    val aps = rows.map { r =>
+      val err = r.getString(0)
+      AntiPattern(
+        id = s"ap-$projectId-$agent-${err.hashCode}",
+        agent = agent, projectId = projectId,
+        pattern = r.getString(2), whyBad = err,
+        betterAlternative = "avoid: " + r.getString(2),
+        occurrenceCount = r.getLong(1),
+        lastSeen = asOf, createdAt = asOf,
+        embedding = HashEmbedder.embed(err, embedDim),
+        metadata = Map.empty)
+    }
+    val fresh = aps.filterNot(a =>
+      store.antiPatterns(Some(projectId), Seq(agent)).filter(col("id") === a.id).count() > 0)
+    if (fresh.nonEmpty) store.saveAntiPatterns(fresh.toSeq)
+  }
+
+  // ---- §3.1 the read path ----------------------------------------------
+  /** filter → similarity → 4-factor score → threshold → top-k per memory
+    * type → MemorySlice. One declarative plan per type; the per-type
+    * score rules follow scoring.py:77-269.
+    */
+  def retrieve(
+      query: String,
+      agent: String,
+      asOf: Timestamp,
+      topK: Int = 5,
+      mode: ModeConfig = Modes.Precise): MemorySlice = {
+    val m = mode.normalized
+    val q = HashEmbedder.embed(QuerySanitizer.sanitize(query), embedDim)
+    val agents = scope(agent).readableAgents
+    val asOfUs = asOf.getTime * 1000L
+
+    def scoreAndTake(df: DataFrame, recencyCol: String, succ: org.apache.spark.sql.Column,
+        conf: org.apache.spark.sql.Column): DataFrame = {
+      val sim = VectorFunctions.cosineConst(col("embedding"), q)
+      val days = (lit(asOfUs) - unix_micros(col(recencyCol))).cast("double") / lit(86400000000.0)
+      val rec = pow(lit(0.5), days / lit(30.0))
+      val score = lit(m.wSim) * sim + lit(m.wRecency) * rec +
+        lit(m.wSuccess) * succ + lit(m.wConfidence) * conf
+      df.withColumn("_score", score)
+        .filter(col("_score") >= m.minScore)
+        .orderBy(col("_score").desc, col("id"))
+        .limit(topK)
+        .drop("_score")
+    }
+
+    val hs = scoreAndTake(
+      store.heuristics(Some(projectId), agents).toDF(),
+      "lastValidated",
+      succ = col("successCount").cast("double") /
+        when(col("occurrenceCount") === 0, 1L).otherwise(col("occurrenceCount")),
+      conf = col("confidence")).as[Heuristic].collect().toSeq
+    val os = scoreAndTake(
+      store.outcomes(Some(projectId), agents).toDF(),
+      "timestamp",
+      succ = when(col("success"), 1.0).otherwise(0.3),
+      conf = lit(1.0)).as[Outcome].collect().toSeq
+    val ks = scoreAndTake(
+      store.knowledge(Some(projectId), agents).toDF(),
+      "lastVerified",
+      succ = lit(1.0),
+      conf = col("confidence")).as[DomainKnowledge].collect().toSeq
+    val aps = if (m.includeAntiPatterns) scoreAndTake(
+      store.antiPatterns(Some(projectId), agents).toDF(),
+      "lastSeen",
+      succ = least(col("occurrenceCount").cast("double") / lit(10.0), lit(1.0)),
+      conf = lit(1.0)).as[AntiPattern].collect().toSeq
+    else Seq.empty
+    // Preferences are unscored (engine.py:347-350).
+    val prefs = store.preferences().limit(topK).as[UserPreference].collect().toSeq
+
+    MemorySlice(
+      heuristics = hs, outcomes = os, preferences = prefs,
+      knowledge = ks, antiPatterns = aps,
+      query = query, agent = agent)
+  }
+
+  /** Retrieve + render: the full read path ending in the token-capped
+    * prompt projection (S11).
+    */
+  def retrievePrompt(query: String, agent: String, asOf: Timestamp,
+      topK: Int = 5, maxTokens: Int = 800): String =
+    retrieve(query, agent, asOf, topK).toPrompt(maxTokens)
+
+  // ---- maintenance jobs -------------------------------------------------
+  /** A10 quota enforcement: keep the top-N outcomes per agent by
+    * recency, archive the overflow (forgetting.py:441-515).
+    */
+  def enforceQuota(maxOutcomesPerAgent: Int, asOf: Timestamp): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("agent").orderBy(col("timestamp").desc, col("id"))
+    val overflow = store.outcomes(Some(projectId)).toDF()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > maxOutcomesPerAgent)
+      .select("id").as[String].collect().toSet
+    if (overflow.nonEmpty)
+      store.archiveOutcomes(overflow, "quota", asOf.getTime * 1000L)
+    overflow.size.toLong
+  }
+}
+
+object Alma {
+  def apply(spark: SparkSession, root: String, projectId: String,
+      scopes: Map[String, MemoryScope] = Map.empty): Alma =
+    new Alma(new MemoryStore(spark, root), projectId, scopes)
+}

@@ -1,0 +1,139 @@
+package graft.storage
+
+import java.sql.Timestamp
+
+/** Typed memory records — the five collections of the reference's data
+  * model (reference: alma/types.py:144-252), as case classes with Spark
+  * Encoders. Embeddings are a column on the record itself (Spark is
+  * columnar — no FAISS side table, SURVEY §1.4), metadata is a string
+  * map.
+  */
+final case class Heuristic(
+    id: String,
+    agent: String,
+    projectId: String,
+    condition: String,
+    strategy: String,
+    confidence: Double,
+    occurrenceCount: Long,
+    successCount: Long,
+    lastValidated: Timestamp,
+    createdAt: Timestamp,
+    embedding: Array[Float],
+    metadata: Map[String, String]) {
+  /** Derived success rate (alma/types.py:165-170). */
+  def successRate: Double =
+    if (occurrenceCount == 0) 0.0 else successCount.toDouble / occurrenceCount
+}
+
+final case class Outcome(
+    id: String,
+    agent: String,
+    projectId: String,
+    taskType: String,
+    taskDescription: String,
+    success: Boolean,
+    strategyUsed: String,
+    durationMs: Long,
+    errorMessage: Option[String],
+    timestamp: Timestamp,
+    embedding: Array[Float],
+    metadata: Map[String, String])
+
+final case class UserPreference(
+    id: String,
+    userId: String,
+    category: String,
+    preference: String,
+    source: String,
+    confidence: Double,
+    timestamp: Timestamp,
+    metadata: Map[String, String])
+
+final case class DomainKnowledge(
+    id: String,
+    agent: String,
+    projectId: String,
+    domain: String,
+    fact: String,
+    source: String,
+    confidence: Double,
+    lastVerified: Timestamp,
+    embedding: Array[Float],
+    metadata: Map[String, String])
+
+final case class AntiPattern(
+    id: String,
+    agent: String,
+    projectId: String,
+    pattern: String,
+    whyBad: String,
+    betterAlternative: String,
+    occurrenceCount: Long,
+    lastSeen: Timestamp,
+    createdAt: Timestamp,
+    embedding: Array[Float],
+    metadata: Map[String, String])
+
+/** Memory type discriminators (alma/types.py:16-23). */
+object MemoryType {
+  val Heuristics = "heuristics"
+  val Outcomes = "outcomes"
+  val Preferences = "preferences"
+  val Knowledge = "knowledge"
+  val AntiPatterns = "anti_patterns"
+  val All: Seq[String] = Seq(Heuristics, Outcomes, Preferences, Knowledge, AntiPatterns)
+}
+
+/** Per-agent access scope (alma/types.py:26-85): row-level predicates on
+  * every read, write-guard on every learn.
+  */
+final case class MemoryScope(
+    agent: String,
+    canLearn: Set[String] = Set.empty,
+    cannotLearn: Set[String] = Set.empty,
+    shareWith: Set[String] = Set.empty,
+    inheritFrom: Set[String] = Set.empty) {
+
+  /** Deny-list beats allow-list; empty allow = everything
+    * (alma/types.py:46-52).
+    */
+  def isAllowed(domain: String): Boolean =
+    !cannotLearn.contains(domain) && (canLearn.isEmpty || canLearn.contains(domain))
+
+  /** Agents whose memories this scope may read. */
+  def readableAgents: Seq[String] = (inheritFrom + agent).toSeq.sorted
+}
+
+/** The assembled retrieval result (alma/types.py:255-349). */
+final case class MemorySlice(
+    heuristics: Seq[Heuristic],
+    outcomes: Seq[Outcome],
+    preferences: Seq[UserPreference],
+    knowledge: Seq[DomainKnowledge],
+    antiPatterns: Seq[AntiPattern],
+    query: String,
+    agent: String) {
+
+  def totalCount: Int =
+    heuristics.size + outcomes.size + preferences.size + knowledge.size + antiPatterns.size
+
+  /** Token-budget-capped prompt projection (alma/types.py:278-338). */
+  def toPrompt(maxTokens: Int): String = {
+    import graft.retrieval.PostProcess.estimateTokens
+    val sections: Seq[(String, Seq[String])] = Seq(
+      "## User preferences" -> preferences.map(p => s"- ${p.preference}"),
+      "## Avoid (anti-patterns)" -> antiPatterns.map(a => s"- ${a.pattern}: ${a.betterAlternative}"),
+      "## Heuristics" -> heuristics.map(h => s"- when ${h.condition}: ${h.strategy} (${"%.2f".format(h.confidence)})"),
+      "## Past outcomes" -> outcomes.map(o => s"- [${if (o.success) "ok" else "FAIL"}] ${o.taskDescription}"),
+      "## Knowledge" -> knowledge.map(k => s"- ${k.fact}"))
+    val sb = new StringBuilder(s"# Memory for $agent\n")
+    sections.foreach { case (header, lines) =>
+      if (lines.nonEmpty) {
+        val block = header + "\n" + lines.mkString("\n") + "\n"
+        if (estimateTokens(sb.toString + block) <= maxTokens) sb.append(block)
+      }
+    }
+    sb.toString
+  }
+}

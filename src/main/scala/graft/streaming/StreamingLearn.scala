@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingestion + incremental learning — the Structured Streaming
+  * expression of the reference's write-triggered incremental maintenance
+  * (reference: alma/learning/protocols.py:141-159 — every outcome write
+  * re-evaluates promotion over the affected groups;
+  * alma/learning/forgetting.py:1239-1470 background jobs). The
+  * reference polls on a scheduler thread; here the same aggregates run
+  * continuously with watermarked event-time windows and typed
+  * mapGroupsWithState.
+  */
+object StreamingLearn {
+
+  /** One outcome event on the stream. */
+  final case class OutcomeEvent(
+      agent: String,
+      taskType: String,
+      success: Boolean,
+      ts: Timestamp)
+
+  /** Windowed success-ratio aggregation: per (taskType, 1h event-time
+    * window), counts + success ratio, tolerating 10 minutes of
+    * lateness. The streaming analog of the A1 promotion scan.
+    */
+  def windowedOutcomeStats(events: Dataset[OutcomeEvent]): DataFrame =
+    events.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("taskType"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("n_success"))
+      .select(
+        col("window.start").as("window_start"),
+        col("taskType"), col("n"), col("n_success"),
+        (col("n_success").cast("double") / col("n")).as("success_ratio"))
+
+  /** Running per-agent promotion state (occurrences, successes, promoted
+    * flag once thresholds pass) via typed mapGroupsWithState — the
+    * streaming form of the occurrence-increment + promotion check (A3 +
+    * A1).
+    */
+  final case class AgentState(occurrences: Long, successes: Long, promoted: Boolean)
+  final case class AgentUpdate(agent: String, occurrences: Long, successes: Long, promoted: Boolean)
+
+  def promotionState(events: Dataset[OutcomeEvent]): Dataset[AgentUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.agent)
+      .mapGroupsWithState[AgentState, AgentUpdate](GroupStateTimeout.NoTimeout()) {
+        (agent: String, batch: Iterator[OutcomeEvent], state: GroupState[AgentState]) =>
+          val prev = state.getOption.getOrElse(AgentState(0L, 0L, promoted = false))
+          val evs = batch.toSeq
+          val occ = prev.occurrences + evs.size
+          val succ = prev.successes + evs.count(_.success)
+          val promoted = prev.promoted ||
+            (occ >= 3 && succ.toDouble / occ > 0.5)
+          state.update(AgentState(occ, succ, promoted))
+          AgentUpdate(agent, occ, succ, promoted)
+      }
+  }
+
+  /** Wire a streaming source through the windowed aggregation to an
+    * in-memory sink (used by tests and as the deployment template: swap
+    * the source for kafka/files and the sink for a Parquet/foreachBatch
+    * writer).
+    */
+  def runToMemorySink(events: Dataset[OutcomeEvent], queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedOutcomeStats(events).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.storage._
+
+/** End-to-end learning cycle (mirror of the reference's
+  * tests/e2e/test_learning_cycle.py): learn → promote → retrieve →
+  * write-guard → archive/quota → restore.
+  */
+class AlmaSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def freshAlma(): Alma = {
+    val dir = Files.createTempDirectory("alma-test").toString
+    Alma(spark, dir, projectId = "proj1")
+  }
+
+  test("learn records outcomes and promotes a heuristic after 3 successes") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", s"deploy service v$i", success = true,
+        strategyUsed = "canary rollout", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val hs = alma.store.heuristics(Some("proj1"), Seq("helena")).collect()
+    assert(hs.length == 1)
+    assert(hs.head.strategy == "canary rollout")
+    assert(hs.head.confidence == 1.0)
+    assert(hs.head.occurrenceCount == 3L)
+  }
+
+  test("no promotion below the occurrence threshold") {
+    val alma = freshAlma()
+    alma.learn("helena", "deploy", "deploy once", success = true,
+      strategyUsed = "big bang", asOf = ts("2024-01-01 10:00:00"))
+    assert(alma.store.heuristics(Some("proj1")).isEmpty)
+  }
+
+  test("repeated failures with the same error promote an anti-pattern; write guard then blocks") {
+    val alma = freshAlma()
+    (1 to 2).foreach { i =>
+      alma.learn("victor", "migrate", s"migrate shard $i", success = false,
+        strategyUsed = "drop and recreate", asOf = ts(s"2024-01-0$i 09:00:00"),
+        errorMessage = Some("data loss"))
+    }
+    val aps = alma.store.antiPatterns(Some("proj1"), Seq("victor")).collect()
+    assert(aps.length == 1 && aps.head.occurrenceCount == 2L)
+    val err = intercept[IllegalArgumentException] {
+      alma.learn("victor", "migrate", "migrate again", success = true,
+        strategyUsed = "drop and recreate", asOf = ts("2024-01-03 09:00:00"))
+    }
+    assert(err.getMessage.contains("write guard"))
+  }
+
+  test("retrieve ranks the semantically-matching heuristic first and renders a prompt") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", "deploy the payment service", success = true,
+        strategyUsed = "canary rollout with small traffic slice", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "ingest", "bulk load parquet files", success = true,
+        strategyUsed = "partitioned copy with checkpoints", asOf = ts(s"2024-01-0$i 11:00:00"))
+    }
+    val slice = alma.retrieve("how should I deploy the payment service",
+      "helena", asOf = ts("2024-02-01 00:00:00"), topK = 1)
+    assert(slice.heuristics.nonEmpty)
+    assert(slice.heuristics.head.strategy.contains("canary"))
+    val prompt = slice.toPrompt(400)
+    assert(prompt.contains("canary"))
+    assert(graft.retrieval.PostProcess.estimateTokens(prompt) <= 400)
+  }
+
+  test("scope inheritance: agent reads inherited memories, strangers do not") {
+    val dir = Files.createTempDirectory("alma-test").toString
+    val scopes = Map(
+      "junior" -> MemoryScope("junior", inheritFrom = Set("helena")))
+    val alma = new Alma(new MemoryStore(spark, dir), "proj1", scopes)
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", "deploy the api", success = true,
+        strategyUsed = "blue green", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val junior = alma.retrieve("deploy the api", "junior", ts("2024-02-01 00:00:00"))
+    assert(junior.heuristics.nonEmpty)
+    val stranger = alma.retrieve("deploy the api", "mallory", ts("2024-02-01 00:00:00"))
+    assert(stranger.heuristics.isEmpty)
+  }
+
+  test("quota enforcement archives overflow; restore brings it back") {
+    val alma = freshAlma()
+    (1 to 5).foreach { i =>
+      alma.learn("helena", "task", s"work item $i", success = i % 2 == 0,
+        strategyUsed = s"strategy $i", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val archived = alma.enforceQuota(maxOutcomesPerAgent = 2, asOf = ts("2024-02-01 00:00:00"))
+    assert(archived == 3)
+    assert(alma.store.outcomes(Some("proj1")).count() == 2)
+    val archivedIds = alma.store.archivedOutcomes()
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(archivedIds.size == 3)
+    alma.store.restoreOutcomes(archivedIds)
+    assert(alma.store.outcomes(Some("proj1")).count() == 5)
+  }
+
+  test("upsert merges occurrence counts by id") {
+    val alma = freshAlma()
+    val h = Heuristic("h1", "a", "proj1", "cond", "strat", 0.8, 2, 1,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"),
+      Array.fill(4)(0.5f), Map.empty)
+    alma.store.saveHeuristics(Seq(h))
+    alma.store.upsertHeuristics(Seq(h.copy(occurrenceCount = 3, successCount = 2)))
+    val merged = alma.store.heuristics().collect().head
+    assert(merged.occurrenceCount == 5 && merged.successCount == 3)
+  }
+
+  test("stats counts per memory type") {
+    val alma = freshAlma()
+    alma.learn("helena", "t", "d", success = true, strategyUsed = "s",
+      asOf = ts("2024-01-01 00:00:00"))
+    val st = alma.store.stats(Some("proj1"))
+    assert(st(MemoryType.Outcomes) == 1L)
+    assert(st(MemoryType.Heuristics) == 0L)
+  }
+}

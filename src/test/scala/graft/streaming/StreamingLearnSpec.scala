@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.StreamingLearn._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingLearnSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed outcome stats aggregate per event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[OutcomeEvent]
+    val query = runToMemorySink(input.toDS(), "win_stats")
+    try {
+      input.addData(
+        OutcomeEvent("a", "deploy", success = true, ts("2024-01-01 10:05:00")),
+        OutcomeEvent("a", "deploy", success = false, ts("2024-01-01 10:20:00")),
+        OutcomeEvent("a", "ingest", success = true, ts("2024-01-01 11:10:00")))
+      query.processAllAvailable()
+      val rows = spark.table("win_stats")
+        .select("taskType", "n", "n_success", "success_ratio")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(("deploy", 2L, 1L, 0.5), ("ingest", 1L, 1L, 1.0)))
+    } finally query.stop()
+  }
+
+  test("promotion state machine flips once thresholds pass and persists across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[OutcomeEvent]
+    val query = promotionState(input.toDS()).writeStream
+      .format("memory").queryName("promo").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        OutcomeEvent("a", "t", success = true, ts("2024-01-01 10:00:00")),
+        OutcomeEvent("a", "t", success = true, ts("2024-01-01 10:01:00")))
+      query.processAllAvailable()
+      val afterTwo = spark.table("promo").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3))).head
+      assert(afterTwo == ("a", 2L, false))
+
+      input.addData(OutcomeEvent("a", "t", success = true, ts("2024-01-01 10:02:00")))
+      query.processAllAvailable()
+      val afterThree = spark.table("promo").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+        .maxBy(_._2)
+      assert(afterThree == ("a", 3L, true))
+    } finally query.stop()
+  }
+}
