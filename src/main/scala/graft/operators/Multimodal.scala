@@ -62,7 +62,15 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // V8 cross-encoder re-rank stage (rows-only: the scorer is an
+  // executor-side stub, not ANSI-SQL-expressible).
+  private def crossencoderRerank(s: SparkSession, dir: String): DataFrame =
+    graft.retrieval.CrossEncoder.rerank(
+      s, Tables.documents(s, dir), "doc_id", "text",
+      query = "spark join data query").limit(20)
+
   val all: Seq[Q] = Seq(
     Q("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
-    Q("q_multimodal_decode", multimodalDecode, None))
+    Q("q_multimodal_decode", multimodalDecode, None),
+    Q("q_crossencoder_rerank", crossencoderRerank, None))
 }

@@ -49,6 +49,21 @@ object Ingestion {
     }.toSeq
   }
 
+  /** Benchmark dataset source (reference: benchmarks/longmemeval/
+    * dataset.py:124-260 — questions each carrying a haystack of
+    * sessions): JSON lines in, exploded (question_id, session_id,
+    * session_text) rows out — one flat DataFrame for the whole
+    * benchmark, so the retrieval sweep is a single job, not a
+    * per-question loop.
+    */
+  def loadBenchmarkJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+      .select(col("question_id"), col("question"), col("answer_session_id"),
+        explode(col("haystack")).as("session"))
+      .select(col("question_id"), col("question"), col("answer_session_id"),
+        col("session.session_id").as("session_id"),
+        col("session.text").as("session_text"))
+
   /** Rule-based memory extraction: classify text rows into memory types
     * by marker patterns with a confidence, keep rows ≥ minConfidence
     * (memory_extractor.extract_memories shape).

@@ -14,3 +14,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Applies a SparkSessionExtensions' injected functions to an existing
+  * session's function registry — lets tests (and late-bound embedders)
+  * register the custom SQL functions without rebuilding the session.
+  */
+object ExtensionsBridge {
+  def register(spark: org.apache.spark.sql.SparkSession,
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    configure(ext)
+    ext.registerFunctions(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry): Unit
+  }
+}
