@@ -156,12 +156,18 @@ final class Alma(
         .drop("_score")
     }
 
+    // R13 provenance: memories read from an inherited agent are tagged
+    // with their origin (engine.py:804-827 metadata.shared_from).
+    def tagShared(meta: Map[String, String], owner: String): Map[String, String] =
+      if (owner != agent) meta + ("shared_from" -> owner) else meta
+
     val hs = scoreAndTake(
       store.heuristics(Some(projectId), agents).toDF(),
       "lastValidated",
       succ = col("successCount").cast("double") /
         when(col("occurrenceCount") === 0, 1L).otherwise(col("occurrenceCount")),
       conf = col("confidence")).as[Heuristic].collect().toSeq
+      .map(h => h.copy(metadata = tagShared(h.metadata, h.agent)))
     val os = scoreAndTake(
       store.outcomes(Some(projectId), agents).toDF(),
       "timestamp",
