@@ -1,0 +1,108 @@
+package graft.graph
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal property graph over two DataFrames — the Spark expression of
+  * the reference's graph store (reference: alma/graph/store.py:29-74
+  * model; :535-560 as-of validity filter; :561-676 BFS traversal).
+  *
+  * Entities and relationships are plain Datasets; as-of queries are
+  * range predicates (pushed to the scan); traversal is iterative
+  * frontier ⋈ edges joins with lineage truncation per hop — hops are
+  * bounded (≤ 3 in the reference), so this is a fixed number of
+  * bucket-local joins at any scale.
+  */
+final case class Entity(
+    id: String,
+    name: String,
+    entityType: String,
+    properties: Map[String, String])
+
+final case class Relationship(
+    id: String,
+    sourceId: String,
+    targetId: String,
+    relationType: String,
+    confidence: Double,
+    validFrom: Option[Timestamp],
+    validTo: Option[Timestamp])
+
+final class GraphStore(
+    val entities: Dataset[Entity],
+    val relationships: Dataset[Relationship]) {
+
+  private val spark = entities.sparkSession
+  import spark.implicits._
+
+  /** J8: relationships valid at time T —
+    * `valid_from ≤ T AND (valid_to IS NULL OR T ≤ valid_to)`
+    * (store.py:535-560; null valid_from = always valid).
+    */
+  def asOf(t: Timestamp): Dataset[Relationship] =
+    relationships.filter { r =>
+      r.validFrom.forall(!_.after(t)) && r.validTo.forall(!_.before(t))
+    }
+
+  /** Latest relationship version per (source, target, type) — the
+    * as-of-latest window form (SURVEY J8).
+    */
+  def latestPerEdge(): DataFrame = {
+    val w = Window.partitionBy("sourceId", "targetId", "relationType")
+      .orderBy(col("validFrom").desc_nulls_last, col("id"))
+    relationships.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** J7: BFS from seed entity ids, ≤ maxHops, optionally filtered to a
+    * relation type. Returns (entity_id, hop) with the minimum hop
+    * count. Each hop is one join of the (small) frontier against the
+    * edge table — broadcast when the frontier is small.
+    */
+  def bfs(seeds: Seq[String], maxHops: Int, relationType: Option[String] = None): DataFrame = {
+    val edges0 = relationType
+      .map(t => relationships.filter(col("relationType") === t))
+      .getOrElse(relationships)
+      .select(col("sourceId").as("src"), col("targetId").as("dst"))
+    // Undirected traversal, like the reference's in-memory BFS.
+    val edges = edges0.union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+
+    var visited = seeds.toDF("entity_id").withColumn("hop", lit(0))
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier
+        .join(edges, col("entity_id") === col("src"))
+        .select(col("dst").as("entity_id"))
+        .distinct()
+        .join(visited.select(col("entity_id").as("seen")),
+          col("entity_id") === col("seen"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited.orderBy("hop", "entity_id")
+  }
+
+  /** Neighborhood query: find entities by name/type, traverse, return
+    * reached entities with their hop (the reference's graph query
+    * surface, store.py:121-134).
+    */
+  def query(namePattern: String, maxHops: Int): DataFrame = {
+    val seeds = entities.filter(col("name").rlike(namePattern))
+      .select("id").as[String].collect().toSeq
+    if (seeds.isEmpty) spark.emptyDataset[(String, Int)].toDF("entity_id", "hop")
+    else bfs(seeds, maxHops)
+      .join(entities.toDF(), col("entity_id") === col("id"))
+      .select("entity_id", "hop", "name", "entityType")
+      .orderBy("hop", "entity_id")
+  }
+}

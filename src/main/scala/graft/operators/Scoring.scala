@@ -237,7 +237,42 @@ object Scoring {
       |  GROUP BY user_id) t
       |ORDER BY user_id""".stripMargin
 
+  // memory_strength model (decay family composition): exponential decay
+  // × access bonus × importance factor, plus the linear/step curves.
+  private def memoryStrength(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DecayFunctions._
+    val asOfUs = unix_micros(to_timestamp(lit(AsOf)))
+    val days = ageDays(col("ts"), asOfUs)
+    val access = get_json_object(col("props"), "$.k").cast("double")
+    val importance = col("value") / lit(200.0)
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        round(exponentialDecay(days, 30.0), 6).as("exp_decay"),
+        round(linearDecay(days, 90.0), 6).as("lin_decay"),
+        round(stepDecay(days, 30.0, 0.2), 6).as("step_decay"),
+        round(strength(days, access, importance), 6).as("strength"))
+      .orderBy("event_id")
+  }
+
+  private val memoryStrengthSql =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    (epoch_us(TIMESTAMP '2024-03-01 00:00:00') - epoch_us(ts::TIMESTAMP))::DOUBLE / 86400000000.0 AS days,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS access,
+      |    value / 200.0 AS importance
+      |  FROM events)
+      |SELECT event_id,
+      |  round(exp(-0.693 * days / 30.0), 6) AS exp_decay,
+      |  round(greatest(0.0::DOUBLE, 1.0::DOUBLE - days / 90.0), 6) AS lin_decay,
+      |  round(CASE WHEN days <= 30.0 THEN 1.0::DOUBLE ELSE 0.2::DOUBLE END, 6) AS step_decay,
+      |  round(exp(-0.693 * days / 30.0)
+      |      * (1.0::DOUBLE + 0.1 * ln(1.0::DOUBLE + access))
+      |      * (0.5::DOUBLE + 0.5 * least(importance, 1.0)), 6) AS strength
+      |FROM e ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_memory_strength", memoryStrength, Some(memoryStrengthSql)),
     Q("q_decay_scores", decayScores, Some(decaySql)),
     Q("q_composite_score", compositeScore, Some(compositeScoreSql)),
     Q("q_feedback_agg", feedbackAgg, Some(feedbackAggSql)),

@@ -1,0 +1,70 @@
+package graft.workflow
+
+import java.sql.Timestamp
+
+import graft.operators.Reducers
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Workflow state: checkpoints, parent chains, and branch-state merging
+  * (reference: alma/workflow/checkpoint.py:21-135 model, :228-257
+  * latest-per-(run, branch); alma/workflow/reducers.py:294-363 merge).
+  */
+final case class Checkpoint(
+    id: String,
+    runId: String,
+    nodeId: String,
+    branchId: String,
+    sequenceNumber: Long,
+    parentCheckpointId: Option[String],
+    stateJson: String,
+    createdAt: Timestamp)
+
+object Checkpoints {
+
+  /** SHA-256 state hash of the canonical state (checkpoint.py:60-70),
+    * as a column so integrity checks run distributed.
+    */
+  def withStateHash(df: DataFrame): DataFrame =
+    df.withColumn("state_hash", sha2(col("stateJson").cast("binary"), 256))
+
+  /** J10: latest checkpoint per (run, branch). */
+  def latest(checkpoints: Dataset[Checkpoint]): DataFrame = {
+    val w = Window.partitionBy("runId", "branchId")
+      .orderBy(col("sequenceNumber").desc, col("id"))
+    checkpoints.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Parent chain from a checkpoint back to the root — iterative
+    * self-joins on parentCheckpointId (J10). Chains are short (one per
+    * sequence), so this is a bounded loop of point lookups.
+    */
+  def parentChain(checkpoints: Dataset[Checkpoint], fromId: String): Seq[Checkpoint] = {
+    val byId = checkpoints.collect().map(c => c.id -> c).toMap
+    Iterator.iterate(byId.get(fromId))(c => c.flatMap(_.parentCheckpointId).flatMap(byId.get))
+      .takeWhile(_.isDefined).flatten.toSeq
+  }
+
+  /** Merge parallel branch states key-wise with named reducers
+    * (reducers.py:294-363): state rows are (branch, key, value, seq);
+    * the reducer registry (A6) picks the aggregate per key.
+    */
+  def mergeBranchStates(
+      states: DataFrame,
+      reducerByKey: Map[String, String],
+      defaultReducer: String = "last_value"): DataFrame = {
+    val merged = reducerByKey.toSeq.sortBy(_._1).map { case (k, reducer) =>
+      states.filter(col("key") === k)
+        .groupBy("key")
+        .agg(Reducers(reducer, col("value"), col("seq")).cast("string").as("merged"))
+    }
+    val otherKeys = states.filter(!col("key").isin(reducerByKey.keySet.toSeq: _*))
+      .groupBy("key")
+      .agg(Reducers(defaultReducer, col("value"), col("seq")).cast("string").as("merged"))
+    merged.foldLeft(otherKeys)(_ unionByName _).orderBy("key")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.workflow
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class CheckpointsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def cps = {
+    import spark.implicits._
+    Seq(
+      Checkpoint("c1", "run1", "n1", "main", 1L, None, """{"x":1}""", ts("2024-01-01 00:00:00")),
+      Checkpoint("c2", "run1", "n2", "main", 2L, Some("c1"), """{"x":2}""", ts("2024-01-01 01:00:00")),
+      Checkpoint("c3", "run1", "n2", "alt", 1L, Some("c1"), """{"x":9}""", ts("2024-01-01 01:00:00")),
+      Checkpoint("c4", "run2", "n1", "main", 1L, None, """{"y":1}""", ts("2024-01-02 00:00:00"))).toDS()
+  }
+
+  test("latest per (run, branch)") {
+    val latest = Checkpoints.latest(cps).collect()
+      .map(r => (r.getAs[String]("runId"), r.getAs[String]("branchId")) -> r.getAs[String]("id"))
+      .toMap
+    assert(latest == Map(("run1", "main") -> "c2", ("run1", "alt") -> "c3", ("run2", "main") -> "c4"))
+  }
+
+  test("parent chain walks back to the root") {
+    assert(Checkpoints.parentChain(cps, "c2").map(_.id) == Seq("c2", "c1"))
+    assert(Checkpoints.parentChain(cps, "c4").map(_.id) == Seq("c4"))
+  }
+
+  test("state hash is deterministic sha256 of the state") {
+    val hashed = Checkpoints.withStateHash(cps.toDF())
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("state_hash")).toMap
+    assert(hashed("c1") ==
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest("""{"x":1}""".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("branch states merge key-wise with named reducers") {
+    import spark.implicits._
+    val states = Seq(
+      ("b1", "counter", "5", 1L), ("b2", "counter", "7", 2L),
+      ("b1", "last_log", "first", 1L), ("b2", "last_log", "second", 2L),
+      ("b1", "other", "x", 1L)).toDF("branch", "key", "value", "seq")
+    val merged = Checkpoints.mergeBranchStates(
+      states, Map("counter" -> "sum", "last_log" -> "last_value"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged("counter") == "12.0")
+    assert(merged("last_log") == "second")
+    assert(merged("other") == "x")
+  }
+}
