@@ -74,7 +74,7 @@ object Compression {
     val e = Tables.events(s, dir)
     val conf = round(
       lit(0.5) + lit(0.3) * (col("n_succ").cast("double") / col("n"))
-        - lit(0.3) * (col("n_fail").cast("double") / col("n")), 6)
+        - lit(0.3) * (col("n_fail").cast("double") / col("n")) + lit(5e-13), 6)
     e.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_succ"),
@@ -94,9 +94,9 @@ object Compression {
       |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_fail
       |  FROM events GROUP BY user_id)
       |SELECT user_id, n, n_succ, n_fail,
-      |  round(0.5 + 0.3 * (n_succ::DOUBLE / n) - 0.3 * (n_fail::DOUBLE / n), 6) AS confidence,
-      |  CASE WHEN round(0.5 + 0.3 * (n_succ::DOUBLE / n) - 0.3 * (n_fail::DOUBLE / n), 6) > 0.55 THEN 'use'
-      |       WHEN round(0.5 + 0.3 * (n_succ::DOUBLE / n) - 0.3 * (n_fail::DOUBLE / n), 6) > 0.45 THEN 'caution'
+      |  round(0.5 + 0.3 * (n_succ::DOUBLE / n) - 0.3 * (n_fail::DOUBLE / n) + 5e-13, 6) AS confidence,
+      |  CASE WHEN round(0.5 + 0.3 * (n_succ::DOUBLE / n) - 0.3 * (n_fail::DOUBLE / n) + 5e-13, 6) > 0.55 THEN 'use'
+      |       WHEN round(0.5 + 0.3 * (n_succ::DOUBLE / n) - 0.3 * (n_fail::DOUBLE / n) + 5e-13, 6) > 0.45 THEN 'caution'
       |       ELSE 'avoid' END AS recommendation
       |FROM g ORDER BY user_id""".stripMargin
 

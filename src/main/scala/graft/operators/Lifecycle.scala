@@ -92,27 +92,32 @@ object Lifecycle {
   private def consolidateMerge(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
-    val a = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
+    // Connected components over the bipartite doc ↔ (band, sig) bucket
+    // membership graph — connectivity is identical to the pairwise
+    // candidate graph, but CC never materializes the (quadratic-in-
+    // bucket) pair set: each round is two map-side-combined groupBys.
+    // Restrict to buckets with ≥ 2 members so the node set matches the
+    // pair formulation (singleton docs are not duplicate candidates).
+    val memberships = sigs
+      .select(col("doc_id"), concat_ws("|", col("band"), col("sig")).as("bucket"))
+    val sharedBuckets = memberships.groupBy("bucket")
+      .agg(count(lit(1)).as("sz")).filter(col("sz") >= 2).select("bucket")
+    val m = memberships.join(sharedBuckets, Seq("bucket")).localCheckpoint(true)
+    var labels = m.select(col("doc_id").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val propagated = labels.join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), col("comp"))
-      val next = labels.select("node", "comp").union(propagated)
-        .groupBy("node").agg(min("comp").as("comp"))
+    // Labels only decrease under min-propagation, so "sum unchanged" is
+    // the fixpoint test — one cheap aggregate per round.
+    var prevSum = Long.MinValue
+    var currSum = labels.agg(sum("comp")).head().getLong(0)
+    while (currSum != prevSum) {
+      val bucketMin = m.join(labels, col("doc_id") === col("node"))
+        .groupBy("bucket").agg(min("comp").as("bcomp"))
+      labels = m.join(bucketMin, Seq("bucket"))
+        .groupBy(col("doc_id")).agg(min("bcomp").as("comp"))
+        .select(col("doc_id").as("node"), col("comp"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
+      prevSum = currSum
+      currSum = labels.agg(sum("comp")).head().getLong(0)
     }
     labels.join(docs, col("node") === col("doc_id"))
       .groupBy("comp")
