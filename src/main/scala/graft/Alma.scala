@@ -91,13 +91,14 @@ final class Alma(
         metadata = Map.empty)
     }
     if (rows.nonEmpty) {
-      // Replace prior promotions for these keys (deterministic ids make
-      // this an idempotent upsert, not an append of duplicates).
-      val fresh = rows.filterNot(h =>
-        store.heuristics(Some(projectId), Seq(agent)).filter(col("id") === h.id).count() > 0)
-      if (fresh.nonEmpty) store.saveHeuristics(fresh.toSeq)
-      val existing = rows.toSeq diff fresh.toSeq
-      existing.foreach(h => store.upsertHeuristics(Seq(h.copy(occurrenceCount = 0, successCount = 0))))
+      // Promotion counts are recomputed from the full outcome history,
+      // so re-promotions REPLACE the stored row (deterministic ids make
+      // this idempotent); incrementing here would double-count.
+      val existingIds = store.heuristics(Some(projectId), Seq(agent))
+        .select("id").collect().map(_.getString(0)).toSet
+      val (toReplace, fresh) = rows.toSeq.partition(h => existingIds.contains(h.id))
+      if (fresh.nonEmpty) store.saveHeuristics(fresh)
+      if (toReplace.nonEmpty) store.replaceHeuristics(toReplace)
     }
   }
 
@@ -106,7 +107,8 @@ final class Alma(
     val rows = store.outcomes(Some(projectId), Seq(agent))
       .filter(!col("success") && col("errorMessage").isNotNull)
       .groupBy(col("errorMessage"))
-      .agg(count(lit(1)).as("n"), first("strategyUsed").as("strategy"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("strategyUsed"), struct(col("timestamp"), col("id"))).as("strategy"))
       .filter(col("n") >= 2)
       .collect()
     val aps = rows.map { r =>
@@ -185,7 +187,8 @@ final class Alma(
       conf = lit(1.0)).as[AntiPattern].collect().toSeq
     else Seq.empty
     // Preferences are unscored (engine.py:347-350).
-    val prefs = store.preferences().limit(topK).as[UserPreference].collect().toSeq
+    val prefs = store.preferences().orderBy(col("id")).limit(topK)
+      .as[UserPreference].collect().toSeq
 
     MemorySlice(
       heuristics = hs, outcomes = os, preferences = prefs,

@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 abstract class FloatVectorKernel extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // Length-mismatched inputs yield NULL (the zip_with formulation
+  // null-pads and propagates null) — a silently-truncated similarity
+  // would let corrupt/mixed-dimension rows rank as plausible scores.
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
       case ArrayType(FloatType, _) => true
@@ -39,7 +43,8 @@ case class DotProductF32(left: Expression, right: Expression) extends FloatVecto
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -52,12 +57,16 @@ case class DotProductF32(left: Expression, right: Expression) extends FloatVecto
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  dot += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int n = $a.numElements();
+         |  double dot = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    dot += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |  }
+         |  ${ev.value} = dot;
          |}
-         |${ev.value} = dot;
        """.stripMargin
     })
 
@@ -74,7 +83,8 @@ case class CosineSimF32(left: Expression, right: Expression) extends FloatVector
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -93,16 +103,20 @@ case class CosineSimF32(left: Expression, right: Expression) extends FloatVector
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = (double) $a.getFloat(i);
-         |  double yi = (double) $b.getFloat(i);
-         |  dot += xi * yi;
-         |  nx += xi * xi;
-         |  ny += yi * yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int n = $a.numElements();
+         |  double dot = 0.0, nx = 0.0, ny = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double xi = (double) $a.getFloat(i);
+         |    double yi = (double) $b.getFloat(i);
+         |    dot += xi * yi;
+         |    nx += xi * xi;
+         |    ny += yi * yi;
+         |  }
+         |  ${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
        """.stripMargin
     })
 

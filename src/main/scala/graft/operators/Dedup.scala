@@ -119,11 +119,16 @@ object Dedup {
 private[operators] object TextAnalysisShared {
   import org.apache.spark.sql.Column
 
-  /** 3-token shingles of the whitespace tokenization. */
+  /** 3-token shingles of the whitespace tokenization. Documents with
+    * fewer than 3 tokens yield an empty array (matching the oracle's
+    * generate_series(1, n-2), which is empty for n < 3 — Spark's
+    * sequence() would instead count DOWN and make slice() throw).
+    */
   def shingles(textCol: Column): Column = {
     val toks = split(textCol, " ")
-    transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+    val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => concat_ws(" ", slice(toks, i, lit(3))))
   }
 
   /** Per-(doc, band) MinHash signatures: min over salted shingle md5s.

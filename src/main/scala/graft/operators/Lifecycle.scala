@@ -108,7 +108,8 @@ object Lifecycle {
     // Labels only decrease under min-propagation, so "sum unchanged" is
     // the fixpoint test — one cheap aggregate per round.
     var prevSum = Long.MinValue
-    var currSum = labels.agg(sum("comp")).head().getLong(0)
+    def labelSum() = labels.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
+    var currSum = labelSum()
     while (currSum != prevSum) {
       val bucketMin = m.join(labels, col("doc_id") === col("node"))
         .groupBy("bucket").agg(min("comp").as("bcomp"))
@@ -117,7 +118,7 @@ object Lifecycle {
         .select(col("doc_id").as("node"), col("comp"))
         .localCheckpoint(true)
       prevSum = currSum
-      currSum = labels.agg(sum("comp")).head().getLong(0)
+      currSum = labelSum()
     }
     labels.join(docs, col("node") === col("doc_id"))
       .groupBy("comp")

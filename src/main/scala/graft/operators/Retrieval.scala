@@ -21,23 +21,11 @@ object Retrieval {
   /** filter → similarity → composite score → threshold → top-k over the
     * documents ⋈ embeddings corpus, querying with vector 0.
     */
-  def pipeline(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).toArray
-    val joined = Tables.documents(s, dir)
-      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
-    val sim = VectorFunctions.cosineConst(col("embedding"), q)
-    val lengthPrior = least(col("n_chars").cast("double") / lit(500.0), lit(1.0))
-    val langPrior = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.5))
-    val score = round(lit(0.5) * sim + lit(0.3) * lengthPrior + lit(0.2) * langPrior, 6)
-    joined
-      .withColumn("sim", round(sim, 4))
-      .withColumn("score", score)
+  def pipeline(s: SparkSession, dir: String): DataFrame =
+    pipelineScored(s, dir)
       .filter(col("score") >= 0.2)
-      .select("doc_id", "lang", "sim", "score")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
-  }
 
   private val pipelineSql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -56,6 +44,45 @@ object Retrieval {
       |WHERE score >= 0.2
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** R7 MMR diversity re-rank (rows-only: greedy selection is
+    * inherently sequential, so it runs driver-side over the collected
+    * candidate top-N — bounded at ≤ 30 rows regardless of corpus size,
+    * SURVEY §7.4; reference: alma/retrieval/engine.py:639-715).
+    */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.retrieval.PostProcess
+    val candidates = pipelineScored(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(30)
+      .select("doc_id", "score", "sim")
+      .collect()
+      .map(r => PostProcess.Candidate(r.getLong(0), r.getDouble(1), r.getDouble(2), ""))
+      .toSeq
+    PostProcess.mmr(candidates, lambda = 0.5, k = 10)
+      .zipWithIndex
+      .map { case (c, i) => (i.toLong + 1, c.id, c.score, c.sim) }
+      .toDF("rank", "doc_id", "score", "sim")
+  }
+
+  /** The pipeline's scored candidate set before top-k (shared by the
+    * flagship query and the MMR stage).
+    */
+  private def pipelineScored(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val joined = Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+    val sim = VectorFunctions.cosineConst(col("embedding"), q)
+    val lengthPrior = least(col("n_chars").cast("double") / lit(500.0), lit(1.0))
+    val langPrior = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.5))
+    joined
+      .withColumn("sim", round(sim, 4))
+      .withColumn("score", round(lit(0.5) * sim + lit(0.3) * lengthPrior + lit(0.2) * langPrior, 6))
+      .select("doc_id", "lang", "sim", "score")
+  }
+
   val all: Seq[Q] = Seq(
-    Q("q_retrieval_pipeline", pipeline, Some(pipelineSql)))
+    Q("q_retrieval_pipeline", pipeline, Some(pipelineSql)),
+    Q("q_mmr_rerank", mmrRerank, None))
 }

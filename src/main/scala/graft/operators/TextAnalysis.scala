@@ -92,13 +92,6 @@ object TextAnalysis {
       |       THEN 'en' ELSE 'tech' END AS class_pred
       |FROM t ORDER BY doc_id""".stripMargin
 
-  /** 3-token shingles of the whitespace tokenization. */
-  private def shingles(textCol: Column): Column = {
-    val toks = split(textCol, " ")
-    transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
-  }
-
   // Document fingerprinting: whole-doc md5 + min shingle hash (the
   // deterministic rolling-fingerprint used for near-dup blocking).
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -106,7 +99,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("fp"),
-        array_min(transform(shingles(col("text")), sh => md5(sh.cast("binary")))).as("min_shingle_fp"))
+        array_min(transform(TextAnalysisShared.shingles(col("text")), sh => md5(sh.cast("binary")))).as("min_shingle_fp"))
       .orderBy("doc_id")
 
   private val fingerprintSql =

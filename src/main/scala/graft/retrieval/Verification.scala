@@ -55,6 +55,13 @@ final class RetrievalCache[V](ttlMillis: Long = 300000L, maxEntries: Int = 1000)
   private var hits = 0L
   private var misses = 0L
 
+  /** Plain-prefix namespaced key: `<namespace>:<sha256(parts)>` — the
+    * form to use when write-triggered invalidation needs to target an
+    * (agent, project) namespace.
+    */
+  def nsKey(namespace: String, parts: String*): String =
+    namespace + ":" + key(parts: _*)
+
   /** Collision-resistant cache key (length-prefixed SHA-256,
     * cache.py:101-150).
     */
@@ -82,9 +89,10 @@ final class RetrievalCache[V](ttlMillis: Long = 300000L, maxEntries: Int = 1000)
     map.put(k, Entry(v, nowMillis)): Unit
   }
 
-  /** Write-triggered invalidation: drop everything for an (agent,
-    * project) — callers namespace their keys with `key(agent, project,
-    * ...)`, so invalidation drops keys created under that prefix pair.
+  /** Write-triggered invalidation by key predicate. Digest keys carry
+    * no recoverable prefix, so namespaced invalidation must use
+    * `nsKey(namespace, ...)` keys and
+    * `invalidateWhere(_.startsWith(namespace + ":"))`.
     */
   def invalidateWhere(pred: String => Boolean): Int = synchronized {
     val it = map.keySet().iterator()

@@ -101,6 +101,19 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     overwrite((untouched ++ merged).toDS(), MemoryType.Heuristics)
   }
 
+  /** Replace heuristics by id (promotion re-emission: counts are
+    * recomputed from outcomes, so rows are replaced wholesale rather
+    * than incremented; createdAt survives from the original row).
+    */
+  def replaceHeuristics(incoming: Seq[Heuristic]): Unit = {
+    val current = heuristics().collect().toSeq
+    val byId = current.map(h => h.id -> h).toMap
+    val replaced = incoming.map(h =>
+      byId.get(h.id).map(old => h.copy(createdAt = old.createdAt)).getOrElse(h))
+    val untouched = current.filterNot(h => incoming.exists(_.id == h.id))
+    overwrite((untouched ++ replaced).toDS(), MemoryType.Heuristics)
+  }
+
   private def overwrite[T](ds: Dataset[T], memoryType: String): Unit = {
     // Write-new-then-swap keeps the operation idempotent and never
     // leaves a half-written live directory.

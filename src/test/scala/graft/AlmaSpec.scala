@@ -31,6 +31,26 @@ class AlmaSpec extends SparkSpec {
     assert(hs.head.occurrenceCount == 3L)
   }
 
+  test("re-promotion refreshes counts and confidence instead of freezing them") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", s"deploy v$i", success = true,
+        strategyUsed = "canary rollout", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    // Two failures then one success with the same strategy: the stored
+    // heuristic must reflect the recomputed history, not the first
+    // promotion snapshot.
+    alma.learn("helena", "deploy", "deploy v4", success = false,
+      strategyUsed = "canary rollout", asOf = ts("2024-01-04 10:00:00"))
+    alma.learn("helena", "deploy", "deploy v5", success = true,
+      strategyUsed = "canary rollout", asOf = ts("2024-01-05 10:00:00"))
+    val h = alma.store.heuristics(Some("proj1"), Seq("helena")).collect().head
+    assert(h.occurrenceCount == 5L, s"occurrenceCount ${h.occurrenceCount}")
+    assert(h.successCount == 4L)
+    assert(math.abs(h.confidence - 0.8) < 1e-9)
+    assert(math.abs(h.successRate - 0.8) < 1e-9)
+  }
+
   test("no promotion below the occurrence threshold") {
     val alma = freshAlma()
     alma.learn("helena", "deploy", "deploy once", success = true,

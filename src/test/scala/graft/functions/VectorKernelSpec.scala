@@ -38,6 +38,17 @@ class VectorKernelSpec extends SparkSpec {
     assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-9)
   }
 
+  test("length-mismatched vectors yield NULL, matching the HOF null semantics") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val kernel = df.select(
+      VectorFunctions.dotD(col("a"), col("b")).as("d"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c")).head()
+    assert(kernel.isNullAt(0) && kernel.isNullAt(1))
+    val hof = df.select(VectorFunctions.dotHof(col("a"), col("b")).as("d")).head()
+    assert(hof.isNullAt(0))
+  }
+
   test("kernel rejects non-float-array inputs at analysis") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")

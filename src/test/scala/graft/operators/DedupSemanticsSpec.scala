@@ -41,6 +41,15 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(ranked(1)._2 < 0.5, s"unrelated cosine ${ranked(1)._2} should be low")
   }
 
+  test("shingles of sub-3-token docs are empty, not a crash") {
+    import spark.implicits._
+    val docs = Seq((0L, "hi"), (1L, "one two"), (2L, base)).toDF("doc_id", "text")
+    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
+    // Only the 3+-token doc produces signatures; short docs vanish
+    // instead of blowing up slice() with a descending sequence.
+    assert(sigs.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("batch kNN returns per-query top-k with self at rank 1") {
     import spark.implicits._
     val corpus = Seq(
