@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{HashEmbedder, VectorFunctions}
+import graft.sources.Ingestion
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Standalone benchmark runner — the LongMemEval-shaped evaluation as
+  * ONE Spark job (reference: benchmarks/longmemeval/runner.py:115-455
+  * runs a per-question Python loop; here the whole sweep is a single
+  * plan: load questions+haystacks (S9) → write-time embed (O9, V9) →
+  * batch kNN (broadcast question vectors + Window top-k) → IR metric
+  * aggregations (A8)).
+  *
+  * Usage: runMain graft.MemEvalRunner <questions.json> [k]
+  * Prints one JSON line with Recall@k and MRR.
+  */
+object MemEvalRunner {
+
+  def main(args: Array[String]): Unit = {
+    val path = args(0)
+    val k = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (recall, mrr, n) = run(spark, path, k)
+    println(s"""{"metric":"longmemeval","recall_at_$k":$recall,"mrr":$mrr,"questions":$n}""")
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, path: String, k: Int): (Double, Double, Long) = {
+    import spark.implicits._
+    val corpus = Ingestion.loadBenchmarkJson(spark, path)
+    val embedded = corpus
+      .select(col("question_id"), col("answer_session_id"), col("session_id"), col("session_text"))
+      .as[(Long, Long, Long, String)]
+      .mapPartitions(_.map { case (qid, ans, sid, text) =>
+        (qid, ans, sid, HashEmbedder.embed(text))
+      })
+      .toDF("question_id", "answer_session_id", "session_id", "embedding")
+    val questions = corpus.select(col("question_id"), col("question")).distinct()
+      .as[(Long, String)]
+      .map { case (qid, q) => (qid, HashEmbedder.embed(q)) }
+      .toDF("q_id", "q_vec")
+    val w = Window.partitionBy("question_id").orderBy(col("sim").desc, col("session_id"))
+    val m = embedded
+      .join(broadcast(questions), col("question_id") === col("q_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("embedding"), col("q_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("rel", when(col("session_id") === col("answer_session_id"), 1L).otherwise(0L))
+      .groupBy("question_id")
+      .agg(
+        sum(when(col("rnk") <= k, col("rel")).otherwise(0L)).as("hit"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_hit"))
+      .agg(
+        avg(col("hit").cast("double")).as("recall"),
+        avg(lit(1.0) / col("first_hit")).as("mrr"),
+        count(lit(1)).as("n"))
+      .head()
+    (m.getDouble(0), m.getDouble(1), m.getLong(2))
+  }
+}

@@ -21,18 +21,22 @@ object Compression {
   // ceil(n/3) best per doc, reassemble in original order. Explode +
   // two windows + ordered re-concat — no driver loop.
   private def compressTopThird(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nChunks = ceil(size(toks).cast("double") / 10.0).cast("long")
+    // Chunk via token explode + groupBy (codegen'd, map-side combined)
+    // rather than per-row interpreted slice-transforms: only
+    // (doc, chunk, token) rows move, keyed by (doc_id, chunk_id).
     val chunks = Tables.documents(s, dir)
-      .select(col("doc_id"), nChunks.as("n_chunks"),
-        posexplode(transform(sequence(lit(0L), nChunks - 1),
-          i => concat_ws(" ", slice(toks, (i * 10 + 1).cast("int"), lit(10))))))
-      .select(col("doc_id"), col("n_chunks"), col("pos").cast("long").as("chunk_id"), col("col").as("chunk"))
-    val markers = size(filter(split(col("chunk"), " "),
-      t => t.isin("data", "spark", "join", "query")))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), expr("pos div 10").cast("long").as("chunk_id"),
+        col("pos"), col("col").as("tok"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk"),
+        sum(when(col("tok").isin("data", "spark", "join", "query"), 1L)
+          .otherwise(0L)).as("score"))
+      .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy("doc_id")))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("chunk_id"))
     chunks
-      .withColumn("score", markers.cast("long"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= ceil(col("n_chunks").cast("double") / 3.0))
       .groupBy("doc_id")
