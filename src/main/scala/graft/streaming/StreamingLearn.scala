@@ -75,4 +75,32 @@ object StreamingLearn {
       .queryName(queryName)
       .outputMode(OutputMode.Update())
       .start()
+
+  /** foreachBatch maintenance: each micro-batch appends raw outcomes to
+    * a Parquet log and re-runs the promotion aggregation over the full
+    * accumulated history into a promotions snapshot — the streaming
+    * form of the reference's write-triggered incremental learn
+    * (protocols.py:141-159: every write re-evaluates the affected
+    * groups) and its background-scheduler jobs (forgetting.py:1239-1470).
+    */
+  def runIncrementalLearn(
+      events: Dataset[OutcomeEvent],
+      outcomesPath: String,
+      promotionsPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[OutcomeEvent], batchId: Long) =>
+        batch.write.mode("append").parquet(outcomesPath)
+        val spark = batch.sparkSession
+        val promoted = spark.read.parquet(outcomesPath)
+          .groupBy("agent", "taskType")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("success"), 1L).otherwise(0L)).as("n_success"))
+          .withColumn("confidence", col("n_success").cast("double") / col("n"))
+          .filter(col("n") >= 3 && col("confidence") > 0.5)
+        promoted.write.mode("overwrite").parquet(promotionsPath)
+      }
+      .start()
+  }
 }

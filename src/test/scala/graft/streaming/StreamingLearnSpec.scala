@@ -53,4 +53,27 @@ class StreamingLearnSpec extends SparkSpec {
       assert(afterThree == ("a", 3L, true))
     } finally query.stop()
   }
+
+  test("foreachBatch incremental learn promotes once history crosses thresholds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-learn").toString
+    val input = MemoryStream[OutcomeEvent]
+    val query = runIncrementalLearn(input.toDS(), s"$dir/outcomes", s"$dir/promotions")
+    try {
+      input.addData(
+        OutcomeEvent("a", "deploy", success = true, ts("2024-01-01 10:00:00")),
+        OutcomeEvent("a", "deploy", success = true, ts("2024-01-01 10:01:00")))
+      query.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/promotions").count() == 0)
+
+      input.addData(OutcomeEvent("a", "deploy", success = true, ts("2024-01-01 10:02:00")))
+      query.processAllAvailable()
+      val promoted = spark.read.parquet(s"$dir/promotions").collect()
+      assert(promoted.length == 1)
+      val r = promoted.head
+      assert(r.getAs[String]("agent") == "a" && r.getAs[Long]("n") == 3L)
+      assert(r.getAs[Double]("confidence") == 1.0)
+    } finally query.stop()
+  }
 }
