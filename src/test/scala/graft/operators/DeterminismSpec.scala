@@ -1,0 +1,27 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Re-running a query must produce the identical result — ordering
+  * bugs are the reference's own #1 historical correctness hazard
+  * (BENCHMARK-REPORT.md §3), and the oracle gate hashes values, so any
+  * nondeterministic limit/tie would flap. Sample the query families
+  * that involve ties, windows, driver-side stages, or iteration.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val sampled = Seq(
+    "q_topk", "q_window_latest", "q_knn_cosine", "q_knn_batch",
+    "q_dedup_minhash_lsh", "q_consolidate_merge", "q_rrf_fusion",
+    "q_feedback_rerank", "q_mmr_rerank", "q_ann_ivf_probe",
+    "q_compress_topthird", "q_token_budget")
+
+  sampled.foreach { name =>
+    test(s"$name is identical across two runs") {
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, Sf).collect().toSeq
+      val b = fn(spark, Sf).collect().toSeq
+      assert(a == b, s"$name differed between runs")
+    }
+  }
+}
