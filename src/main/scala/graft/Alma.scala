@@ -68,16 +68,20 @@ final class Alma(
     o
   }
 
-  /** A1 heuristic promotion over recent outcomes of this task type. */
+  /** A1 heuristic promotion over recent outcomes of this task type.
+    * New heuristics require the promotion threshold; existing ones are
+    * ALWAYS refreshed from the recomputed stats, so a strategy whose
+    * success ratio later collapses is demoted in place rather than
+    * frozen at its last promoted confidence.
+    */
   private def promoteHeuristics(agent: String, taskType: String, asOf: Timestamp): Unit = {
-    val promoted = store.outcomes(Some(projectId), Seq(agent))
+    val stats = store.outcomes(Some(projectId), Seq(agent))
       .filter(col("taskType") === taskType)
       .groupBy("strategyUsed")
       .agg(count(lit(1)).as("n"),
         sum(when(col("success"), 1L).otherwise(0L)).as("succ"))
-      .filter(col("n") >= 3 && col("succ") / col("n") > 0.5)
       .collect()
-    val rows = promoted.map { r =>
+    val rows = stats.map { r =>
       val strategy = r.getString(0)
       val (n, succ) = (r.getLong(1), r.getLong(2))
       Heuristic(
@@ -91,12 +95,15 @@ final class Alma(
         metadata = Map.empty)
     }
     if (rows.nonEmpty) {
-      // Promotion counts are recomputed from the full outcome history,
-      // so re-promotions REPLACE the stored row (deterministic ids make
-      // this idempotent); incrementing here would double-count.
+      // Counts are recomputed from the full outcome history, so stored
+      // rows are REPLACED (deterministic ids make this idempotent);
+      // incrementing would double-count. Only strategies passing the
+      // threshold may create a NEW heuristic; existing ones are always
+      // refreshed, including downward.
       val existingIds = store.heuristics(Some(projectId), Seq(agent))
         .select("id").collect().map(_.getString(0)).toSet
-      val (toReplace, fresh) = rows.toSeq.partition(h => existingIds.contains(h.id))
+      val (toReplace, candidates) = rows.toSeq.partition(h => existingIds.contains(h.id))
+      val fresh = candidates.filter(h => h.occurrenceCount >= 3 && h.confidence > 0.5)
       if (fresh.nonEmpty) store.saveHeuristics(fresh)
       if (toReplace.nonEmpty) store.replaceHeuristics(toReplace)
     }

@@ -35,7 +35,7 @@ object MemEvalRunner {
 
   def run(spark: SparkSession, path: String, k: Int): (Double, Double, Long) = {
     import spark.implicits._
-    val corpus = Ingestion.loadBenchmarkJson(spark, path)
+    val corpus = Ingestion.loadBenchmarkJson(spark, path).cache()
     val embedded = corpus
       .select(col("question_id"), col("answer_session_id"), col("session_id"), col("session_text"))
       .as[(Long, Long, Long, String)]
@@ -55,13 +55,16 @@ object MemEvalRunner {
       .withColumn("rel", when(col("session_id") === col("answer_session_id"), 1L).otherwise(0L))
       .groupBy("question_id")
       .agg(
-        sum(when(col("rnk") <= k, col("rel")).otherwise(0L)).as("hit"),
+        // hit indicator (capped at 1 so duplicate relevant rows cannot
+        // push recall past 1.0); a never-retrieved answer scores MRR 0.
+        least(sum(when(col("rnk") <= k, col("rel")).otherwise(0L)), lit(1L)).as("hit"),
         min(when(col("rel") === 1L, col("rnk"))).as("first_hit"))
       .agg(
         avg(col("hit").cast("double")).as("recall"),
-        avg(lit(1.0) / col("first_hit")).as("mrr"),
+        avg(coalesce(lit(1.0) / col("first_hit"), lit(0.0))).as("mrr"),
         count(lit(1)).as("n"))
       .head()
+    corpus.unpersist()
     (m.getDouble(0), m.getDouble(1), m.getLong(2))
   }
 }

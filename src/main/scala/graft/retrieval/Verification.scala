@@ -55,12 +55,19 @@ final class RetrievalCache[V](ttlMillis: Long = 300000L, maxEntries: Int = 1000)
   private var hits = 0L
   private var misses = 0L
 
-  /** Plain-prefix namespaced key: `<namespace>:<sha256(parts)>` — the
-    * form to use when write-triggered invalidation needs to target an
-    * (agent, project) namespace.
+  /** Namespaced key `<len>:<namespace>:<sha256(parts)>` — the form to
+    * use when write-triggered invalidation targets an (agent, project)
+    * namespace. The length prefix makes the namespace boundary
+    * unambiguous (namespace "a" can never prefix-match "a:b"); the
+    * matching invalidation predicate is
+    * `_.startsWith(nsPrefix(namespace))`.
     */
   def nsKey(namespace: String, parts: String*): String =
-    namespace + ":" + key(parts: _*)
+    nsPrefix(namespace) + key(parts: _*)
+
+  /** The invalidation prefix for a namespace. */
+  def nsPrefix(namespace: String): String =
+    s"${namespace.length}:$namespace:"
 
   /** Collision-resistant cache key (length-prefixed SHA-256,
     * cache.py:101-150).

@@ -86,11 +86,16 @@ object StreamingLearn {
   def runIncrementalLearn(
       events: Dataset[OutcomeEvent],
       outcomesPath: String,
-      promotionsPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      promotionsPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
     events.writeStream
       .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[OutcomeEvent], batchId: Long) =>
-        batch.write.mode("append").parquet(outcomesPath)
+        // Idempotent on replay: each batch overwrites its own partition
+        // directory, so a restarted query re-writing batch N cannot
+        // double-append history.
+        batch.write.mode("overwrite").parquet(s"$outcomesPath/batch_id=$batchId")
         val spark = batch.sparkSession
         val promoted = spark.read.parquet(outcomesPath)
           .groupBy("agent", "taskType")

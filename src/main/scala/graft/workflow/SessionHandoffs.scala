@@ -38,7 +38,11 @@ object SessionHandoffs {
     */
   def toResumePrompt(h: SessionHandoff, maxTokens: Int): String = {
     import graft.retrieval.PostProcess.estimateTokens
-    val sb = new StringBuilder(s"# Resuming session for ${h.agent}\n${h.summary}\n")
+    // The summary itself is budgeted too — a pathological handoff must
+    // not blow the next session's context.
+    val header = s"# Resuming session for ${h.agent}\n"
+    val budgetChars = math.max(0, maxTokens * 4 - header.length - 1)
+    val sb = new StringBuilder(header + h.summary.take(budgetChars) + "\n")
     h.openTasks.foreach { t =>
       val line = s"- TODO: $t\n"
       if (estimateTokens(sb.toString + line) <= maxTokens) sb.append(line)

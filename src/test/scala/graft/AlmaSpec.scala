@@ -51,6 +51,21 @@ class AlmaSpec extends SparkSpec {
     assert(math.abs(h.successRate - 0.8) < 1e-9)
   }
 
+  test("a collapsed success ratio demotes the stored heuristic in place") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", s"deploy v$i", success = true,
+        strategyUsed = "canary rollout", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    (4 to 9).foreach { i =>
+      alma.learn("helena", "deploy", s"deploy v$i", success = false,
+        strategyUsed = "canary rollout", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val h = alma.store.heuristics(Some("proj1"), Seq("helena")).collect().head
+    assert(h.occurrenceCount == 9L && h.successCount == 3L)
+    assert(h.confidence < 0.5, s"confidence ${h.confidence} should reflect the collapse")
+  }
+
   test("no promotion below the occurrence threshold") {
     val alma = freshAlma()
     alma.learn("helena", "deploy", "deploy once", success = true,

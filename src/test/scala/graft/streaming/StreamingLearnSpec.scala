@@ -59,7 +59,7 @@ class StreamingLearnSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-learn").toString
     val input = MemoryStream[OutcomeEvent]
-    val query = runIncrementalLearn(input.toDS(), s"$dir/outcomes", s"$dir/promotions")
+    val query = runIncrementalLearn(input.toDS(), s"$dir/outcomes", s"$dir/promotions", s"$dir/ckpt")
     try {
       input.addData(
         OutcomeEvent("a", "deploy", success = true, ts("2024-01-01 10:00:00")),

@@ -19,6 +19,13 @@ class SessionHandoffsSpec extends SparkSpec {
     assert(latest == Map("helena" -> "h2", "victor" -> "h3"))
   }
 
+  test("a pathological summary is truncated to the token budget") {
+    val h = SessionHandoff("h", "helena", "p1", "s", "x" * 40000, Seq("todo"),
+      ts("2024-01-01 00:00:00"))
+    val p = SessionHandoffs.toResumePrompt(h, maxTokens = 100)
+    assert(graft.retrieval.PostProcess.estimateTokens(p) <= 100)
+  }
+
   test("resume prompt renders summary + capped TODOs") {
     val h = SessionHandoff("h", "helena", "p1", "s", "was migrating shards",
       Seq("finish shard 3", "verify checksums"), ts("2024-01-01 00:00:00"))
