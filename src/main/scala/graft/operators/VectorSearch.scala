@@ -114,7 +114,31 @@ object VectorSearch {
       |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // J1/O2 filtered kNN: predicates prune the scan BEFORE similarity —
+  // in Spark the filter and the similarity are one DataFrame (no
+  // candidate-id round-trip like the reference's FAISS→SQL IN-list).
+  private def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(s, dir, 0L)
+    Tables.documents(s, dir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"),
+        round(cosineConst(col("embedding"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val knnFilteredSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT d.doc_id, d.lang,
+      |  round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 4) AS sim
+      |FROM documents d JOIN e ON d.doc_id = e.vec_id
+      |WHERE d.lang = 'en' AND d.n_chars >= 200
+      |ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_knn_filtered", knnFiltered, Some(knnFilteredSql)),
     Q("q_knn_cosine", knnCosine, Some(knnCosineSql)),
     Q("q_knn_dot", knnDot, Some(knnDotSql)),
     Q("q_ann_bucket", annBucket, Some(annBucketSql)),
