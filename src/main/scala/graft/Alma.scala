@@ -3,6 +3,8 @@ package graft
 import java.sql.Timestamp
 import java.util.UUID
 
+import java.security.MessageDigest
+
 import graft.functions.{HashEmbedder, VectorFunctions}
 import graft.retrieval.{ModeConfig, Modes, PostProcess, QuerySanitizer}
 import graft.storage._
@@ -32,6 +34,14 @@ final class Alma(
     scopes.getOrElse(agent, MemoryScope(agent))
 
   private def now(asOf: Timestamp) = asOf
+
+  /** Deterministic collision-resistant id fragment (String.hashCode
+    * collides trivially — e.g. "Aa"/"BB" — which would silently merge
+    * distinct strategies or error classes).
+    */
+  private def idHash(text: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(text.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   // ---- §3.2 the write path ---------------------------------------------
   /** Record a task outcome; promote heuristics / anti-patterns when the
@@ -85,7 +95,7 @@ final class Alma(
       val strategy = r.getString(0)
       val (n, succ) = (r.getLong(1), r.getLong(2))
       Heuristic(
-        id = s"h-$projectId-$agent-$taskType-${strategy.hashCode}",
+        id = s"h-$projectId-$agent-$taskType-${idHash(strategy)}",
         agent = agent, projectId = projectId,
         condition = taskType, strategy = strategy,
         confidence = succ.toDouble / n,
@@ -121,7 +131,7 @@ final class Alma(
     val aps = rows.map { r =>
       val err = r.getString(0)
       AntiPattern(
-        id = s"ap-$projectId-$agent-${err.hashCode}",
+        id = s"ap-$projectId-$agent-${idHash(err)}",
         agent = agent, projectId = projectId,
         pattern = r.getString(2), whyBad = err,
         betterAlternative = "avoid: " + r.getString(2),
@@ -130,43 +140,82 @@ final class Alma(
         embedding = HashEmbedder.embed(err, embedDim),
         metadata = Map.empty)
     }
-    val fresh = aps.filterNot(a =>
-      store.antiPatterns(Some(projectId), Seq(agent)).filter(col("id") === a.id).count() > 0)
-    if (fresh.nonEmpty) store.saveAntiPatterns(fresh.toSeq)
+    if (aps.nonEmpty) {
+      val existingIds = store.antiPatterns(Some(projectId), Seq(agent))
+        .select("id").collect().map(_.getString(0)).toSet
+      val fresh = aps.filterNot(a => existingIds.contains(a.id))
+      if (fresh.nonEmpty) store.saveAntiPatterns(fresh.toSeq)
+    }
   }
 
   // ---- §3.1 the read path ----------------------------------------------
-  /** filter → similarity → 4-factor score → threshold → top-k per memory
-    * type → MemorySlice. One declarative plan per type; the per-type
-    * score rules follow scoring.py:77-269.
+  /** filter → similarity → 4-factor score → (mode boosts) → threshold →
+    * top-k (→ MMR when the mode asks for diversity) per memory type →
+    * MemorySlice. One declarative plan per type; per-type score rules
+    * follow scoring.py:77-269, boost/diversity semantics
+    * engine.py:639-802.
+    *
+    * `topK <= 0` uses the mode's preset top-k.
     */
   def retrieve(
       query: String,
       agent: String,
       asOf: Timestamp,
-      topK: Int = 5,
+      topK: Int = -1,
       mode: ModeConfig = Modes.Precise): MemorySlice = {
     val m = mode.normalized
+    val k = if (topK > 0) topK else m.topK
     val q = HashEmbedder.embed(QuerySanitizer.sanitize(query), embedDim)
     val agents = scope(agent).readableAgents
     val asOfUs = asOf.getTime * 1000L
 
-    def scoreAndTake(df: DataFrame, recencyCol: String, succ: org.apache.spark.sql.Column,
-        conf: org.apache.spark.sql.Column): DataFrame = {
+    def scoreAndTake(df: DataFrame, recencyCol: String,
+        succ: org.apache.spark.sql.Column, conf: org.apache.spark.sql.Column,
+        failureFlag: Option[org.apache.spark.sql.Column] = None): DataFrame = {
       val sim = VectorFunctions.cosineConst(col("embedding"), q)
       val days = (lit(asOfUs) - unix_micros(col(recencyCol))).cast("double") / lit(86400000000.0)
       val rec = pow(lit(0.5), days / lit(30.0))
-      val score = lit(m.wSim) * sim + lit(m.wRecency) * rec +
+      val base = lit(m.wSim) * sim + lit(m.wRecency) * rec +
         lit(m.wSuccess) * succ + lit(m.wConfidence) * conf
-      df.withColumn("_score", score)
+      // R8 diagnostic failure boost / R9 exact-match boost ladder.
+      val failB = failureFlag match {
+        case Some(f) if m.failureBoost != 1.0 =>
+          when(f, lit(m.failureBoost)).otherwise(lit(1.0))
+        case _ => lit(1.0)
+      }
+      val exactB =
+        if (m.exactMatchBoost == 1.0) lit(1.0)
+        else when(sim > 0.9, lit(m.exactMatchBoost))
+          .when(sim > 0.8, lit(1.0 + (m.exactMatchBoost - 1.0) / 2.0))
+          .otherwise(lit(1.0))
+      val scored = df
+        .withColumn("_sim", sim)
+        .withColumn("_score", base * failB * exactB)
         .filter(col("_score") >= m.minScore)
         .orderBy(col("_score").desc, col("id"))
-        .limit(topK)
-        .drop("_score")
+      if (m.diversity <= 0.0) scored.limit(k).drop("_score", "_sim")
+      else {
+        // R7 MMR: over-fetch 3×k, greedy diverse selection driver-side
+        // (bounded candidate set), order preserved via a rank join.
+        val cand = scored.limit(3 * k).localCheckpoint(true)
+        val rows = cand.select(col("id"), col("_score"), col("_sim")).collect()
+        val sel = PostProcess.mmr(
+          rows.zipWithIndex.map { case (r, i) =>
+            PostProcess.Candidate(i.toLong, r.getDouble(1), r.getDouble(2), "")
+          }.toSeq,
+          lambda = m.diversity, k = k)
+        val rank = sel.zipWithIndex
+          .map { case (c, i) => (rows(c.id.toInt).getString(0), i) }
+        val rankDf = rank.toDF("id", "_mmr_rank")
+        cand.join(broadcast(rankDf), Seq("id"))
+          .orderBy("_mmr_rank")
+          .drop("_score", "_sim", "_mmr_rank")
+      }
     }
 
     // R13 provenance: memories read from an inherited agent are tagged
-    // with their origin (engine.py:804-827 metadata.shared_from).
+    // with their origin (engine.py:804-827 metadata.shared_from) — on
+    // every memory type.
     def tagShared(meta: Map[String, String], owner: String): Map[String, String] =
       if (owner != agent) meta + ("shared_from" -> owner) else meta
 
@@ -181,20 +230,24 @@ final class Alma(
       store.outcomes(Some(projectId), agents).toDF(),
       "timestamp",
       succ = when(col("success"), 1.0).otherwise(0.3),
-      conf = lit(1.0)).as[Outcome].collect().toSeq
+      conf = lit(1.0),
+      failureFlag = Some(!col("success"))).as[Outcome].collect().toSeq
+      .map(o => o.copy(metadata = tagShared(o.metadata, o.agent)))
     val ks = scoreAndTake(
       store.knowledge(Some(projectId), agents).toDF(),
       "lastVerified",
       succ = lit(1.0),
       conf = col("confidence")).as[DomainKnowledge].collect().toSeq
+      .map(kr => kr.copy(metadata = tagShared(kr.metadata, kr.agent)))
     val aps = if (m.includeAntiPatterns) scoreAndTake(
       store.antiPatterns(Some(projectId), agents).toDF(),
       "lastSeen",
       succ = least(col("occurrenceCount").cast("double") / lit(10.0), lit(1.0)),
       conf = lit(1.0)).as[AntiPattern].collect().toSeq
+      .map(a => a.copy(metadata = tagShared(a.metadata, a.agent)))
     else Seq.empty
     // Preferences are unscored (engine.py:347-350).
-    val prefs = store.preferences().orderBy(col("id")).limit(topK)
+    val prefs = store.preferences().orderBy(col("id")).limit(k)
       .as[UserPreference].collect().toSeq
 
     MemorySlice(
@@ -207,7 +260,7 @@ final class Alma(
     * prompt projection (S11).
     */
   def retrievePrompt(query: String, agent: String, asOf: Timestamp,
-      topK: Int = 5, maxTokens: Int = 800): String =
+      topK: Int = -1, maxTokens: Int = 800): String =
     retrieve(query, agent, asOf, topK).toPrompt(maxTokens)
 
   // ---- maintenance jobs -------------------------------------------------

@@ -56,7 +56,7 @@ object Compression {
       |chunks AS (
       |  SELECT doc_id, n_chunks, i AS chunk_id,
       |    array_to_string(toks[(i * 10 + 1)::INT : (i * 10 + 10)::INT], ' ') AS chunk
-      |  FROM t, generate_series(0, 63) g(i)
+      |  FROM t, generate_series(0, 1023) g(i)
       |  WHERE i < n_chunks),
       |scored AS (
       |  SELECT *, len(list_filter(string_split(chunk, ' '),

@@ -285,7 +285,7 @@ object Lifecycle {
 
   private val chunkTextSql =
     """SELECT doc_id, r.range AS chunk_id, substr(text, (r.range * 160 + 1)::INT, 200) AS chunk
-      |FROM documents, range(0, 64) r
+      |FROM documents, range(0, 1024) r
       |WHERE r.range * 160 < length(text)
       |ORDER BY doc_id, chunk_id""".stripMargin
 

@@ -99,7 +99,7 @@ final class RetrievalCache[V](ttlMillis: Long = 300000L, maxEntries: Int = 1000)
   /** Write-triggered invalidation by key predicate. Digest keys carry
     * no recoverable prefix, so namespaced invalidation must use
     * `nsKey(namespace, ...)` keys and
-    * `invalidateWhere(_.startsWith(namespace + ":"))`.
+    * `invalidateWhere(_.startsWith(nsPrefix(namespace)))`.
     */
   def invalidateWhere(pred: String => Boolean): Int = synchronized {
     val it = map.keySet().iterator()

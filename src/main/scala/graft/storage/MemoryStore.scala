@@ -115,15 +115,28 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
   }
 
   private def overwrite[T](ds: Dataset[T], memoryType: String): Unit = {
+    val live = new java.io.File(path(memoryType))
+    // An empty dataset written with partitionBy produces no schema
+    // files (only _SUCCESS), which poisons later reads — an empty table
+    // is represented by no directory at all (exists() → typed empty).
+    if (ds.isEmpty) {
+      if (live.exists()) delete(live)
+      return
+    }
     // Write-new-then-swap keeps the operation idempotent and never
-    // leaves a half-written live directory.
+    // leaves a half-written live directory. Every rename is checked:
+    // a failed swap restores the backup instead of silently dropping
+    // the only copy of the table.
     val tmp = s"$root/.tmp_$memoryType"
     ds.write.mode(SaveMode.Overwrite).partitionBy("projectId").parquet(tmp)
-    val live = new java.io.File(path(memoryType))
     val bak = new java.io.File(s"$root/.bak_$memoryType")
     if (bak.exists()) delete(bak)
-    if (live.exists()) live.renameTo(bak)
-    new java.io.File(tmp).renameTo(live)
+    if (live.exists() && !live.renameTo(bak))
+      throw new java.io.IOException(s"could not stage backup for $memoryType")
+    if (!new java.io.File(tmp).renameTo(live)) {
+      if (bak.exists()) bak.renameTo(live)
+      throw new java.io.IOException(s"could not swap snapshot for $memoryType")
+    }
     delete(bak)
   }
 

@@ -139,6 +139,40 @@ class AlmaSpec extends SparkSpec {
     assert(alma.store.outcomes(Some("proj1")).count() == 5)
   }
 
+  test("archiving every outcome leaves a readable empty store") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "t", s"work $i", success = true,
+        strategyUsed = "s", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val archived = alma.enforceQuota(maxOutcomesPerAgent = 0, asOf = ts("2024-02-01 00:00:00"))
+    assert(archived == 3)
+    // The emptied table must still be readable (no schema-less dir)...
+    assert(alma.store.outcomes(Some("proj1")).count() == 0)
+    // ...and the write path must keep working afterwards.
+    alma.learn("helena", "t", "work again", success = true,
+      strategyUsed = "s", asOf = ts("2024-02-02 10:00:00"))
+    assert(alma.store.outcomes(Some("proj1")).count() == 1)
+  }
+
+  test("mode presets drive top-k and the diversity (MMR) path") {
+    val alma = freshAlma()
+    for (v <- 1 to 3; i <- 1 to 3) {
+      alma.learn("helena", "deploy", s"deploy service variant $v try $i", success = true,
+        strategyUsed = s"strategy variant $v", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    // Broad: topK=20 preset, diversity=0.5 → MMR path runs; 3 stored
+    // heuristics all come back, deduplicated and ranked.
+    val broad = alma.retrieve("deploy service", "helena",
+      ts("2024-02-01 00:00:00"), mode = graft.retrieval.Modes.Broad)
+    assert(broad.heuristics.size == 3)
+    assert(broad.heuristics.map(_.id).distinct.size == 3)
+    // Explicit topK overrides the preset.
+    val one = alma.retrieve("deploy service", "helena",
+      ts("2024-02-01 00:00:00"), topK = 1, mode = graft.retrieval.Modes.Broad)
+    assert(one.heuristics.size == 1)
+  }
+
   test("upsert merges occurrence counts by id") {
     val alma = freshAlma()
     val h = Heuristic("h1", "a", "proj1", "cond", "strat", 0.8, 2, 1,
