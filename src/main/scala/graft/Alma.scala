@@ -6,7 +6,7 @@ import java.util.UUID
 import java.security.MessageDigest
 
 import graft.functions.{HashEmbedder, VectorFunctions}
-import graft.retrieval.{ModeConfig, Modes, PostProcess, QuerySanitizer}
+import graft.retrieval.{ModeConfig, Modes, PostProcess, QuerySanitizer, RetrievalCache}
 import graft.storage._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,6 +32,14 @@ final class Alma(
 
   private def scope(agent: String): MemoryScope =
     scopes.getOrElse(agent, MemoryScope(agent))
+
+  // O5: retrieval-result cache, invalidated per (agent, project) on
+  // every learn (reference: cache.py:363-737 + core.py:358-359). The
+  // cache clock is the injected asOf — deterministic like everything
+  // else here.
+  private val cache = new RetrievalCache[MemorySlice]()
+
+  private def cacheNamespace(agent: String): String = s"$agent|$projectId"
 
   private def now(asOf: Timestamp) = asOf
 
@@ -75,6 +83,13 @@ final class Alma(
     store.saveOutcomes(Seq(o))
     promoteHeuristics(agent, taskType, asOf)
     if (!success) promoteAntiPatterns(agent, asOf)
+    // Write-triggered invalidation: this agent's cached retrievals are
+    // stale, as are those of any agent that inherits from it.
+    val affected = agent +: scopes.collect {
+      case (reader, sc) if sc.inheritFrom.contains(agent) => reader
+    }.toSeq
+    affected.foreach(a =>
+      cache.invalidateWhere(_.startsWith(cache.nsPrefix(cacheNamespace(a)))))
     o
   }
 
@@ -165,6 +180,12 @@ final class Alma(
       mode: ModeConfig = Modes.Precise): MemorySlice = {
     val m = mode.normalized
     val k = if (topK > 0) topK else m.topK
+    val cacheKey = cache.nsKey(cacheNamespace(agent),
+      query, k.toString, asOf.toString, m.name)
+    cache.get(cacheKey, asOf.getTime) match {
+      case Some(hit) => return hit
+      case None =>
+    }
     val q = HashEmbedder.embed(QuerySanitizer.sanitize(query), embedDim)
     val agents = scope(agent).readableAgents
     val asOfUs = asOf.getTime * 1000L
@@ -250,10 +271,12 @@ final class Alma(
     val prefs = store.preferences().orderBy(col("id")).limit(k)
       .as[UserPreference].collect().toSeq
 
-    MemorySlice(
+    val slice = MemorySlice(
       heuristics = hs, outcomes = os, preferences = prefs,
       knowledge = ks, antiPatterns = aps,
       query = query, agent = agent)
+    cache.put(cacheKey, slice, asOf.getTime)
+    slice
   }
 
   /** Retrieve + render: the full read path ending in the token-capped

@@ -184,6 +184,25 @@ class AlmaSpec extends SparkSpec {
     assert(merged.occurrenceCount == 5 && merged.successCount == 3)
   }
 
+  test("retrieval cache: repeat query hits, learn invalidates") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", "deploy the api", success = true,
+        strategyUsed = "blue green", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val first = alma.retrieve("deploy the api", "helena", ts("2024-02-01 00:00:00"))
+    val second = alma.retrieve("deploy the api", "helena", ts("2024-02-01 00:00:00"))
+    // Cached result is the same object graph (no recompute).
+    assert(second == first)
+    // A new learn invalidates; the next retrieve reflects the write.
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", "deploy the worker", success = true,
+        strategyUsed = "rolling restart", asOf = ts(s"2024-01-1$i 10:00:00"))
+    }
+    val third = alma.retrieve("deploy the api", "helena", ts("2024-02-01 00:00:00"), topK = 5)
+    assert(third.heuristics.map(_.strategy).toSet == Set("blue green", "rolling restart"))
+  }
+
   test("stats counts per memory type") {
     val alma = freshAlma()
     alma.learn("helena", "t", "d", success = true, strategyUsed = "s",
