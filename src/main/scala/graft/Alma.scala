@@ -279,6 +279,66 @@ final class Alma(
     slice
   }
 
+  /** Batch retrieval: many queries against every scored memory type in
+    * ONE pass — the benchmark-runner shape (SURVEY §3.3: broadcast the
+    * query vectors, scan each memory table once, Window top-k per
+    * (query, type)). Returns (query_id, query, memory_type, rank, id,
+    * score); N queries cost one job per type, not N.
+    */
+  def retrieveBatch(
+      queries: Seq[String],
+      agent: String,
+      asOf: Timestamp,
+      topK: Int = -1,
+      mode: ModeConfig = Modes.Precise): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = mode.normalized
+    val k = if (topK > 0) topK else m.topK
+    val agents = scope(agent).readableAgents
+    val asOfUs = asOf.getTime * 1000L
+    val qdf = queries.zipWithIndex.map { case (q, i) =>
+      (i.toLong, q, HashEmbedder.embed(QuerySanitizer.sanitize(q), embedDim))
+    }.toDF("query_id", "query", "q_vec")
+
+    def normalized(df: DataFrame, memoryType: String, recencyCol: String,
+        succ: org.apache.spark.sql.Column, conf: org.apache.spark.sql.Column): DataFrame =
+      df.select(col("id"), lit(memoryType).as("memory_type"),
+        col("embedding"), col(recencyCol).as("_ts"),
+        succ.as("_succ"), conf.as("_conf"))
+
+    val candidates = Seq(
+      normalized(store.heuristics(Some(projectId), agents).toDF(),
+        MemoryType.Heuristics, "lastValidated",
+        col("successCount").cast("double") /
+          when(col("occurrenceCount") === 0, 1L).otherwise(col("occurrenceCount")),
+        col("confidence")),
+      normalized(store.outcomes(Some(projectId), agents).toDF(),
+        MemoryType.Outcomes, "timestamp",
+        when(col("success"), 1.0).otherwise(0.3), lit(1.0)),
+      normalized(store.knowledge(Some(projectId), agents).toDF(),
+        MemoryType.Knowledge, "lastVerified", lit(1.0), col("confidence")),
+      normalized(store.antiPatterns(Some(projectId), agents).toDF(),
+        MemoryType.AntiPatterns, "lastSeen",
+        least(col("occurrenceCount").cast("double") / lit(10.0), lit(1.0)), lit(1.0))
+    ).reduce(_ unionByName _)
+
+    val sim = VectorFunctions.cosine(col("embedding"), col("q_vec"))
+    val days = (lit(asOfUs) - unix_micros(col("_ts"))).cast("double") / lit(86400000000.0)
+    val rec = pow(lit(0.5), days / lit(30.0))
+    val score = lit(m.wSim) * sim + lit(m.wRecency) * rec +
+      lit(m.wSuccess) * col("_succ") + lit(m.wConfidence) * col("_conf")
+    val w = Window.partitionBy("query_id", "memory_type")
+      .orderBy(col("_score").desc, col("id"))
+    candidates.crossJoin(broadcast(qdf))
+      .withColumn("_score", score)
+      .filter(col("_score") >= m.minScore)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query"), col("memory_type"),
+        col("rank"), col("id"), col("_score").as("score"))
+      .orderBy("query_id", "memory_type", "rank")
+  }
+
   /** Retrieve + render: the full read path ending in the token-capped
     * prompt projection (S11).
     */

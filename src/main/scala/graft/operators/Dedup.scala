@@ -108,11 +108,42 @@ object Dedup {
       |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // Embedding near-dup WITHOUT labels: self-derived sign-bucket LSH
+  // (8 hyperplane-sign bits) blocks the corpus, pairs form only inside
+  // a bucket — the fully unsupervised scale path for vector dedup.
+  private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", VectorFunctions.signBucket(col("embedding"), 8))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= 0.3)
+      .select("bucket", "vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val dedupEmbeddingLshSql = {
+    val bucketExpr = (1 to 8)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, ($bucketExpr)::BIGINT AS bucket
+       |  FROM embeddings)
+       |SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql)),
     Q("q_dedup_jaccard_pairs", dedupJaccardPairs, Some(dedupJaccardPairsSql)),
-    Q("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
+    Q("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Q("q_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)))
 }
 
 /** Shared text helpers used across operator packs. */

@@ -203,6 +203,26 @@ class AlmaSpec extends SparkSpec {
     assert(third.heuristics.map(_.strategy).toSet == Set("blue green", "rolling restart"))
   }
 
+  test("batch retrieval matches per-query retrieval, one pass for N queries") {
+    val alma = freshAlma()
+    for (v <- Seq("payment", "ingest"); i <- 1 to 3) {
+      alma.learn("helena", "deploy", s"deploy the $v service attempt $i", success = true,
+        strategyUsed = s"$v canary", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val batch = alma.retrieveBatch(
+      Seq("deploy the payment service", "deploy the ingest service"),
+      "helena", ts("2024-02-01 00:00:00"), topK = 1)
+      .collect()
+    val topHeuristics = batch
+      .filter(r => r.getAs[String]("memory_type") == graft.storage.MemoryType.Heuristics)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[String]("id")).toMap
+    val single0 = alma.retrieve("deploy the payment service", "helena",
+      ts("2024-02-01 00:00:00"), topK = 1).heuristics.head.id
+    val single1 = alma.retrieve("deploy the ingest service", "helena",
+      ts("2024-02-01 00:00:00"), topK = 1).heuristics.head.id
+    assert(topHeuristics == Map(0L -> single0, 1L -> single1))
+  }
+
   test("stats counts per memory type") {
     val alma = freshAlma()
     alma.learn("helena", "t", "d", success = true, strategyUsed = "s",

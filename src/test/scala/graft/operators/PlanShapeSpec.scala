@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The physical-plan shapes PERF.md claims are asserted here so a
+  * regression (lost pushdown, a surprise cartesian, a de-codegen'd
+  * kernel) fails the build rather than silently degrading at scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("filtered scan pushes predicates into the parquet scan") {
+    val p = plan("q_filter_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), EqualTo(event_type,purchase)"),
+      s"predicates not pushed:\n$p")
+  }
+
+  test("kNN is a codegen'd scan + TakeOrderedAndProject (no shuffle, no sort)") {
+    val p = plan("q_knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k pushdown:\n$p")
+    assert(p.contains("cosinesimf32"), s"kernel missing:\n$p")
+    assert(!p.contains("Exchange"), s"kNN must not shuffle:\n$p")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = plan("q_join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("no query plans a cartesian product") {
+    // Candidate-pair generators are the risk surface; all must stay
+    // bucket/block-local. (knn_batch and the IVF probe broadcast a
+    // bounded query/centroid side, which Spark plans as
+    // BroadcastNestedLoopJoin — bounded, not O(n²) corpus pairs.)
+    Seq("q_dedup_minhash_lsh", "q_dedup_embedding", "q_dedup_embedding_lsh",
+      "q_consolidate_merge", "q_strategy_match").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+}
