@@ -43,14 +43,6 @@ final class Alma(
 
   private def now(asOf: Timestamp) = asOf
 
-  /** Deterministic collision-resistant id fragment (String.hashCode
-    * collides trivially — e.g. "Aa"/"BB" — which would silently merge
-    * distinct strategies or error classes).
-    */
-  private def idHash(text: String): String =
-    MessageDigest.getInstance("SHA-256")
-      .digest(text.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-
   // ---- §3.2 the write path ---------------------------------------------
   /** Record a task outcome; promote heuristics / anti-patterns when the
     * thresholds are met (A1: ≥3 occurrences and >0.5 success ratio;
@@ -98,69 +90,80 @@ final class Alma(
     * ALWAYS refreshed from the recomputed stats, so a strategy whose
     * success ratio later collapses is demoted in place rather than
     * frozen at its last promoted confidence.
+    *
+    * Fully distributed: the per-strategy stats aggregate maps straight
+    * into Heuristic rows on the executors and merges into storage as a
+    * full-outer join (MemoryStore.mergeHeuristics) — counts are
+    * recomputed from the full outcome history, so matched rows are
+    * REPLACED (deterministic ids make this idempotent); incrementing
+    * would double-count. The promotion threshold gates NEW rows only.
     */
   private def promoteHeuristics(agent: String, taskType: String, asOf: Timestamp): Unit = {
-    val stats = store.outcomes(Some(projectId), Seq(agent))
+    val (pid, dim, ag, tt) = (projectId, embedDim, agent, taskType)
+    val incoming = store.outcomes(Some(projectId), Seq(agent))
       .filter(col("taskType") === taskType)
       .groupBy("strategyUsed")
       .agg(count(lit(1)).as("n"),
         sum(when(col("success"), 1L).otherwise(0L)).as("succ"))
-      .collect()
-    val rows = stats.map { r =>
-      val strategy = r.getString(0)
-      val (n, succ) = (r.getLong(1), r.getLong(2))
-      Heuristic(
-        id = s"h-$projectId-$agent-$taskType-${idHash(strategy)}",
-        agent = agent, projectId = projectId,
-        condition = taskType, strategy = strategy,
-        confidence = succ.toDouble / n,
-        occurrenceCount = n, successCount = succ,
-        lastValidated = asOf, createdAt = asOf,
-        embedding = HashEmbedder.embed(s"$taskType $strategy", embedDim),
-        metadata = Map.empty)
-    }
-    if (rows.nonEmpty) {
-      // Counts are recomputed from the full outcome history, so stored
-      // rows are REPLACED (deterministic ids make this idempotent);
-      // incrementing would double-count. Only strategies passing the
-      // threshold may create a NEW heuristic; existing ones are always
-      // refreshed, including downward.
-      val existingIds = store.heuristics(Some(projectId), Seq(agent))
-        .select("id").collect().map(_.getString(0)).toSet
-      val (toReplace, candidates) = rows.toSeq.partition(h => existingIds.contains(h.id))
-      val fresh = candidates.filter(h => h.occurrenceCount >= 3 && h.confidence > 0.5)
-      if (fresh.nonEmpty) store.saveHeuristics(fresh)
-      if (toReplace.nonEmpty) store.replaceHeuristics(toReplace)
-    }
+      .as[(String, Long, Long)]
+      .map { case (strategy, n, succ) =>
+        Heuristic(
+          id = s"h-$pid-$ag-$tt-${Alma.idHash(strategy)}",
+          agent = ag, projectId = pid,
+          condition = tt, strategy = strategy,
+          confidence = succ.toDouble / n,
+          occurrenceCount = n, successCount = succ,
+          lastValidated = asOf, createdAt = asOf,
+          embedding = HashEmbedder.embed(s"$tt $strategy", dim),
+          metadata = Map.empty)
+      }.toDF()
+    store.mergeHeuristics(incoming, addCounts = false,
+      insertFilter = Some(col("occurrenceCount") >= 3 && col("confidence") > 0.5))
   }
 
-  /** A2 anti-pattern promotion: ≥2 failures with the same error class. */
+  /** A2 anti-pattern promotion: ≥2 failures with the same error class.
+    * Distributed like promoteHeuristics: aggregate → typed map → anti-
+    * join against stored ids → append (insert-only; promoted patterns
+    * are never weakened by later successes).
+    */
   private def promoteAntiPatterns(agent: String, asOf: Timestamp): Unit = {
-    val rows = store.outcomes(Some(projectId), Seq(agent))
+    val (pid, dim, ag) = (projectId, embedDim, agent)
+    val candidates = store.outcomes(Some(projectId), Seq(agent))
       .filter(!col("success") && col("errorMessage").isNotNull)
       .groupBy(col("errorMessage"))
       .agg(count(lit(1)).as("n"),
         min_by(col("strategyUsed"), struct(col("timestamp"), col("id"))).as("strategy"))
       .filter(col("n") >= 2)
-      .collect()
-    val aps = rows.map { r =>
-      val err = r.getString(0)
-      AntiPattern(
-        id = s"ap-$projectId-$agent-${idHash(err)}",
-        agent = agent, projectId = projectId,
-        pattern = r.getString(2), whyBad = err,
-        betterAlternative = "avoid: " + r.getString(2),
-        occurrenceCount = r.getLong(1),
-        lastSeen = asOf, createdAt = asOf,
-        embedding = HashEmbedder.embed(err, embedDim),
-        metadata = Map.empty)
-    }
-    if (aps.nonEmpty) {
-      val existingIds = store.antiPatterns(Some(projectId), Seq(agent))
-        .select("id").collect().map(_.getString(0)).toSet
-      val fresh = aps.filterNot(a => existingIds.contains(a.id))
-      if (fresh.nonEmpty) store.saveAntiPatterns(fresh.toSeq)
-    }
+      .as[(String, Long, String)]
+      .map { case (err, n, strategy) =>
+        AntiPattern(
+          id = s"ap-$pid-$ag-${Alma.idHash(err)}",
+          agent = ag, projectId = pid,
+          pattern = strategy, whyBad = err,
+          betterAlternative = "avoid: " + strategy,
+          occurrenceCount = n,
+          lastSeen = asOf, createdAt = asOf,
+          embedding = HashEmbedder.embed(err, dim),
+          metadata = Map.empty)
+      }.toDF()
+    val fresh = candidates.join(
+      store.antiPatterns(Some(projectId), Seq(agent)).select("id"), Seq("id"), "left_anti")
+    if (!fresh.isEmpty) store.appendRows(fresh, MemoryType.AntiPatterns)
+  }
+
+  // ---- feedback loop (R10/R11 end-to-end) --------------------------------
+  /** Record a usage signal against a retrieved memory; the next
+    * retrieve blends the aggregated score in (reference
+    * record_retrieval_feedback, types.py:352-379 + feedback.py:138-230).
+    */
+  def recordFeedback(memoryId: String, memoryType: String, agent: String,
+      signal: String, asOf: Timestamp): Unit = {
+    store.saveFeedback(Seq(RetrievalFeedback(
+      id = UUID.randomUUID().toString,
+      memoryId = memoryId, memoryType = memoryType,
+      agent = agent, projectId = projectId,
+      signal = signal, timestamp = asOf)))
+    cache.invalidateWhere(_ => true)
   }
 
   // ---- §3.1 the read path ----------------------------------------------
@@ -189,6 +192,12 @@ final class Alma(
     val q = HashEmbedder.embed(QuerySanitizer.sanitize(query), embedDim)
     val agents = scope(agent).readableAgents
     val asOfUs = asOf.getTime * 1000L
+    // R10/J4: the (small) per-memory feedback summary, broadcast-joined
+    // into every type's scoring plan when signals exist. Feedback-less
+    // rows keep their raw score (feedback.py:190-230).
+    val fbSummary: Option[DataFrame] =
+      if (store.exists(MemoryType.Feedback)) Some(store.feedbackSummary(Some(projectId)))
+      else None
 
     def scoreAndTake(df: DataFrame, recencyCol: String,
         succ: org.apache.spark.sql.Column, conf: org.apache.spark.sql.Column,
@@ -209,9 +218,22 @@ final class Alma(
         else when(sim > 0.9, lit(m.exactMatchBoost))
           .when(sim > 0.8, lit(1.0 + (m.exactMatchBoost - 1.0) / 2.0))
           .otherwise(lit(1.0))
-      val scored = df
+      val raw = df
         .withColumn("_sim", sim)
-        .withColumn("_score", base * failB * exactB)
+        .withColumn("_raw_score", base * failB * exactB)
+      val blended = fbSummary match {
+        case Some(fb) =>
+          raw.join(broadcast(fb), col("id") === col("memoryId"), "left")
+            .withColumn("_score",
+              when(col("feedback_score").isNotNull,
+                lit(1.0 - Alma.FeedbackWeight) * col("_raw_score") +
+                  lit(Alma.FeedbackWeight) * (col("feedback_score") + lit(1.0)) / lit(2.0))
+                .otherwise(col("_raw_score")))
+            .drop("memoryId", "feedback_score")
+        case None => raw.withColumn("_score", col("_raw_score"))
+      }
+      val scored = blended
+        .drop("_raw_score")
         .filter(col("_score") >= m.minScore)
         .orderBy(col("_score").desc, col("id"))
       if (m.diversity <= 0.0) scored.limit(k).drop("_score", "_sim")
@@ -353,17 +375,35 @@ final class Alma(
   def enforceQuota(maxOutcomesPerAgent: Int, asOf: Timestamp): Long = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("agent").orderBy(col("timestamp").desc, col("id"))
+    // The overflow id set stays a DataFrame end-to-end — the archive is
+    // a broadcast semi/anti join, so quota enforcement never funnels
+    // the table through the driver.
     val overflow = store.outcomes(Some(projectId)).toDF()
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") > maxOutcomesPerAgent)
-      .select("id").as[String].collect().toSet
-    if (overflow.nonEmpty)
-      store.archiveOutcomes(overflow, "quota", asOf.getTime * 1000L)
-    overflow.size.toLong
+      .select("id")
+    val n = overflow.count()
+    if (n > 0) {
+      store.archiveIds(MemoryType.Outcomes, overflow, "quota", asOf.getTime * 1000L)
+      cache.invalidateWhere(_ => true)
+    }
+    n
   }
 }
 
 object Alma {
+  /** R10 blend weight (reference feedback.py default w=0.15). */
+  val FeedbackWeight = 0.15
+
+  /** Deterministic collision-resistant id fragment (String.hashCode
+    * collides trivially — e.g. "Aa"/"BB" — which would silently merge
+    * distinct strategies or error classes). Lives on the companion so
+    * executor-side row builders don't capture the facade.
+    */
+  def idHash(text: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(text.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   def apply(spark: SparkSession, root: String, projectId: String,
       scopes: Map[String, MemoryScope] = Map.empty): Alma =
     new Alma(new MemoryStore(spark, root), projectId, scopes)

@@ -216,6 +216,44 @@ object Lifecycle {
       |ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // S4/A3 row-level upsert as a distributed merge: the "current"
+  // snapshot FULL OUTER JOIN the "incoming" batch on the row key —
+  // attributes take the incoming value, creation time survives from
+  // current, each row tagged with its merge action. This is the exact
+  // join shape MemoryStore.mergeHeuristics runs for the library's
+  // upsert/replace path (reference semantics base.py:238-253), checked
+  // here against the SQL oracle.
+  private def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val current = e.filter(pmod(col("event_id"), lit(3)) === 0)
+      .select(col("event_id"), col("value").as("cur_value"),
+        unix_micros(col("ts")).as("cur_ts"))
+    val incoming = e.filter(col("value") > 120.0)
+      .select(col("event_id"), round(col("value") * 1.1, 6).as("inc_value"),
+        unix_micros(col("ts")).as("inc_ts"))
+    current.join(incoming, Seq("event_id"), "full_outer")
+      .select(col("event_id"),
+        round(coalesce(col("inc_value"), col("cur_value")), 6).as("value_final"),
+        coalesce(col("cur_ts"), col("inc_ts")).as("created_us"),
+        when(col("cur_value").isNotNull && col("inc_value").isNotNull, "update")
+          .when(col("inc_value").isNotNull, "insert")
+          .otherwise("keep").as("action"))
+      .orderBy("event_id")
+  }
+
+  private val upsertMergeSql =
+    """WITH e AS (SELECT event_id, value, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+      |cur AS (SELECT event_id, value AS cur_value, ts_us AS cur_ts FROM e WHERE event_id % 3 = 0),
+      |inc AS (SELECT event_id, round(value * 1.1, 6) AS inc_value, ts_us AS inc_ts FROM e WHERE value > 120.0)
+      |SELECT event_id,
+      |  round(coalesce(inc_value, cur_value), 6) AS value_final,
+      |  coalesce(cur_ts, inc_ts) AS created_us,
+      |  CASE WHEN cur_value IS NOT NULL AND inc_value IS NOT NULL THEN 'update'
+      |       WHEN inc_value IS NOT NULL THEN 'insert' ELSE 'keep' END AS action
+      |FROM cur FULL OUTER JOIN inc USING (event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // A9 health metrics: per-type counts + staleness/low-value ratios +
   // alert flags vs thresholds.
   private def healthMetrics(s: SparkSession, dir: String): DataFrame = {
@@ -472,6 +510,7 @@ object Lifecycle {
     Q("q_consolidate_merge", consolidateMerge, Some(consolidateMergeSql)),
     Q("q_state_reducers", stateReducers, Some(stateReducersSql)),
     Q("q_occurrence_upsert", occurrenceUpsert, Some(occurrenceUpsertSql)),
+    Q("q_upsert_merge", upsertMerge, Some(upsertMergeSql)),
     Q("q_health_metrics", healthMetrics, Some(healthMetricsSql)),
     Q("q_extract_memories", extractMemories, Some(extractMemoriesSql)),
     Q("q_chunk_text", chunkText, Some(chunkTextSql)),

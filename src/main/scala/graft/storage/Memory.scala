@@ -75,6 +75,26 @@ final case class AntiPattern(
     embedding: Array[Float],
     metadata: Map[String, String])
 
+/** Per-retrieval usage signal (reference retrieval_feedback table,
+  * alma/types.py:352-379): used / ignored / thumbs_up / thumbs_down
+  * recorded against a memory id, aggregated into the R10 re-rank blend.
+  */
+final case class RetrievalFeedback(
+    id: String,
+    memoryId: String,
+    memoryType: String,
+    agent: String,
+    projectId: String,
+    signal: String,
+    timestamp: Timestamp)
+
+object FeedbackSignal {
+  val Used = "used"
+  val Ignored = "ignored"
+  val ThumbsUp = "thumbs_up"
+  val ThumbsDown = "thumbs_down"
+}
+
 /** Memory type discriminators (alma/types.py:16-23). */
 object MemoryType {
   val Heuristics = "heuristics"
@@ -82,6 +102,8 @@ object MemoryType {
   val Preferences = "preferences"
   val Knowledge = "knowledge"
   val AntiPatterns = "anti_patterns"
+  /** Side table (not a memory collection): the retrieval feedback log. */
+  val Feedback = "retrieval_feedback"
   val All: Seq[String] = Seq(Heuristics, Outcomes, Preferences, Knowledge, AntiPatterns)
 }
 

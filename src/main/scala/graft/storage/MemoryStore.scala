@@ -1,6 +1,7 @@
 package graft.storage
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed storage layer — the single unified backend that
@@ -12,8 +13,11 @@ import org.apache.spark.sql.functions._
   * Layout: `<root>/<memory_type>/` Parquet, partitioned by `projectId`
   * so project/agent predicates become partition pruning + pushed
   * filters at 100 TB. Writes are append-only batches (S3/S4); upsert
-  * (A3) and archive (S10) are snapshot-rewrite jobs — the open-format
-  * stand-in for Delta MERGE, kept idempotent.
+  * (A3) and archive (S10) are DISTRIBUTED snapshot-rewrite jobs — a
+  * full-outer-join column-level merge followed by write-new-then-swap,
+  * the open-format stand-in for Delta MERGE. Nothing in this class
+  * collects a table to the driver: every merge/split is a join, so the
+  * same code runs when the heuristics table is 10 rows or 10 billion.
   */
 final class MemoryStore(val spark: SparkSession, val root: String) {
   import spark.implicits._
@@ -21,14 +25,26 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
   private def path(memoryType: String) = s"$root/$memoryType"
 
   // ---- batch writes (S3) ------------------------------------------------
-  def saveHeuristics(rows: Seq[Heuristic]): Unit = append(rows.toDS(), MemoryType.Heuristics)
-  def saveOutcomes(rows: Seq[Outcome]): Unit = append(rows.toDS(), MemoryType.Outcomes)
-  def savePreferences(rows: Seq[UserPreference]): Unit = append(rows.toDS(), MemoryType.Preferences)
-  def saveKnowledge(rows: Seq[DomainKnowledge]): Unit = append(rows.toDS(), MemoryType.Knowledge)
-  def saveAntiPatterns(rows: Seq[AntiPattern]): Unit = append(rows.toDS(), MemoryType.AntiPatterns)
+  def saveHeuristics(rows: Seq[Heuristic]): Unit = append(rows.toDS().toDF(), MemoryType.Heuristics)
+  def saveOutcomes(rows: Seq[Outcome]): Unit = append(rows.toDS().toDF(), MemoryType.Outcomes)
+  def savePreferences(rows: Seq[UserPreference]): Unit = append(rows.toDS().toDF(), MemoryType.Preferences)
+  def saveKnowledge(rows: Seq[DomainKnowledge]): Unit = append(rows.toDS().toDF(), MemoryType.Knowledge)
+  def saveAntiPatterns(rows: Seq[AntiPattern]): Unit = append(rows.toDS().toDF(), MemoryType.AntiPatterns)
 
-  private def append[T](ds: Dataset[T], memoryType: String): Unit =
-    ds.write.mode(SaveMode.Append).partitionBy("projectId").parquet(path(memoryType))
+  /** Distributed batch append — the path promotions use so emitted rows
+    * never round-trip through the driver.
+    */
+  def appendRows(df: DataFrame, memoryType: String): Unit = append(df, memoryType)
+
+  // Preferences (and the feedback log) are user-keyed, not project-keyed;
+  // partition only when the layout column exists.
+  private def partitionColsOf(df: DataFrame): Seq[String] =
+    if (df.columns.contains("projectId")) Seq("projectId") else Nil
+
+  private def append(df: DataFrame, memoryType: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .partitionBy(partitionColsOf(df): _*)
+      .parquet(path(memoryType))
 
   def exists(memoryType: String): Boolean =
     new java.io.File(s"${path(memoryType)}/_SUCCESS").exists() ||
@@ -77,58 +93,88 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     case MemoryType.Preferences => spark.emptyDataset[UserPreference].toDF()
     case MemoryType.Knowledge => spark.emptyDataset[DomainKnowledge].toDF()
     case MemoryType.AntiPatterns => spark.emptyDataset[AntiPattern].toDF()
+    case MemoryType.Feedback => spark.emptyDataset[RetrievalFeedback].toDF()
   }
 
   // ---- upsert (S4/A3) ---------------------------------------------------
-  /** Upsert heuristics by id: occurrence/success counts add, confidence
-    * and lastValidated take the incoming value (reference increment
-    * semantics, base.py:238-253). Snapshot-rewrite implementation:
-    * read → merge → write to a new snapshot → swap.
+  /** Distributed heuristic merge: current table FULL OUTER JOIN incoming
+    * on id, column-level merge, snapshot swap (reference increment
+    * semantics base.py:238-253 re-expressed as the q_occurrence_upsert
+    * join shape — never a driver read-modify-write).
+    *
+    *  - matched rows: attributes take the incoming value; `createdAt`
+    *    survives from the original row; counts ADD when `addCounts`
+    *    (A3 increments) or are REPLACED otherwise (promotion re-emission,
+    *    where counts were recomputed from the full outcome history).
+    *  - current-only rows: untouched.
+    *  - incoming-only rows: inserted — gated by `insertFilter` when
+    *    given (promotion thresholds apply to NEW heuristics only;
+    *    existing ones always refresh, including downward).
+    *
+    * Incoming must be unique by id (callers aggregate before merging).
     */
-  def upsertHeuristics(incoming: Seq[Heuristic]): Unit = {
-    val current = heuristics().collect().toSeq
-    val byId = current.map(h => h.id -> h).toMap
-    val merged = incoming.map { h =>
-      byId.get(h.id) match {
-        case Some(old) => h.copy(
-          occurrenceCount = old.occurrenceCount + h.occurrenceCount,
-          successCount = old.successCount + h.successCount,
-          createdAt = old.createdAt)
-        case None => h
-      }
+  def mergeHeuristics(
+      incoming: DataFrame,
+      addCounts: Boolean,
+      insertFilter: Option[Column] = None): Unit = {
+    val cur = heuristics().toDF()
+    val gated = insertFilter match {
+      case Some(f) =>
+        val curIds = cur.select("id")
+        incoming.join(curIds, Seq("id"), "left_semi")
+          .unionByName(incoming.join(curIds, Seq("id"), "left_anti").filter(f))
+      case None => incoming
     }
-    val untouched = current.filterNot(h => incoming.exists(_.id == h.id))
-    overwrite((untouched ++ merged).toDS(), MemoryType.Heuristics)
+    val inc = gated.columns.foldLeft(gated)((d, n) => d.withColumnRenamed(n, "_i_" + n))
+    val joined = cur.join(inc, col("id") === col("_i_id"), "full_outer")
+    def take(n: String) = coalesce(col("_i_" + n), col(n)).as(n)
+    val counts =
+      if (addCounts) Seq(
+        (coalesce(col("occurrenceCount"), lit(0L)) + coalesce(col("_i_occurrenceCount"), lit(0L))).as("occurrenceCount"),
+        (coalesce(col("successCount"), lit(0L)) + coalesce(col("_i_successCount"), lit(0L))).as("successCount"))
+      else Seq(take("occurrenceCount"), take("successCount"))
+    val merged = joined.select(
+      Seq(coalesce(col("id"), col("_i_id")).as("id"),
+        take("agent"), take("projectId"), take("condition"),
+        take("strategy"), take("confidence"))
+        ++ counts ++
+        Seq(take("lastValidated"),
+          coalesce(col("createdAt"), col("_i_createdAt")).as("createdAt"),
+          take("embedding"), take("metadata")): _*)
+    overwrite(merged, MemoryType.Heuristics)
   }
 
-  /** Replace heuristics by id (promotion re-emission: counts are
-    * recomputed from outcomes, so rows are replaced wholesale rather
-    * than incremented; createdAt survives from the original row).
+  /** Upsert heuristics by id: counts add, attributes take the incoming
+    * value, createdAt survives (A3).
     */
-  def replaceHeuristics(incoming: Seq[Heuristic]): Unit = {
-    val current = heuristics().collect().toSeq
-    val byId = current.map(h => h.id -> h).toMap
-    val replaced = incoming.map(h =>
-      byId.get(h.id).map(old => h.copy(createdAt = old.createdAt)).getOrElse(h))
-    val untouched = current.filterNot(h => incoming.exists(_.id == h.id))
-    overwrite((untouched ++ replaced).toDS(), MemoryType.Heuristics)
-  }
+  def upsertHeuristics(incoming: Seq[Heuristic]): Unit =
+    mergeHeuristics(incoming.toDS().toDF(), addCounts = true)
 
-  private def overwrite[T](ds: Dataset[T], memoryType: String): Unit = {
+  /** Replace heuristics by id wholesale (promotion re-emission: counts
+    * are recomputed from outcomes); createdAt survives from the
+    * original row.
+    */
+  def replaceHeuristics(incoming: Seq[Heuristic]): Unit =
+    mergeHeuristics(incoming.toDS().toDF(), addCounts = false)
+
+  private def overwrite(df: DataFrame, memoryType: String): Unit = {
     val live = new java.io.File(path(memoryType))
     // An empty dataset written with partitionBy produces no schema
     // files (only _SUCCESS), which poisons later reads — an empty table
     // is represented by no directory at all (exists() → typed empty).
-    if (ds.isEmpty) {
+    if (df.isEmpty) {
       if (live.exists()) delete(live)
       return
     }
     // Write-new-then-swap keeps the operation idempotent and never
-    // leaves a half-written live directory. Every rename is checked:
-    // a failed swap restores the backup instead of silently dropping
-    // the only copy of the table.
+    // leaves a half-written live directory: the merge plan reads the
+    // live snapshot while writing tmp, then a directory rename swaps.
+    // Every rename is checked: a failed swap restores the backup
+    // instead of silently dropping the only copy of the table.
     val tmp = s"$root/.tmp_$memoryType"
-    ds.write.mode(SaveMode.Overwrite).partitionBy("projectId").parquet(tmp)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionColsOf(df): _*)
+      .parquet(tmp)
     val bak = new java.io.File(s"$root/.bak_$memoryType")
     if (bak.exists()) delete(bak)
     if (live.exists() && !live.renameTo(bak))
@@ -146,38 +192,88 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
   }
 
   // ---- archive / restore (S10) -----------------------------------------
-  /** Archive = append full snapshots with reason + archived-at, then
-    * rewrite the live set without them (reference base.py:989-1125).
+  /** Archive rows of ANY memory type by id set: append full snapshots
+    * with reason + archived-at to `<root>/archive/<type>`, then rewrite
+    * the live set without them (reference base.py:989-1125 archives
+    * every collection, not just outcomes). Both halves are broadcast
+    * semi/anti joins — the id set never drives a driver-side partition
+    * of the table. If a failure lands between the archive append and
+    * the live rewrite, re-running is safe: restore dedupes by id.
     */
-  def archiveOutcomes(ids: Set[String], reason: String, asOfUs: Long): Unit = {
-    val all = outcomes().collect().toSeq
-    val (toArchive, keep) = all.partition(o => ids.contains(o.id))
-    if (toArchive.nonEmpty) {
-      toArchive.toDS()
-        .withColumn("reason", lit(reason))
-        .withColumn("archived_at_us", lit(asOfUs))
-        .write.mode(SaveMode.Append).parquet(s"$root/archive/outcomes")
-      overwrite(keep.toDS(), MemoryType.Outcomes)
+  def archive(memoryType: String, ids: Set[String], reason: String, asOfUs: Long): Unit =
+    archiveIds(memoryType, ids.toSeq.toDF("id"), reason, asOfUs)
+
+  /** Distributed form: `ids` is a single-column (`id`) DataFrame — at
+    * scale the overflow set comes straight out of the quota window job
+    * without collecting.
+    */
+  def archiveIds(memoryType: String, ids: DataFrame, reason: String, asOfUs: Long): Unit = {
+    if (!exists(memoryType)) return
+    val live = spark.read.parquet(path(memoryType))
+    val key = ids.select(col(ids.columns.head).as("id"))
+    val toArchive = live.join(broadcast(key), Seq("id"), "left_semi")
+      .withColumn("reason", lit(reason))
+      .withColumn("archived_at_us", lit(asOfUs))
+    if (!toArchive.isEmpty) {
+      toArchive.write.mode(SaveMode.Append).parquet(s"$root/archive/$memoryType")
+      overwrite(live.join(broadcast(key), Seq("id"), "left_anti"), memoryType)
     }
   }
 
-  def archivedOutcomes(): DataFrame =
-    if (new java.io.File(s"$root/archive/outcomes").exists())
-      spark.read.parquet(s"$root/archive/outcomes")
-    else spark.emptyDataset[Outcome].toDF()
+  def archived(memoryType: String): DataFrame =
+    if (new java.io.File(s"$root/archive/$memoryType").exists())
+      spark.read.parquet(s"$root/archive/$memoryType")
+    else emptyOf(memoryType)
       .withColumn("reason", lit("")).withColumn("archived_at_us", lit(0L))
 
-  /** Restore = archived rows not currently live, re-appended (anti-join
-    * + append, SURVEY S10).
+  /** Restore = archived rows (latest snapshot per id) not currently
+    * live, re-appended — anti-join + append, no rewrite of the archive
+    * itself (purge is a separate policy job, as in the reference).
     */
-  def restoreOutcomes(ids: Set[String]): Unit = {
-    val archived = archivedOutcomes()
+  def restore(memoryType: String, ids: Set[String]): Unit = {
+    val w = Window.partitionBy("id").orderBy(col("archived_at_us").desc)
+    val arch = archived(memoryType)
       .filter(col("id").isin(ids.toSeq: _*))
-      .drop("reason", "archived_at_us").as[Outcome]
-    val live = outcomes()
-    val toRestore = archived.join(live.select("id").withColumnRenamed("id", "live_id"),
-      col("id") === col("live_id"), "left_anti").as[Outcome]
-    append(toRestore, MemoryType.Outcomes)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "reason", "archived_at_us")
+    val live = if (exists(memoryType)) spark.read.parquet(path(memoryType)).select("id")
+      else emptyOf(memoryType).select("id")
+    val toRestore = arch.join(live, Seq("id"), "left_anti")
+    if (!toRestore.isEmpty) append(toRestore, memoryType)
+  }
+
+  // Outcome-named conveniences kept for the quota/maintenance callers.
+  def archiveOutcomes(ids: Set[String], reason: String, asOfUs: Long): Unit =
+    archive(MemoryType.Outcomes, ids, reason, asOfUs)
+  def archivedOutcomes(): DataFrame = archived(MemoryType.Outcomes)
+  def restoreOutcomes(ids: Set[String]): Unit = restore(MemoryType.Outcomes, ids)
+
+  // ---- retrieval feedback (R10/R11 write path) ---------------------------
+  /** Append usage signals (used / ignored / thumbs_up / thumbs_down) —
+    * the reference's retrieval_feedback table
+    * (sqlite_local.py:448-466, types.py:352-379).
+    */
+  def saveFeedback(rows: Seq[RetrievalFeedback]): Unit =
+    append(rows.toDS().toDF(), MemoryType.Feedback)
+
+  def feedback(projectId: Option[String] = None): Dataset[RetrievalFeedback] =
+    scan(MemoryType.Feedback, projectId).as[RetrievalFeedback]
+
+  /** Per-memory feedback score `(used+up-ignored-down)/total` ∈ [-1, 1]
+    * (types.py:382-420) — one conditional-sum aggregate, broadcastable
+    * into the retrieve plan.
+    */
+  def feedbackSummary(projectId: Option[String] = None): DataFrame = {
+    val n = (s: String) => sum(when(col("signal") === s, 1L).otherwise(0L))
+    val total = col("n_used") + col("n_up") + col("n_ignored") + col("n_down")
+    feedback(projectId).groupBy("memoryId")
+      .agg(n("used").as("n_used"), n("thumbs_up").as("n_up"),
+        n("ignored").as("n_ignored"), n("thumbs_down").as("n_down"))
+      .select(col("memoryId"),
+        when(total === 0, lit(0.0))
+          .otherwise((col("n_used") + col("n_up") - col("n_ignored") - col("n_down")).cast("double") / total)
+          .as("feedback_score"))
   }
 
   // ---- stats (A4) -------------------------------------------------------

@@ -223,6 +223,56 @@ class AlmaSpec extends SparkSpec {
     assert(topHeuristics == Map(0L -> single0, 1L -> single1))
   }
 
+  test("recorded feedback signals re-rank retrieval per the 0.15 blend") {
+    val alma = freshAlma()
+    for (v <- Seq("alpha", "beta"); i <- 1 to 3) {
+      alma.learn("helena", "deploy", s"deploy service $v", success = true,
+        strategyUsed = s"$v strategy", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val before = alma.retrieve("deploy service", "helena", ts("2024-02-01 00:00:00"), topK = 2)
+    assert(before.heuristics.size == 2)
+    val Seq(top, bottom) = before.heuristics.map(_.id)
+    // Strong positive signals on the runner-up, negative on the leader:
+    // final = 0.85·score + 0.15·(fb+1)/2 swings up to ±0.15 — enough to
+    // flip two near-identical candidates.
+    (1 to 4).foreach { _ =>
+      alma.recordFeedback(bottom, MemoryType.Heuristics, "helena",
+        FeedbackSignal.ThumbsUp, ts("2024-02-01 01:00:00"))
+      alma.recordFeedback(top, MemoryType.Heuristics, "helena",
+        FeedbackSignal.ThumbsDown, ts("2024-02-01 01:00:00"))
+    }
+    val after = alma.retrieve("deploy service", "helena", ts("2024-02-01 02:00:00"), topK = 2)
+    assert(after.heuristics.map(_.id) == Seq(bottom, top),
+      s"feedback did not flip the ranking: ${after.heuristics.map(_.id)}")
+  }
+
+  test("archive and restore round-trip every memory type") {
+    val dir = Files.createTempDirectory("alma-test").toString
+    val store = new MemoryStore(spark, dir)
+    val t0 = ts("2024-01-01 00:00:00")
+    val emb = Array.fill(4)(0.5f)
+    store.saveHeuristics(Seq(Heuristic("h1", "a", "p", "c", "s", 0.9, 1, 1, t0, t0, emb, Map.empty)))
+    store.saveOutcomes(Seq(Outcome("o1", "a", "p", "t", "d", success = true, "s", 1L, None, t0, emb, Map.empty)))
+    store.savePreferences(Seq(UserPreference("u1", "user", "cat", "pref", "src", 0.9, t0, Map.empty)))
+    store.saveKnowledge(Seq(DomainKnowledge("k1", "a", "p", "dom", "fact", "src", 0.9, t0, emb, Map.empty)))
+    store.saveAntiPatterns(Seq(AntiPattern("ap1", "a", "p", "pat", "why", "alt", 2, t0, t0, emb, Map.empty)))
+    val idsByType = Map(
+      MemoryType.Heuristics -> "h1", MemoryType.Outcomes -> "o1",
+      MemoryType.Preferences -> "u1", MemoryType.Knowledge -> "k1",
+      MemoryType.AntiPatterns -> "ap1")
+    idsByType.foreach { case (mt, id) =>
+      store.archive(mt, Set(id), "test", 42L)
+      assert(store.scan(mt).count() == 0, s"$mt still live after archive")
+      val arch = store.archived(mt).collect()
+      assert(arch.length == 1 && arch.head.getAs[String]("reason") == "test", s"$mt archive row wrong")
+      store.restore(mt, Set(id))
+      assert(store.scan(mt).count() == 1, s"$mt not restored")
+      // Restoring again is a no-op (anti-join dedupe).
+      store.restore(mt, Set(id))
+      assert(store.scan(mt).count() == 1, s"$mt duplicated by double restore")
+    }
+  }
+
   test("stats counts per memory type") {
     val alma = freshAlma()
     alma.learn("helena", "t", "d", success = true, strategyUsed = "s",
