@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * aggregations (A8)).
   *
   * Usage: runMain graft.MemEvalRunner <questions.json> [k]
-  * Prints one JSON line with Recall@k and MRR.
+  * Prints one JSON line with Recall@k, MRR, and NDCG@k.
   */
 object MemEvalRunner {
 
@@ -28,12 +28,14 @@ object MemEvalRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (recall, mrr, n) = run(spark, path, k)
-    println(s"""{"metric":"longmemeval","recall_at_$k":$recall,"mrr":$mrr,"questions":$n}""")
+    val m = run(spark, path, k)
+    println(s"""{"metric":"longmemeval","recall_at_$k":${m.recall},"mrr":${m.mrr},"ndcg_at_$k":${m.ndcg},"questions":${m.n}}""")
     spark.stop()
   }
 
-  def run(spark: SparkSession, path: String, k: Int): (Double, Double, Long) = {
+  final case class Metrics(recall: Double, mrr: Double, ndcg: Double, n: Long)
+
+  def run(spark: SparkSession, path: String, k: Int): Metrics = {
     import spark.implicits._
     val corpus = Ingestion.loadBenchmarkJson(spark, path).cache()
     val embedded = corpus
@@ -62,9 +64,14 @@ object MemEvalRunner {
       .agg(
         avg(col("hit").cast("double")).as("recall"),
         avg(coalesce(lit(1.0) / col("first_hit"), lit(0.0))).as("mrr"),
+        // NDCG@k, single relevant session per question: ideal DCG is
+        // 1/log2(2) = 1, so ndcg = 1/log2(first_hit+1) when the answer
+        // lands inside the cutoff, else 0 (metrics.py:46-55).
+        avg(when(col("first_hit") <= k,
+          lit(1.0) / log2(col("first_hit").cast("double") + lit(1.0))).otherwise(lit(0.0))).as("ndcg"),
         count(lit(1)).as("n"))
       .head()
     corpus.unpersist()
-    (m.getDouble(0), m.getDouble(1), m.getLong(2))
+    Metrics(m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getLong(3))
   }
 }

@@ -329,13 +329,21 @@ object Lifecycle {
 
   // -------------------------------------------------------------------
   // R15 token budget, distributed form: score-ordered running token sum
-  // with a cutoff (the window-based greedy knapsack).
+  // with a cutoff (the window-based greedy knapsack). The budget greedy
+  // only ever consumes the head of the ranking, so the running-sum
+  // window runs over a top-N candidate cut (TakeOrderedAndProject) —
+  // not the raw table (the reference budgets an already-retrieved
+  // top-k list, budget.py:198-472).
+  private val BudgetCandidates = 200
+
   private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     val est = expr("length(text) div 4").cast("long")
     val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, dir)
       .withColumn("est_tokens", est)
+      .select("doc_id", "n_chars", "est_tokens")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(BudgetCandidates)
       .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
       .filter(col("cum_tokens") <= 2000)
       .select("doc_id", "n_chars", "est_tokens", "cum_tokens")
@@ -344,21 +352,24 @@ object Lifecycle {
 
   private val tokenBudgetSql =
     """SELECT doc_id, n_chars, est_tokens, cum_tokens FROM (
-      |  SELECT doc_id, n_chars, (length(text) // 4)::BIGINT AS est_tokens,
-      |    sum((length(text) // 4)::BIGINT) OVER (
+      |  SELECT doc_id, n_chars, est_tokens,
+      |    sum(est_tokens) OVER (
       |      ORDER BY n_chars DESC, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
-      |  FROM documents) t
+      |  FROM (
+      |    SELECT doc_id, n_chars, (length(text) // 4)::BIGINT AS est_tokens
+      |    FROM documents ORDER BY n_chars DESC, doc_id LIMIT 200) c) t
       |WHERE cum_tokens <= 2000 ORDER BY cum_tokens""".stripMargin
 
   // -------------------------------------------------------------------
   // R16 progressive disclosure: rank-dependent projection depth
-  // (full → summary → headline).
+  // (full → summary → headline). The rank window runs over the top-35
+  // candidate cut (TakeOrderedAndProject), never the raw table.
   private def progressive(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
     Tables.documents(s, dir)
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(35)
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 35)
       .select(col("doc_id"), col("rn"),
         when(col("rn") <= 5, "full").when(col("rn") <= 15, "summary")
           .otherwise("headline").as("level"),
@@ -376,8 +387,9 @@ object Lifecycle {
       |       ELSE substr(text, 1, 40) END AS preview
       |FROM (
       |  SELECT doc_id, text, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
-      |  FROM documents) t
-      |WHERE rn <= 35 ORDER BY rn""".stripMargin
+      |  FROM (SELECT doc_id, text, n_chars FROM documents
+      |        ORDER BY n_chars DESC, doc_id LIMIT 35) c) t
+      |ORDER BY rn""".stripMargin
 
   // -------------------------------------------------------------------
   // R8/R9 mode boosts: diagnostic failure boost ×1.5 and exact-match

@@ -198,8 +198,14 @@ object Scoring {
       |ORDER BY user_id, error_class""".stripMargin
 
   // A8 IR metrics per user: rank events by value; relevant = purchase.
+  // NDCG@10 uses the binary-graded DCG with the log2(rank+1) discount
+  // (reference benchmarks/longmemeval/metrics.py:46-55); the ideal DCG
+  // packs the min(n_rel, 10) relevant items into the top ranks.
   private def irMetrics(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val idcg = expr(
+      "aggregate(sequence(1L, least(n_rel, 10L)), cast(0.0 as double), " +
+        "(acc, i) -> acc + 1.0 / log2(cast(i as double) + 1.0))")
     Tables.events(s, dir)
       .withColumn("rnk", row_number().over(w))
       .withColumn("rel", when(col("event_type") === "purchase", 1L).otherwise(0L))
@@ -207,7 +213,9 @@ object Scoring {
       .agg(
         sum("rel").as("n_rel"),
         sum(when(col("rnk") <= 10, col("rel")).otherwise(0L)).as("hits10"),
-        min(when(col("rel") === 1L, col("rnk"))).as("first_hit"))
+        min(when(col("rel") === 1L, col("rnk"))).as("first_hit"),
+        sum(when(col("rnk") <= 10 && col("rel") === 1L,
+          lit(1.0) / log2(col("rnk").cast("double") + lit(1.0))).otherwise(lit(0.0))).as("dcg10"))
       .select(
         col("user_id"),
         col("n_rel"), col("hits10"),
@@ -215,7 +223,9 @@ object Scoring {
           .otherwise(round(col("hits10").cast("double") / col("n_rel"), 6)).as("recall_at_10"),
         round(col("hits10").cast("double") / lit(10.0), 6).as("precision_at_10"),
         when(col("first_hit").isNull, lit(0.0))
-          .otherwise(round(lit(1.0) / col("first_hit"), 6)).as("mrr"))
+          .otherwise(round(lit(1.0) / col("first_hit"), 6)).as("mrr"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(round(col("dcg10") / idcg, 6)).as("ndcg_at_10"))
       .orderBy("user_id")
   }
 
@@ -223,12 +233,17 @@ object Scoring {
     """SELECT user_id, n_rel, hits10,
       |  CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE round(hits10::DOUBLE / n_rel, 6) END AS recall_at_10,
       |  round(hits10::DOUBLE / 10.0, 6) AS precision_at_10,
-      |  CASE WHEN first_hit IS NULL THEN 0.0::DOUBLE ELSE round(1.0::DOUBLE / first_hit, 6) END AS mrr
+      |  CASE WHEN first_hit IS NULL THEN 0.0::DOUBLE ELSE round(1.0::DOUBLE / first_hit, 6) END AS mrr,
+      |  CASE WHEN n_rel = 0 THEN 0.0::DOUBLE
+      |       ELSE round(dcg10 / list_sum(list_transform(range(1, least(n_rel, 10)::INT + 1),
+      |                                                  i -> 1.0::DOUBLE / log2(i + 1))), 6)
+      |  END AS ndcg_at_10
       |FROM (
       |  SELECT user_id,
       |    sum(rel)::BIGINT AS n_rel,
       |    sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END)::BIGINT AS hits10,
-      |    min(CASE WHEN rel = 1 THEN rnk END) AS first_hit
+      |    min(CASE WHEN rel = 1 THEN rnk END) AS first_hit,
+      |    sum(CASE WHEN rnk <= 10 AND rel = 1 THEN 1.0::DOUBLE / log2(rnk + 1) ELSE 0.0::DOUBLE END) AS dcg10
       |  FROM (
       |    SELECT user_id,
       |      row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,

@@ -108,14 +108,23 @@ object TextSearch {
     s"""WITH $bm25ScoresSql
        |SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Candidate-list cap per ranker: RRF fuses bounded top-N lists (the
+    * reference fuses two retriever result lists, hybrid.py:113-178), so
+    * each ranking window runs over a TakeOrderedAndProject'd candidate
+    * set — never an unpartitioned window over the raw corpus.
+    */
+  private val RrfCandidates = 100
+
   // V7 RRF: fuse the BM25 ranking with a doc-length ranking, k=60.
   private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
     val wa = Window.orderBy(col("bm25").desc, col("doc_id"))
     val ra = bm25Scores(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(RrfCandidates)
       .withColumn("rank_a", row_number().over(wa).cast("long"))
       .select("doc_id", "rank_a")
     val wb = Window.orderBy(col("n_chars").desc, col("doc_id"))
     val rb = Tables.documents(s, dir)
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(RrfCandidates)
       .withColumn("rank_b", row_number().over(wb).cast("long"))
       .select("doc_id", "rank_b")
     ra.join(rb, Seq("doc_id"), "full_outer")
@@ -129,8 +138,10 @@ object TextSearch {
 
   private val rrfFusionSql =
     s"""WITH $bm25ScoresSql,
-       |ra AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a FROM bm),
-       |rb AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_b FROM documents)
+       |ra AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
+       |       FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100) ba),
+       |rb AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_b
+       |       FROM (SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100) bb)
        |SELECT doc_id, rank_a, rank_b,
        |  round(coalesce(1.0::DOUBLE / (60 + rank_a), 0.0) + coalesce(1.0::DOUBLE / (60 + rank_b), 0.0), 6) AS rrf
        |FROM ra FULL OUTER JOIN rb USING (doc_id)

@@ -69,10 +69,31 @@ class MemBenchSpec extends SparkSpec {
         min(when(col("rel") === 1L, col("rnk"))).as("first_hit"))
       .agg(
         avg(col("hit5").cast("double")).as("recall_at_5"),
-        avg(lit(1.0) / col("first_hit")).as("mrr"))
+        avg(lit(1.0) / col("first_hit")).as("mrr"),
+        avg(when(col("first_hit") <= 5,
+          lit(1.0) / log2(col("first_hit").cast("double") + lit(1.0))).otherwise(lit(0.0))).as("ndcg_at_5"))
       .head()
 
     assert(metrics.getDouble(0) == 1.0, s"recall@5 = ${metrics.getDouble(0)}")
     assert(metrics.getDouble(1) == 1.0, s"mrr = ${metrics.getDouble(1)}")
+    // Exact self-retrieval puts the answer at rank 1 → DCG = IDCG = 1.
+    assert(metrics.getDouble(2) == 1.0, s"ndcg@5 = ${metrics.getDouble(2)}")
+  }
+
+  test("MemEvalRunner reports recall, mrr, and ndcg through the Metrics surface") {
+    val json = (0 until 4).map { qid =>
+      val haystack = (0 until 6).map { s =>
+        val sid = qid * 10 + s
+        s"""{"session_id": $sid, "text": "alpha $sid beta ${sid * 3} gamma ${sid % 4}"}"""
+      }.mkString("[", ",", "]")
+      val answerSid = qid * 10 + (qid % 6)
+      s"""{"question_id": $qid, "question": "alpha $answerSid beta ${answerSid * 3} gamma ${answerSid % 4}", "answer_session_id": $answerSid, "haystack": $haystack}"""
+    }
+    val path = Files.createTempDirectory("membench2").resolve("qs.json")
+    Files.write(path, json.mkString("\n").getBytes)
+    val m = MemEvalRunner.run(spark, path.toString, 5)
+    assert(m.n == 4)
+    assert(m.recall == 1.0 && m.mrr == 1.0 && m.ndcg == 1.0,
+      s"self-retrieval must be perfect: $m")
   }
 }

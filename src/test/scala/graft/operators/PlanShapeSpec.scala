@@ -29,6 +29,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("no unpartitioned window runs over an unbounded input") {
+    // An empty partitionSpec funnels every row through one task — fatal
+    // at 100 TB unless the input was already cut to a bounded candidate
+    // set (TakeOrderedAndProject / GlobalLimit below the window).
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q_rrf_fusion", "q_token_budget", "q_progressive").foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan match {
+        // AQE roots hold the physical tree in a field, not as a child —
+        // unwrap so collect() sees the window operators.
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val windows = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(windows.nonEmpty, s"$name: expected a bounded global rank window")
+      windows.foreach { w =>
+        val bounded = w.child.collectFirst {
+          case t: TakeOrderedAndProjectExec => t
+          case g: GlobalLimitExec => g
+        }.isDefined
+        assert(bounded, s"$name: unpartitioned window over unbounded input:\n$exec")
+      }
+    }
+  }
+
   test("no query plans a cartesian product") {
     // Candidate-pair generators are the risk surface; all must stay
     // bucket/block-local. (knn_batch and the IVF probe broadcast a
