@@ -28,6 +28,20 @@ object Tables {
     }
   }
 
+  /** Spread a narrow scan across all cores before CPU-heavy per-row
+    * work (shingling, hashing, embedding). A single-file input with one
+    * row group plans as ONE task no matter what
+    * spark.sql.files.maxPartitionBytes says (parquet cannot split
+    * inside a row group), which serializes the whole transform on one
+    * core. The repartition fires only when the scan's parallelism is
+    * below the session default — on a real 100 TB layout the scan
+    * already has thousands of splits and this adds no shuffle.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

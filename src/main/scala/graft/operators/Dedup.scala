@@ -52,12 +52,13 @@ object Dedup {
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (
       |  SELECT doc_id,
-      |    list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+      |    unnest(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))) AS shingle
       |  FROM t),
+      |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
       |sig AS (
-      |  SELECT doc_id, b.band,
-      |    list_min(list_transform(shingles, s -> md5(b.band || ':' || s))) AS sig
-      |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) b)
+      |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
+      |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band, unnest([1299721, 7919, 104729, 15485863]) AS a) b
+      |  GROUP BY doc_id, band)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS bands_matched
       |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
@@ -162,20 +163,35 @@ private[operators] object TextAnalysisShared {
     transform(idx, i => concat_ws(" ", slice(toks, i, lit(3))))
   }
 
-  /** Per-(doc, band) MinHash signatures: min over salted shingle md5s.
-    * Explode + codegen'd md5 + map-side-combined groupBy min — the
-    * shingle transform is evaluated once per doc (not once per band),
-    * and every hash runs inside whole-stage codegen; only (doc, band,
-    * min-hash) rows shuffle, which is what survives a 100 TB corpus.
+  /** MinHash band-mix universal-hash family: per band b,
+    * h_b(x) = (x · A(b) + b) mod P over the 60-bit md5 prefix — the
+    * standard (a·x + c) mod p permutation approximation, so the md5
+    * digest runs ONCE per shingle instead of once per (shingle, band).
+    */
+  val MinhashP = 2147483647L // 2^31 - 1
+  val MinhashA: Seq[Long] =
+    Seq(1299721L, 7919L, 104729L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L)
+
+  /** Per-(doc, band) MinHash signatures: min over per-band mixes of the
+    * shingle hash. Explode + one codegen'd md5 per shingle + a single
+    * map-side-combined groupBy whose aggregate computes every band's
+    * min at once — no band explosion ever reaches the shuffle, so the
+    * exchange carries exactly one row per (doc, band) at any corpus
+    * size.
     */
   def bandedMinhashSigs(docs: DataFrame, nBands: Int): DataFrame = {
-    val bandArr = array((0 until nBands).map(b => lit(b.toLong)): _*)
-    docs
+    require(nBands <= MinhashA.size, s"at most ${MinhashA.size} bands")
+    val hashed = Tables.spread(docs)
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .select(col("doc_id"), col("shingle"), explode(bandArr).as("band"))
-      .select(col("doc_id"), col("band"),
-        md5(concat(col("band").cast("string"), lit(":"), col("shingle")).cast("binary")).as("h"))
-      .groupBy("doc_id", "band")
-      .agg(min("h").as("sig"))
+      .select(col("doc_id"),
+        (expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 15), 16, 10) as bigint)")
+          % MinhashP).as("x"))
+    val aggs = (0 until nBands)
+      .map(b => min((col("x") * MinhashA(b) + b) % MinhashP).as(s"_sig$b"))
+    val stacked = (0 until nBands)
+      .map(b => s"cast($b as bigint), _sig$b")
+      .mkString(s"stack($nBands, ", ", ", ") as (band, sig)")
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .selectExpr("doc_id", stacked)
   }
 }

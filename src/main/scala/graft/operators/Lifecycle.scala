@@ -103,22 +103,29 @@ object Lifecycle {
     val sharedBuckets = memberships.groupBy("bucket")
       .agg(count(lit(1)).as("sz")).filter(col("sz") >= 2).select("bucket")
     val m = memberships.join(sharedBuckets, Seq("bucket")).localCheckpoint(true)
-    var labels = m.select(col("doc_id").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
-    // Labels only decrease under min-propagation, so "sum unchanged" is
-    // the fixpoint test — one cheap aggregate per round.
-    var prevSum = Long.MinValue
-    def labelSum() = labels.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
-    var currSum = labelSum()
-    while (currSum != prevSum) {
-      val bucketMin = m.join(labels, col("doc_id") === col("node"))
+    // One doc→bucket→doc min-label hop.
+    def hop(lbl: DataFrame): DataFrame = {
+      val bucketMin = m.join(lbl, col("doc_id") === col("node"))
         .groupBy("bucket").agg(min("comp").as("bcomp"))
-      labels = m.join(bucketMin, Seq("bucket"))
+      m.join(bucketMin, Seq("bucket"))
         .groupBy(col("doc_id")).agg(min("bcomp").as("comp"))
         .select(col("doc_id").as("node"), col("comp"))
-        .localCheckpoint(true)
-      prevSum = currSum
-      currSum = labelSum()
+    }
+    var labels = m.select(col("doc_id").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    // Labels only decrease under min-propagation, so "sum unchanged" is
+    // the fixpoint test. Each materialized round applies TWO hops and
+    // folds the fixpoint aggregate into the SAME action that realizes
+    // the lazy checkpoint — one Spark job per round instead of two, and
+    // half the rounds: in local mode (and on a busy cluster) the
+    // per-job floor, not per-row work, dominates this loop.
+    var prevSum = Long.MinValue
+    var converged = false
+    while (!converged) {
+      val next = hop(hop(labels)).localCheckpoint(false)
+      val currSum = next.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
+      labels = next
+      if (currSum == prevSum) converged = true else prevSum = currSum
     }
     labels.join(docs, col("node") === col("doc_id"))
       .groupBy("comp")
@@ -133,12 +140,13 @@ object Lifecycle {
     """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (
       |  SELECT doc_id,
-      |    list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+      |    unnest(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))) AS shingle
       |  FROM t),
+      |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
       |sig AS (
-      |  SELECT doc_id, b.band,
-      |    list_min(list_transform(shingles, s -> md5(b.band || ':' || s))) AS sig
-      |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
+      |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band, unnest([1299721, 7919, 104729, 15485863]) AS a) b
+      |  GROUP BY doc_id, band),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),

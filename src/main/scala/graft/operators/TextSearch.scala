@@ -25,6 +25,9 @@ object TextSearch {
   private val K1 = 1.2
   private val B = 0.75
 
+  // No spread here: tokenize+explode is light enough per row that the
+  // round-robin exchange costs more than the parallelism buys (measured
+  // 1.4 s → 3.2 s for q_tfidf_topterms with a spread at sf0.1).
   private def tok(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
