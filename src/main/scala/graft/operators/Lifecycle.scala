@@ -32,18 +32,34 @@ object Lifecycle {
 
   // -------------------------------------------------------------------
   // R12/J5 trust-aware scoring: per-agent trust profile (performance +
-  // behavior + neutral prior), broadcast-joined as a 5th score factor.
+  // behavior + neutral prior), with INACTIVITY DECAY (half-life 30 d,
+  // floored at 0.5) and a CLEAN-STREAK BONUS (+0.02 per event since the
+  // last error, capped at +0.1) — reference trust_scoring.py:128-149:
+  // trust = clamp01(raw * decay + streak_bonus). The profile is a
+  // broadcast-joined 5th score factor.
   private def trustScoring(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val n = (t: String) => sum(when(col("event_type") === t, 1L).otherwise(0L))
-    val profile = e.groupBy("user_id")
+    val asOfUs = unix_micros(to_timestamp(lit(Scoring.AsOf)))
+    // Last-error watermark per user; the clean streak is every event
+    // strictly after it (all events when the user never errored).
+    val lastErr = e.filter(col("event_type") === "error")
+      .groupBy("user_id").agg(max(unix_micros(col("ts"))).as("last_err_us"))
+    val profile = e.join(broadcast(lastErr), Seq("user_id"), "left")
+      .groupBy("user_id")
       .agg(n("purchase").as("n_p"), n("error").as("n_e"),
-        n("click").as("n_c"), n("view").as("n_v"))
-      .select(col("user_id"),
-        round(least(
-          when(pmod(col("user_id"), lit(2)) === 0,
-            trustRaw * lit(1.1)).otherwise(trustRaw),
-          lit(1.0)), 6).as("trust"))
+        n("click").as("n_c"), n("view").as("n_v"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        sum(when(col("last_err_us").isNull ||
+          unix_micros(col("ts")) > col("last_err_us"), 1L).otherwise(0L)).as("streak"))
+      .select(col("user_id"), {
+        val days = (asOfUs - col("last_us")).cast("double") / lit(86400000000.0)
+        val decay = greatest(lit(0.5), exp(lit(-0.693) * days / lit(30.0)))
+        val bonus = least(lit(0.1), col("streak").cast("double") * lit(0.02))
+        val t = trustRaw * decay + bonus
+        val verified = when(pmod(col("user_id"), lit(2)) === 0, t * lit(1.1)).otherwise(t)
+        round(least(greatest(verified, lit(0.0)), lit(1.0)), 6).as("trust")
+      })
     Scoring.scored(s, dir)
       .join(broadcast(profile), Seq("user_id"))
       .withColumn("trusted_score", round(lit(0.8) * col("score") + lit(0.2) * col("trust"), 6))
@@ -62,22 +78,29 @@ object Lifecycle {
 
   private val trustScoringSql =
     s"""WITH scored AS (${Scoring.scoredSql}),
+       |ev AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+       |le AS (SELECT user_id, max(ts_us) AS last_err_us FROM ev WHERE event_type = 'error' GROUP BY user_id),
        |prof AS (
-       |  SELECT user_id,
+       |  SELECT ev.user_id,
        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_p,
        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_e,
        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_c,
-       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_v
-       |  FROM events GROUP BY user_id),
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_v,
+       |    max(ts_us) AS last_us,
+       |    sum(CASE WHEN le.last_err_us IS NULL OR ev.ts_us > le.last_err_us THEN 1 ELSE 0 END)::BIGINT AS streak
+       |  FROM ev LEFT JOIN le ON ev.user_id = le.user_id
+       |  GROUP BY ev.user_id),
        |tr AS (
        |  SELECT user_id,
-       |    round(least(
-       |      CASE WHEN user_id % 2 = 0 THEN raw * 1.1 ELSE raw END, 1.0), 6) AS trust
+       |    round(least(greatest(
+       |      CASE WHEN user_id % 2 = 0 THEN t * 1.1 ELSE t END, 0.0), 1.0), 6) AS trust
        |  FROM (
        |    SELECT user_id,
-       |      0.4 * (CASE WHEN n_p + n_e = 0 THEN 0.5::DOUBLE ELSE n_p::DOUBLE / (n_p + n_e) END)
-       |      + 0.4 * (CASE WHEN n_c + n_v = 0 THEN 0.5::DOUBLE ELSE n_c::DOUBLE / (n_c + n_v) END)
-       |      + 0.2 * 0.5::DOUBLE AS raw
+       |      (0.4 * (CASE WHEN n_p + n_e = 0 THEN 0.5::DOUBLE ELSE n_p::DOUBLE / (n_p + n_e) END)
+       |       + 0.4 * (CASE WHEN n_c + n_v = 0 THEN 0.5::DOUBLE ELSE n_c::DOUBLE / (n_c + n_v) END)
+       |       + 0.2 * 0.5::DOUBLE)
+       |      * greatest(0.5::DOUBLE, exp(-0.693 * ((epoch_us(TIMESTAMP '2024-03-01 00:00:00') - last_us)::DOUBLE / 86400000000.0) / 30.0))
+       |      + least(0.1::DOUBLE, streak::DOUBLE * 0.02) AS t
        |    FROM prof) p)
        |SELECT s.event_id, s.user_id, s.score, tr.trust,
        |  round(0.8 * s.score + 0.2 * tr.trust, 6) AS trusted_score
