@@ -13,7 +13,8 @@ object SparkEntry {
   private val packs: Seq[Q] =
     Relational.all ++ Scoring.all ++ TextSearch.all ++ TextAnalysis.all ++
       Dedup.all ++ VectorSearch.all ++ Multimodal.all ++ Retrieval.all ++
-      Lifecycle.all ++ Compression.all ++ ScalePatterns.all ++ Analytics.all ++ Sessionize.all
+      Lifecycle.all ++ Compression.all ++ ScalePatterns.all ++ Analytics.all ++ Sessionize.all ++
+      Entities.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's read path (filter → kNN → score → threshold → top-k)
