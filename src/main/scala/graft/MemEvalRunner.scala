@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HashEmbedder, VectorFunctions}
+import graft.functions.{EmbeddingProvider, HashEmbeddingProvider, VectorFunctions}
 import graft.sources.Ingestion
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -35,19 +35,26 @@ object MemEvalRunner {
 
   final case class Metrics(recall: Double, mrr: Double, ndcg: Double, n: Long)
 
-  def run(spark: SparkSession, path: String, k: Int): Metrics = {
+  def run(spark: SparkSession, path: String, k: Int,
+      provider: EmbeddingProvider = HashEmbeddingProvider): Metrics = {
     import spark.implicits._
     val corpus = Ingestion.loadBenchmarkJson(spark, path).cache()
+    // Executor-side batch embedding through the provider seam (V9): a
+    // real model impl amortizes its setup across each batch.
     val embedded = corpus
       .select(col("question_id"), col("answer_session_id"), col("session_id"), col("session_text"))
       .as[(Long, Long, Long, String)]
-      .mapPartitions(_.map { case (qid, ans, sid, text) =>
-        (qid, ans, sid, HashEmbedder.embed(text))
+      .mapPartitions(_.grouped(256).flatMap { batch =>
+        val vecs = provider.encodeBatch(batch.iterator.map(_._4)).toArray
+        batch.iterator.zipWithIndex.map { case ((qid, ans, sid, _), i) => (qid, ans, sid, vecs(i)) }
       })
       .toDF("question_id", "answer_session_id", "session_id", "embedding")
     val questions = corpus.select(col("question_id"), col("question")).distinct()
       .as[(Long, String)]
-      .map { case (qid, q) => (qid, HashEmbedder.embed(q)) }
+      .mapPartitions(_.grouped(256).flatMap { batch =>
+        val vecs = provider.encodeBatch(batch.iterator.map(_._2)).toArray
+        batch.iterator.zipWithIndex.map { case ((qid, _), i) => (qid, vecs(i)) }
+      })
       .toDF("q_id", "q_vec")
     val w = Window.partitionBy("question_id").orderBy(col("sim").desc, col("session_id"))
     val m = embedded

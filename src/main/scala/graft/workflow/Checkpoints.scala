@@ -39,14 +39,20 @@ object Checkpoints {
       .drop("rn")
   }
 
-  /** Parent chain from a checkpoint back to the root — iterative
-    * self-joins on parentCheckpointId (J10). Chains are short (one per
-    * sequence), so this is a bounded loop of point lookups.
+  /** Parent chain from a checkpoint back to the root (J10). A chain
+    * never crosses runs, so the lookup is one pushed-down point filter
+    * to resolve the run, then a collect of THAT run's checkpoints only
+    * (bounded by run length, not table size) and an in-memory walk.
     */
   def parentChain(checkpoints: Dataset[Checkpoint], fromId: String): Seq[Checkpoint] = {
-    val byId = checkpoints.collect().map(c => c.id -> c).toMap
-    Iterator.iterate(byId.get(fromId))(c => c.flatMap(_.parentCheckpointId).flatMap(byId.get))
-      .takeWhile(_.isDefined).flatten.toSeq
+    checkpoints.filter(col("id") === fromId).take(1).headOption match {
+      case None => Seq.empty
+      case Some(from) =>
+        val byId = checkpoints.filter(col("runId") === from.runId)
+          .collect().map(c => c.id -> c).toMap
+        Iterator.iterate(Option(from))(c => c.flatMap(_.parentCheckpointId).flatMap(byId.get))
+          .takeWhile(_.isDefined).flatten.toSeq
+    }
   }
 
   /** Merge parallel branch states key-wise with named reducers

@@ -27,6 +27,7 @@ class CheckpointsSpec extends SparkSpec {
   test("parent chain walks back to the root") {
     assert(Checkpoints.parentChain(cps, "c2").map(_.id) == Seq("c2", "c1"))
     assert(Checkpoints.parentChain(cps, "c4").map(_.id) == Seq("c4"))
+    assert(Checkpoints.parentChain(cps, "nope").isEmpty)
   }
 
   test("state hash is deterministic sha256 of the state") {
