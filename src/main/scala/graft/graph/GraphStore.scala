@@ -92,6 +92,47 @@ final class GraphStore(
     visited.orderBy("hop", "entity_id")
   }
 
+  /** BFS with path collection (store.py:561-676 returns the traversal
+    * path per reached entity, not just the hop count): each frontier
+    * row carries its path as an array column, extended per hop. One
+    * deterministic path per entity — minimum hop, then lexicographically
+    * smallest path. Paths are bounded by maxHops (≤ 3 in the
+    * reference), so the array column stays tiny at any corpus scale.
+    */
+  def bfsPaths(seeds: Seq[String], maxHops: Int, relationType: Option[String] = None): DataFrame = {
+    val edges0 = relationType
+      .map(t => relationships.filter(col("relationType") === t))
+      .getOrElse(relationships)
+      .select(col("sourceId").as("src"), col("targetId").as("dst"))
+    val edges = edges0.union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+
+    var visited = seeds.toDF("entity_id")
+      .withColumn("hop", lit(0))
+      .withColumn("path", array(col("entity_id")))
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val w = Window.partitionBy("entity_id").orderBy("path")
+      val next = frontier
+        .join(edges, col("entity_id") === col("src"))
+        .select(col("dst").as("entity_id"),
+          concat(col("path"), array(col("dst"))).as("path"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .join(visited.select(col("entity_id").as("seen")),
+          col("entity_id") === col("seen"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .select("entity_id", "hop", "path")
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited.orderBy("hop", "entity_id")
+  }
+
   /** Neighborhood query: find entities by name/type, traverse, return
     * reached entities with their hop (the reference's graph query
     * surface, store.py:121-134).

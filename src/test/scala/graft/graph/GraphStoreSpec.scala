@@ -42,6 +42,30 @@ class GraphStoreSpec extends SparkSpec {
     assert(all == Set("a", "b", "c", "d", "e"))
   }
 
+  test("bfsPaths records the traversal path per reached entity") {
+    val paths = g.bfsPaths(Seq("a"), maxHops = 3).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(paths("a") == Seq("a"))
+    assert(paths("b") == Seq("a", "b"))
+    assert(paths("c") == Seq("a", "b", "c"))
+    assert(paths("d") == Seq("a", "b", "c", "d"))
+    assert(paths("e") == Seq("a", "e"))
+  }
+
+  test("bfsPaths picks one deterministic shortest path on diamonds") {
+    import spark.implicits._
+    // a→b→d and a→c→d: both 2 hops; the lexicographically smaller
+    // path (through b) must win.
+    val rels = Seq(
+      Relationship("x1", "a", "b", "knows", 1.0, None, None),
+      Relationship("x2", "a", "c", "knows", 1.0, None, None),
+      Relationship("x3", "b", "d", "knows", 1.0, None, None),
+      Relationship("x4", "c", "d", "knows", 1.0, None, None)).toDS()
+    val paths = new GraphStore(g.entities, rels).bfsPaths(Seq("a"), maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(paths("d") == Seq("a", "b", "d"))
+  }
+
   test("query finds seeds by name pattern and annotates reachability") {
     val out = g.query("^ali", maxHops = 1).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
