@@ -62,15 +62,31 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  // V8 cross-encoder re-rank stage (rows-only: the scorer is an
-  // executor-side stub, not ANSI-SQL-expressible).
+  // V8 cross-encoder re-rank stage through the CrossScorer seam. The
+  // default lexical scorer (token-set cosine) is deterministic and
+  // ANSI-SQL-expressible, so this stage is oracle-checked; a model
+  // scorer slots into the same mapPartitions shape.
   private def crossencoderRerank(s: SparkSession, dir: String): DataFrame =
     graft.retrieval.CrossEncoder.rerank(
       s, Tables.documents(s, dir), "doc_id", "text",
-      query = "spark join data query").limit(20)
+      query = "spark join data query")
+      .withColumn("ce_score", round(col("ce_score"), 6))
+      .orderBy(col("ce_score").desc, col("doc_id"))
+      .limit(20)
+
+  private val crossencoderRerankSql =
+    """SELECT doc_id,
+      |  round(CASE WHEN len(t) = 0 THEN 0.0::DOUBLE
+      |    ELSE len(list_filter(t, x -> x IN ('spark', 'join', 'data', 'query')))::DOUBLE
+      |         / sqrt(4.0 * len(t)) END, 6) AS ce_score
+      |FROM (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+      |  FROM documents)
+      |ORDER BY ce_score DESC, doc_id LIMIT 20""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Q("q_multimodal_decode", multimodalDecode, None),
-    Q("q_crossencoder_rerank", crossencoderRerank, None))
+    Q("q_crossencoder_rerank", crossencoderRerank, Some(crossencoderRerankSql)))
 }

@@ -22,8 +22,10 @@ class OperatorSmokeSpec extends SparkSpec {
 
   test("every query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // mapPartitions-based ops are the only rows-only entries.
-    assert(noOracle == Set("q_multimodal_decode", "q_crossencoder_rerank", "q_mmr_rerank"))
+    // mapPartitions-based ops are the only rows-only entries (the
+    // cross-encoder rerank gained an oracle when its default scorer
+    // became the SQL-expressible lexical cosine).
+    assert(noOracle == Set("q_multimodal_decode", "q_mmr_rerank"))
   }
 
   test("flagship entry returns ranked rows") {
