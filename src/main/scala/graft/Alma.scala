@@ -166,6 +166,117 @@ final class Alma(
     cache.invalidateWhere(_ => true)
   }
 
+  /** Store a user preference (core.py:382-411). */
+  def addUserPreference(userId: String, category: String, preference: String,
+      source: String, confidence: Double, asOf: Timestamp): UserPreference = {
+    val p = UserPreference(
+      id = UUID.randomUUID().toString,
+      userId = userId, category = category, preference = preference,
+      source = source, confidence = confidence, timestamp = now(asOf),
+      metadata = Map.empty)
+    store.savePreferences(Seq(p))
+    cache.invalidateWhere(_ => true)
+    p
+  }
+
+  /** Store a domain fact (core.py:413-453). */
+  def addDomainKnowledge(agent: String, domain: String, fact: String,
+      source: String, confidence: Double, asOf: Timestamp): DomainKnowledge = {
+    val k = DomainKnowledge(
+      id = UUID.randomUUID().toString,
+      agent = agent, projectId = projectId,
+      domain = domain, fact = fact, source = source,
+      confidence = confidence, lastVerified = now(asOf),
+      embedding = HashEmbedder.embed(s"$domain $fact", embedDim),
+      metadata = Map.empty)
+    store.saveKnowledge(Seq(k))
+    cache.invalidateWhere(_.startsWith(cache.nsPrefix(cacheNamespace(agent))))
+    k
+  }
+
+  /** Prune stale outcomes and low-confidence heuristics (core.py:456-512
+    * forget; learning-side semantics forgetting.py): both prunes are
+    * distributed predicate deletes (count + complement snapshot
+    * rewrite), never a driver-side partition of the table. Returns the
+    * number of rows removed.
+    */
+  def forget(asOf: Timestamp, agent: Option[String] = None,
+      olderThanDays: Int = 90, belowConfidence: Double = 0.3): Long = {
+    val cutoff = new Timestamp(asOf.getTime - olderThanDays * 86400000L)
+    val agentCond = agent.map(a => col("agent") === a).getOrElse(lit(true))
+    val pruned =
+      store.deleteWhere(MemoryType.Outcomes,
+        col("projectId") === projectId && agentCond && col("timestamp") < lit(cutoff)) +
+        store.deleteWhere(MemoryType.Heuristics,
+          col("projectId") === projectId && agentCond && col("confidence") < belowConfidence)
+    if (pruned > 0) agent match {
+      case Some(a) => cache.invalidateWhere(_.startsWith(cache.nsPrefix(cacheNamespace(a))))
+      case None => cache.invalidateWhere(_ => true)
+    }
+    pruned
+  }
+
+  /** Per-type memory counts for this project, optionally narrowed to
+    * one agent (core.py:514-537 get_stats; preferences are user-keyed,
+    * so the agent filter applies to the agent-keyed collections only).
+    */
+  def getStats(agent: Option[String] = None): Map[String, Long] = agent match {
+    case None => store.stats(Some(projectId))
+    case Some(a) => Map(
+      MemoryType.Heuristics -> store.heuristics(Some(projectId), Seq(a)).count(),
+      MemoryType.Outcomes -> store.outcomes(Some(projectId), Seq(a)).count(),
+      MemoryType.Preferences -> store.preferences().count(),
+      MemoryType.Knowledge -> store.knowledge(Some(projectId), Seq(a)).count(),
+      MemoryType.AntiPatterns -> store.antiPatterns(Some(projectId), Seq(a)).count())
+  }
+
+  /** Link an external artifact to a memory (core.py:744-807): stored as
+    * a URL + integrity metadata row, never the payload itself.
+    */
+  def linkArtifact(memoryId: String, artifactType: String, storageUrl: String,
+      asOf: Timestamp, filename: Option[String] = None,
+      mimeType: Option[String] = None, sizeBytes: Option[Long] = None,
+      checksum: Option[String] = None): ArtifactRef = {
+    val a = ArtifactRef(
+      id = UUID.randomUUID().toString,
+      memoryId = memoryId, artifactType = artifactType,
+      storageUrl = storageUrl, filename = filename, mimeType = mimeType,
+      sizeBytes = sizeBytes, checksum = checksum,
+      createdAt = now(asOf), metadata = Map.empty)
+    store.saveArtifacts(Seq(a))
+    a
+  }
+
+  /** Artifacts linked to a memory (core.py:809-819 get_artifacts). */
+  def getArtifacts(memoryId: String): Seq[ArtifactRef] =
+    store.artifacts(Some(memoryId)).collect().toSeq.sortBy(_.id)
+
+  /** Record what a whole workflow run learned (core.py:652-741). */
+  def learnFromWorkflow(agent: String, workflowId: String, runId: String,
+      result: String, summary: String, asOf: Timestamp,
+      strategiesUsed: Seq[String] = Nil,
+      successfulPatterns: Seq[String] = Nil,
+      failedPatterns: Seq[String] = Nil,
+      durationSeconds: Option[Double] = None,
+      nodeCount: Option[Long] = None,
+      errorMessage: Option[String] = None): WorkflowOutcome = {
+    require(Seq("success", "failure", "partial", "cancelled", "timeout").contains(result),
+      s"invalid workflow result: $result")
+    val w = WorkflowOutcome(
+      id = UUID.randomUUID().toString,
+      agent = agent, projectId = projectId,
+      workflowId = workflowId, runId = runId,
+      result = result, summary = summary,
+      strategiesUsed = strategiesUsed,
+      successfulPatterns = successfulPatterns,
+      failedPatterns = failedPatterns,
+      durationSeconds = durationSeconds, nodeCount = nodeCount,
+      errorMessage = errorMessage, createdAt = now(asOf), metadata = Map.empty)
+    store.saveWorkflowOutcomes(Seq(w))
+    cache.invalidateWhere(_.startsWith(cache.nsPrefix(cacheNamespace(agent))))
+    w
+  }
+
   // ---- §3.1 the read path ----------------------------------------------
   /** filter → similarity → 4-factor score → (mode boosts) → threshold →
     * top-k (→ MMR when the mode asks for diversity) per memory type →

@@ -95,6 +95,43 @@ object FeedbackSignal {
   val ThumbsDown = "thumbs_down"
 }
 
+/** External artifact reference (reference: alma/workflow/artifacts.py +
+  * core.py:744-830 link_artifact/get_artifacts): artifacts live in
+  * object storage; memories carry URLs + integrity metadata only.
+  */
+final case class ArtifactRef(
+    id: String,
+    memoryId: String,
+    artifactType: String,
+    storageUrl: String,
+    filename: Option[String],
+    mimeType: Option[String],
+    sizeBytes: Option[Long],
+    checksum: Option[String],
+    createdAt: Timestamp,
+    metadata: Map[String, String])
+
+/** Workflow-level outcome (reference: alma/workflow/outcome.py model,
+  * core.py:652-741 learn_from_workflow): what a whole run learned —
+  * result status, strategies, and pattern lists.
+  */
+final case class WorkflowOutcome(
+    id: String,
+    agent: String,
+    projectId: String,
+    workflowId: String,
+    runId: String,
+    result: String,
+    summary: String,
+    strategiesUsed: Seq[String],
+    successfulPatterns: Seq[String],
+    failedPatterns: Seq[String],
+    durationSeconds: Option[Double],
+    nodeCount: Option[Long],
+    errorMessage: Option[String],
+    createdAt: Timestamp,
+    metadata: Map[String, String])
+
 /** Memory type discriminators (alma/types.py:16-23). */
 object MemoryType {
   val Heuristics = "heuristics"
@@ -102,8 +139,12 @@ object MemoryType {
   val Preferences = "preferences"
   val Knowledge = "knowledge"
   val AntiPatterns = "anti_patterns"
-  /** Side table (not a memory collection): the retrieval feedback log. */
+  /** Side tables (not memory collections): feedback log, artifact
+    * registry, workflow outcomes.
+    */
   val Feedback = "retrieval_feedback"
+  val Artifacts = "artifacts"
+  val WorkflowOutcomes = "workflow_outcomes"
   val All: Seq[String] = Seq(Heuristics, Outcomes, Preferences, Knowledge, AntiPatterns)
 }
 

@@ -94,6 +94,23 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     case MemoryType.Knowledge => spark.emptyDataset[DomainKnowledge].toDF()
     case MemoryType.AntiPatterns => spark.emptyDataset[AntiPattern].toDF()
     case MemoryType.Feedback => spark.emptyDataset[RetrievalFeedback].toDF()
+    case MemoryType.Artifacts => spark.emptyDataset[ArtifactRef].toDF()
+    case MemoryType.WorkflowOutcomes => spark.emptyDataset[WorkflowOutcome].toDF()
+  }
+
+  // ---- delete (forget maintenance) --------------------------------------
+  /** Delete rows matching `cond`: one count + one snapshot rewrite of
+    * the complement, both distributed (reference forget path,
+    * learning/forgetting.py — prune stale / low-confidence memories).
+    * Null predicate results keep the row (only a definite match dies).
+    */
+  def deleteWhere(memoryType: String, cond: Column): Long = {
+    if (!exists(memoryType)) return 0L
+    val live = spark.read.parquet(path(memoryType))
+    val matched = live.filter(coalesce(cond, lit(false))).count()
+    if (matched > 0)
+      overwrite(live.filter(coalesce(cond, lit(false)) === false), memoryType)
+    matched
   }
 
   // ---- upsert (S4/A3) ---------------------------------------------------
@@ -275,6 +292,27 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
           .otherwise((col("n_used") + col("n_up") - col("n_ignored") - col("n_down")).cast("double") / total)
           .as("feedback_score"))
   }
+
+  // ---- artifacts (J6 write path) ----------------------------------------
+  def saveArtifacts(rows: Seq[ArtifactRef]): Unit =
+    append(rows.toDS().toDF(), MemoryType.Artifacts)
+
+  /** Artifact registry, optionally filtered to one memory (the J6
+    * lookup's point form — the id predicate pushes to the scan).
+    */
+  def artifacts(memoryId: Option[String] = None): Dataset[ArtifactRef] = {
+    val df = if (exists(MemoryType.Artifacts))
+      spark.read.parquet(path(MemoryType.Artifacts))
+    else emptyOf(MemoryType.Artifacts)
+    memoryId.fold(df)(m => df.filter(col("memoryId") === m)).as[ArtifactRef]
+  }
+
+  // ---- workflow outcomes ------------------------------------------------
+  def saveWorkflowOutcomes(rows: Seq[WorkflowOutcome]): Unit =
+    append(rows.toDS().toDF(), MemoryType.WorkflowOutcomes)
+
+  def workflowOutcomes(projectId: Option[String] = None): Dataset[WorkflowOutcome] =
+    scan(MemoryType.WorkflowOutcomes, projectId).as[WorkflowOutcome]
 
   // ---- stats (A4) -------------------------------------------------------
   def stats(projectId: Option[String] = None): Map[String, Long] =

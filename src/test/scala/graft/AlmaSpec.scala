@@ -281,4 +281,70 @@ class AlmaSpec extends SparkSpec {
     assert(st(MemoryType.Outcomes) == 1L)
     assert(st(MemoryType.Heuristics) == 0L)
   }
+
+  test("addUserPreference and addDomainKnowledge persist and retrieve") {
+    val alma = freshAlma()
+    alma.addUserPreference("user1", "style", "tabs over spaces", "explicit", 0.9,
+      asOf = ts("2024-01-01 00:00:00"))
+    alma.addDomainKnowledge("helena", "infra", "deploys freeze on fridays", "runbook", 0.8,
+      asOf = ts("2024-01-01 00:00:00"))
+    assert(alma.store.preferences().collect().head.preference == "tabs over spaces")
+    val k = alma.store.knowledge(Some("proj1"), Seq("helena")).collect().head
+    assert(k.fact == "deploys freeze on fridays" && k.domain == "infra")
+  }
+
+  test("forget prunes stale outcomes and low-confidence heuristics") {
+    val alma = freshAlma()
+    alma.learn("helena", "t", "old task", success = true, strategyUsed = "s1",
+      asOf = ts("2024-01-01 00:00:00"))
+    alma.learn("helena", "t", "fresh task", success = true, strategyUsed = "s2",
+      asOf = ts("2024-05-01 00:00:00"))
+    val t0 = ts("2024-05-01 00:00:00")
+    val emb = Array.fill(4)(0.5f)
+    alma.store.saveHeuristics(Seq(
+      Heuristic("weak", "helena", "proj1", "c", "s", 0.1, 1, 1, t0, t0, emb, Map.empty),
+      Heuristic("strong", "helena", "proj1", "c", "s", 0.9, 1, 1, t0, t0, emb, Map.empty)))
+    // 90-day window from 2024-05-15: the 2024-01-01 outcome and the 0.1
+    // heuristic go; the fresh outcome and the 0.9 heuristic stay.
+    val pruned = alma.forget(asOf = ts("2024-05-15 00:00:00"))
+    assert(pruned == 2L, s"pruned $pruned")
+    assert(alma.store.outcomes(Some("proj1")).collect().map(_.taskDescription).toSeq == Seq("fresh task"))
+    assert(alma.store.heuristics(Some("proj1")).collect().map(_.id).toSeq == Seq("strong"))
+  }
+
+  test("getStats narrows to one agent") {
+    val alma = freshAlma()
+    alma.learn("helena", "t", "d1", success = true, strategyUsed = "s",
+      asOf = ts("2024-01-01 00:00:00"))
+    alma.learn("marcus", "t", "d2", success = true, strategyUsed = "s",
+      asOf = ts("2024-01-01 00:00:00"))
+    assert(alma.getStats(Some("helena"))(MemoryType.Outcomes) == 1L)
+    assert(alma.getStats()(MemoryType.Outcomes) == 2L)
+  }
+
+  test("artifact link round-trips through the registry") {
+    val alma = freshAlma()
+    alma.linkArtifact("mem1", "screenshot", "s3://bucket/shot.png",
+      asOf = ts("2024-01-01 00:00:00"), filename = Some("shot.png"),
+      sizeBytes = Some(1024L))
+    alma.linkArtifact("mem2", "log", "s3://bucket/run.log",
+      asOf = ts("2024-01-01 00:00:00"))
+    val arts = alma.getArtifacts("mem1")
+    assert(arts.length == 1)
+    assert(arts.head.storageUrl == "s3://bucket/shot.png")
+    assert(arts.head.sizeBytes.contains(1024L))
+  }
+
+  test("learnFromWorkflow records the run outcome and validates result") {
+    val alma = freshAlma()
+    alma.learnFromWorkflow("helena", "wf1", "run1", "success",
+      "migrated the schema", asOf = ts("2024-01-01 00:00:00"),
+      strategiesUsed = Seq("expand-contract"), nodeCount = Some(7L))
+    val w = alma.store.workflowOutcomes(Some("proj1")).collect().head
+    assert(w.workflowId == "wf1" && w.result == "success" && w.nodeCount.contains(7L))
+    intercept[IllegalArgumentException] {
+      alma.learnFromWorkflow("helena", "wf1", "run2", "exploded",
+        "bad status", asOf = ts("2024-01-01 00:00:00"))
+    }
+  }
 }
