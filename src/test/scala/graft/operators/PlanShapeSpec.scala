@@ -55,6 +55,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("entity detection is one explode pass + one aggregation shuffle") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exec = SparkEntry.queries("q_entity_detect")(spark, Sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val generates = exec.collect { case g: GenerateExec => g }
+    assert(generates.length == 1, s"expected one explode, got ${generates.length}:\n$exec")
+    // Shuffles: the adaptive spread repartition (scan-side), the
+    // groupBy(name) aggregation, and the final orderBy range exchange —
+    // nothing else (in particular no join shuffle).
+    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 3, s"unexpected shuffles in entity detect:\n$exec")
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
+
+  test("format detection is a pure projection (no shuffle but the sort)") {
+    val p = plan("q_detect_format")
+    // get_json_object probes must not induce joins or aggregations:
+    // one scan, one project, one range exchange for the final orderBy.
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     // Candidate-pair generators are the risk surface; all must stay
     // bucket/block-local. (knn_batch and the IVF probe broadcast a
