@@ -158,6 +158,11 @@ final class Alma(
     */
   def recordFeedback(memoryId: String, memoryType: String, agent: String,
       signal: String, asOf: Timestamp): Unit = {
+    // An unknown signal would aggregate to a spurious neutral (0.0)
+    // feedback score and shift rankings — reject it at the door.
+    require(Seq(FeedbackSignal.Used, FeedbackSignal.Ignored,
+      FeedbackSignal.ThumbsUp, FeedbackSignal.ThumbsDown).contains(signal),
+      s"invalid feedback signal: $signal")
     store.saveFeedback(Seq(RetrievalFeedback(
       id = UUID.randomUUID().toString,
       memoryId = memoryId, memoryType = memoryType,
@@ -331,20 +336,26 @@ final class Alma(
           .otherwise(lit(1.0))
       val raw = df
         .withColumn("_sim", sim)
-        .withColumn("_raw_score", base * failB * exactB)
+        .withColumn("_base_score", base)
+      // Feedback blends into the BASE score (reference order:
+      // engine.py:328 applies feedback to scorer output; the boost path
+      // :561-571 multiplies afterwards). Blending after boosts would
+      // let a boosted raw > 1 row LOSE score to perfect feedback, since
+      // the feedback term is capped at 1.
       val blended = fbSummary match {
         case Some(fb) =>
           raw.join(broadcast(fb), col("id") === col("memoryId"), "left")
-            .withColumn("_score",
+            .withColumn("_fb_score",
               when(col("feedback_score").isNotNull,
-                lit(1.0 - Alma.FeedbackWeight) * col("_raw_score") +
+                lit(1.0 - Alma.FeedbackWeight) * col("_base_score") +
                   lit(Alma.FeedbackWeight) * (col("feedback_score") + lit(1.0)) / lit(2.0))
-                .otherwise(col("_raw_score")))
+                .otherwise(col("_base_score")))
             .drop("memoryId", "feedback_score")
-        case None => raw.withColumn("_score", col("_raw_score"))
+        case None => raw.withColumn("_fb_score", col("_base_score"))
       }
-      val scored = blended
-        .drop("_raw_score")
+      val boosted = blended.withColumn("_score", col("_fb_score") * failB * exactB)
+      val scored = boosted
+        .drop("_base_score", "_fb_score")
         .filter(col("_score") >= m.minScore)
         .orderBy(col("_score").desc, col("id"))
       if (m.diversity <= 0.0) scored.limit(k).drop("_score", "_sim")

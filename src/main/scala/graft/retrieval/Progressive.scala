@@ -45,14 +45,16 @@ final class Progressive(store: MemoryStore, maxSummaryLength: Int = 100) {
       hit
     }
 
-  /** Batch fetch-on-demand: one isin-pruned scan for all uncached ids. */
+  /** Batch fetch-on-demand: one isin-pruned scan for all uncached ids;
+    * results come back in request order.
+    */
   def fullItems(memoryType: String, ids: Seq[String]): Seq[Row] = {
-    val (cached, missing) = ids.partition(id => cache.contains((memoryType, id)))
+    val missing = ids.filterNot(id => cache.contains((memoryType, id)))
     if (missing.nonEmpty) {
       tableOf(memoryType).filter(col("id").isin(missing: _*)).collect()
         .foreach(r => cache((memoryType, r.getAs[String]("id"))) = r)
     }
-    (cached ++ missing).flatMap(id => cache.get((memoryType, id)))
+    ids.flatMap(id => cache.get((memoryType, id)))
   }
 
   def clearCache(): Unit = cache.clear()

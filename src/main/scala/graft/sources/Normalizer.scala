@@ -75,15 +75,13 @@ object Normalizer {
     else tryNormalizeJson(content).getOrElse(content)
   }
 
-  /** Distributed normalize: adds `fmt` and `transcript` columns. */
+  /** Distributed normalize: adds `fmt` and `transcript` columns. The
+    * single udf call is per-row scalar work; detection stays codegen'd.
+    */
   def normalizeDocuments(df: DataFrame, contentCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val idx = df.schema.fieldIndex(contentCol)
-    val withFmt = df.withColumn("fmt", detectFormat(col(contentCol)))
     val norm = udf((s: String) => normalizeText(s))
-    // The single udf call is per-row scalar work; detection stays codegen'd.
-    withFmt.withColumn("transcript", norm(col(contentCol)))
+    df.withColumn("fmt", detectFormat(col(contentCol)))
+      .withColumn("transcript", norm(col(contentCol)))
   }
 
   private def tryNormalizeJson(content: String): Option[String] =
@@ -188,12 +186,16 @@ object Normalizer {
 
   private def tryChatgptJson(data: JValue): Option[String] = data match {
     case o: JObject if (o \ "mapping").isInstanceOf[JObject] =>
-      val mapping = (o \ "mapping").asInstanceOf[JObject].obj.toMap
+      // Keep the export's field order (like Python's insertion-ordered
+      // dict): with several parentless nodes, the FIRST one in the file
+      // is the root, deterministically.
+      val entries = (o \ "mapping").asInstanceOf[JObject].obj
+      val mapping = entries.collect { case (id, n: JObject) => id -> n }.toMap
       // Missing and explicit-null both mean "no parent" (Python .get).
       val noVal = (v: JValue) => v == JNull || v == JNothing
-      val root = mapping.collectFirst {
+      val root = entries.collectFirst {
         case (id, n: JObject) if noVal(n \ "parent") && noVal(n \ "message") => id
-      }.orElse(mapping.collectFirst {
+      }.orElse(entries.collectFirst {
         case (id, n: JObject) if noVal(n \ "parent") => id
       })
       val msgs = Iterator.iterate(root) { cur =>

@@ -63,9 +63,12 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     if (!exists(memoryType))
       return emptyOf(memoryType)
     var df = spark.read.parquet(path(memoryType))
-    projectId.foreach(p => df = df.filter(col("projectId") === p))
-    if (agents.nonEmpty) df = df.filter(col("agent").isin(agents: _*))
-    minConfidence.foreach(c => df = df.filter(col("confidence") >= c))
+    // User-keyed tables (preferences) carry no projectId/agent column;
+    // a predicate on a column the schema lacks is skipped, not an error.
+    val cols = df.columns.toSet
+    if (cols.contains("projectId")) projectId.foreach(p => df = df.filter(col("projectId") === p))
+    if (agents.nonEmpty && cols.contains("agent")) df = df.filter(col("agent").isin(agents: _*))
+    if (cols.contains("confidence")) minConfidence.foreach(c => df = df.filter(col("confidence") >= c))
     df
   }
 
@@ -135,13 +138,20 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
       addCounts: Boolean,
       insertFilter: Option[Column] = None): Unit = {
     val cur = heuristics().toDF()
-    val gated = insertFilter match {
+    val gated0 = insertFilter match {
       case Some(f) =>
         val curIds = cur.select("id")
         incoming.join(curIds, Seq("id"), "left_semi")
           .unionByName(incoming.join(curIds, Seq("id"), "left_anti").filter(f))
       case None => incoming
     }
+    // Materialize once: the incoming plan (an aggregate + per-row
+    // hash/embed work) would otherwise re-execute for every action of
+    // the overwrite. And when nothing survives the gate there are no
+    // inserts AND no updates — skip the snapshot rewrite entirely
+    // (every learn() call lands here, most with no promotable change).
+    val gated = gated0.localCheckpoint(true)
+    if (gated.isEmpty) return
     val inc = gated.columns.foldLeft(gated)((d, n) => d.withColumnRenamed(n, "_i_" + n))
     val joined = cur.join(inc, col("id") === col("_i_id"), "full_outer")
     def take(n: String) = coalesce(col("_i_" + n), col(n)).as(n)
@@ -227,13 +237,17 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
   def archiveIds(memoryType: String, ids: DataFrame, reason: String, asOfUs: Long): Unit = {
     if (!exists(memoryType)) return
     val live = spark.read.parquet(path(memoryType))
-    val key = ids.select(col(ids.columns.head).as("id"))
-    val toArchive = live.join(broadcast(key), Seq("id"), "left_semi")
+    // Materialize the id set once (it is often a window/overflow plan
+    // that would re-execute per join), and let AQE pick the join
+    // strategy — a forced broadcast would build the whole id set on the
+    // driver, which caps out exactly like a collect() at 100 TB.
+    val key = ids.select(col(ids.columns.head).as("id")).localCheckpoint(true)
+    val toArchive = live.join(key, Seq("id"), "left_semi")
       .withColumn("reason", lit(reason))
       .withColumn("archived_at_us", lit(asOfUs))
     if (!toArchive.isEmpty) {
       toArchive.write.mode(SaveMode.Append).parquet(s"$root/archive/$memoryType")
-      overwrite(live.join(broadcast(key), Seq("id"), "left_anti"), memoryType)
+      overwrite(live.join(key, Seq("id"), "left_anti"), memoryType)
     }
   }
 

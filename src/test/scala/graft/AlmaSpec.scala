@@ -282,6 +282,45 @@ class AlmaSpec extends SparkSpec {
     assert(st(MemoryType.Heuristics) == 0L)
   }
 
+  test("getStats works once preferences exist (no projectId column there)") {
+    val alma = freshAlma()
+    alma.addUserPreference("user1", "style", "short answers", "explicit", 0.9,
+      asOf = ts("2024-01-01 00:00:00"))
+    val st = alma.getStats()
+    assert(st(MemoryType.Preferences) == 1L)
+    assert(alma.getStats(Some("helena"))(MemoryType.Preferences) == 1L)
+  }
+
+  test("thumbs-up feedback never demotes a boosted top result") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", s"deploy v$i", success = true,
+        strategyUsed = "canary rollout", asOf = ts(s"2024-01-0$i 10:00:00"))
+      alma.learn("helena", "deploy", s"restart v$i", success = true,
+        strategyUsed = "blue green switch", asOf = ts(s"2024-01-0$i 11:00:00"))
+    }
+    val asOf = ts("2024-02-01 00:00:00")
+    val before = alma.retrieve("canary rollout deploy", "helena", asOf).heuristics
+    assert(before.nonEmpty)
+    val top = before.head.id
+    // Perfect feedback on the winner: with the blend applied to the
+    // base score (before boosts), endorsement can only help.
+    (1 to 4).foreach(_ => alma.recordFeedback(top, MemoryType.Heuristics,
+      "helena", FeedbackSignal.ThumbsUp, asOf))
+    val after = alma.retrieve("canary rollout deploy", "helena",
+      ts("2024-02-01 00:00:01")).heuristics
+    assert(after.head.id == top,
+      s"endorsed top result was demoted: ${after.map(_.id)}")
+  }
+
+  test("recordFeedback rejects unknown signals") {
+    val alma = freshAlma()
+    intercept[IllegalArgumentException] {
+      alma.recordFeedback("m1", MemoryType.Heuristics, "helena", "thumbsup",
+        asOf = ts("2024-01-01 00:00:00"))
+    }
+  }
+
   test("addUserPreference and addDomainKnowledge persist and retrieve") {
     val alma = freshAlma()
     alma.addUserPreference("user1", "style", "tabs over spaces", "explicit", 0.9,

@@ -70,5 +70,10 @@ class ProgressiveSpec extends SparkSpec {
     prog.clearCache()
     val items = prog.fullItems(MemoryType.Heuristics, Seq("h2", "h1"))
     assert(items.map(_.getAs[String]("id")) == Seq("h2", "h1"))
+    // Order holds with a partially-warm cache too (h1 cached, h2 not).
+    prog.clearCache()
+    prog.fullItem(MemoryType.Heuristics, "h1")
+    val mixed = prog.fullItems(MemoryType.Heuristics, Seq("h2", "h1"))
+    assert(mixed.map(_.getAs[String]("id")) == Seq("h2", "h1"))
   }
 }
