@@ -26,16 +26,24 @@ object ScalePatterns {
   // cosine top-5 inside the query's cell only.
   private def annIvfProbe(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val elems = e.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").cast("double").as("x"))
     val centroids = e.select(col("label"), posexplode(col("embedding")))
       .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
         col("col").cast("double").as("x"))
       .groupBy("label", "pos").agg(avg("x").as("c"))
-    val dist = elems.join(centroids, Seq("pos"))
-      .groupBy("vec_id", "label")
-      .agg(round(sum(pow(col("x") - col("c"), 2)), 6).as("dist2"))
+    // Centroids as dense vectors (pos-ordered), broadcast: the distance
+    // stage is then vectors × |cells| rows each folding one 64-dim
+    // array — not an exploded (vector·dim) ⋈ centroid join whose
+    // aggregate would shuffle |vectors|·|cells|·dim rows.
+    val cent = centroids.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x("c")).as("cvec"))
+    val dist = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        round(aggregate(
+          zip_with(col("embedding"), col("cvec"),
+            (a, b) => pow(a.cast("double") - b, lit(2))),
+          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("label"))
     val assigned = dist
       .withColumn("rn", row_number().over(w))
