@@ -64,6 +64,24 @@ object StreamingLearn {
       }
   }
 
+  /** One ingested document on the stream (the streaming ingest shape of
+    * the training-data pipeline).
+    */
+  final case class DocEvent(docId: Long, text: String, ts: Timestamp)
+
+  /** Streaming exact dedup by content fingerprint — the streaming form
+    * of the batch exact-dedup pass (Dedup, `q_dedup_exact`). State is
+    * BOUNDED: `dropDuplicatesWithinWatermark` evicts fingerprints once
+    * the watermark passes them, so dedup state tracks the lateness
+    * horizon, not the corpus — the property that keeps this runnable
+    * against an unbounded 100 TB ingest firehose.
+    */
+  def dedupDocuments(docs: Dataset[DocEvent], lateness: String = "10 minutes"): DataFrame =
+    docs.toDF()
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Wire a streaming source through the windowed aggregation to an
     * in-memory sink (used by tests and as the deployment template: swap
     * the source for kafka/files and the sink for a Parquet/foreachBatch

@@ -76,4 +76,24 @@ class StreamingLearnSpec extends SparkSpec {
       assert(r.getAs[Double]("confidence") == 1.0)
     } finally query.stop()
   }
+
+  test("streaming dedup keeps one row per content fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[DocEvent]
+    val query = dedupDocuments(input.toDS()).writeStream
+      .format("memory").queryName("dedup_docs").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        DocEvent(1L, "the same document", ts("2024-01-01 10:00:00")),
+        DocEvent(2L, "the same document", ts("2024-01-01 10:01:00")),
+        DocEvent(3L, "a different document", ts("2024-01-01 10:02:00")))
+      query.processAllAvailable()
+      // A later-batch duplicate inside the lateness horizon also drops.
+      input.addData(DocEvent(4L, "the same document", ts("2024-01-01 10:03:00")))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_docs").collect().map(_.getAs[Long]("docId")).toSet
+      assert(kept == Set(1L, 3L), s"got $kept")
+    } finally query.stop()
+  }
 }
