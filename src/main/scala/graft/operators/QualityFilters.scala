@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data quality filters beyond the reference: PII scrubbing
+  * and repetition-based document filters (the C4/Gopher-style rules a
+  * 100 TB pretraining pipeline applies before anything else). All
+  * column expressions or narrow explode + per-doc aggregates — no
+  * cross-document shuffle, embarrassingly parallel.
+  */
+object QualityFilters {
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private val UrlRe = "https?://[^ ]+"
+
+  // -------------------------------------------------------------------
+  // PII scrub: count + redact emails/phones/URLs in one projection.
+  // The corpus is synthetic word soup, so the query plants deterministic
+  // PII per document first (doc-keyed address/phone/url), then the
+  // scrubber — the part under test — finds and redacts it.
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" or call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" see https://example.com/doc/"), col("doc_id")))
+        .otherwise(lit("")))
+    // lit() patterns, not expr() SQL strings: the SQL parser would eat
+    // the regex backslashes (\b → backspace).
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("raw"),
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), UrlRe, "<URL>")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), planted.as("raw"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        size(regexp_extract_all(col("raw"), lit(UrlRe), lit(0))).cast("long").as("n_url"),
+        // right(s, 60) semantics, exact for short strings too.
+        scrubbed.substr(greatest(length(scrubbed) - lit(59), lit(1)), lit(60)).as("scrubbed_tail"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com'
+       |      || (CASE WHEN doc_id % 2 = 0
+       |          THEN ' or call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END)
+       |      || (CASE WHEN doc_id % 3 = 0
+       |          THEN ' see https://example.com/doc/' || doc_id ELSE '' END) AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(raw, '$EmailRe'))::BIGINT AS n_email,
+       |  len(regexp_extract_all(raw, '$PhoneRe'))::BIGINT AS n_phone,
+       |  len(regexp_extract_all(raw, '$UrlRe'))::BIGINT AS n_url,
+       |  right(regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$UrlRe', '<URL>', 'g'),
+       |    60) AS scrubbed_tail
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Repetition filters (Gopher-style): distinct-token ratio and the
+  // most-frequent-token mass fraction; keep = both under threshold.
+  private def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val w = Window.partitionBy("doc_id")
+    val perTok = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .withColumn("n_tokens", sum("n").over(w))
+      .withColumn("top_n", max("n").over(w))
+    perTok.groupBy("doc_id")
+      .agg(
+        first("n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        first("top_n").as("top_n"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6).as("dup_frac"),
+        round(col("top_n").cast("double") / col("n_tokens"), 6).as("top_token_frac"),
+        (col("n_distinct").cast("double") / col("n_tokens") > 0.5 &&
+          col("top_n").cast("double") / col("n_tokens") < 0.1).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionFilterSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |pt AS (
+      |  SELECT doc_id, t, count(*)::BIGINT AS n FROM tok GROUP BY doc_id, t),
+      |agg AS (
+      |  SELECT doc_id, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+      |    max(n)::BIGINT AS top_n
+      |  FROM pt GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  round(1.0::DOUBLE - n_distinct::DOUBLE / n_tokens, 6) AS dup_frac,
+      |  round(top_n::DOUBLE / n_tokens, 6) AS top_token_frac,
+      |  (n_distinct::DOUBLE / n_tokens > 0.5 AND top_n::DOUBLE / n_tokens < 0.1) AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
+    Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)))
+}
