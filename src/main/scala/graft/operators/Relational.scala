@@ -316,6 +316,52 @@ object Relational {
       |JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_custkey <> 1 ORDER BY o_custkey""".stripMargin
 
+  // J7 path-collecting BFS (store.py:561-676 returns paths): the
+  // supplier→nation→region membership chain as an undirected graph,
+  // walked 3 hops from supplier S1 through GraphStore.bfsPaths. The
+  // oracle enumerates simple paths with a recursive CTE and keeps the
+  // (min hop, lexicographically-min path) row per entity — provably the
+  // same selection the greedy per-hop frontier makes.
+  private def graphPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select(concat(lit("S"), col("s_suppkey")).as("src"),
+        concat(lit("N"), col("s_nationkey")).as("dst"))
+    val nat = Tables.nation(s, dir)
+      .select(concat(lit("N"), col("n_nationkey")).as("src"),
+        concat(lit("R"), col("n_regionkey")).as("dst"))
+    val rels = sup.unionByName(nat)
+      .select(concat(col("src"), lit("-"), col("dst")).as("id"),
+        col("src").as("sourceId"), col("dst").as("targetId"),
+        lit("in").as("relationType"), lit(1.0).as("confidence"),
+        lit(null).cast("timestamp").as("validFrom"),
+        lit(null).cast("timestamp").as("validTo"))
+      .as[graft.graph.Relationship]
+    val g = new graft.graph.GraphStore(s.emptyDataset[graft.graph.Entity], rels)
+    g.bfsPaths(Seq("S1"), maxHops = 3)
+      .select(col("entity_id"), col("hop"),
+        array_join(col("path"), "->").as("path"))
+      .orderBy("hop", "entity_id")
+  }
+
+  private val graphPathsSql =
+    """WITH RECURSIVE edges AS (
+      |  SELECT 'S' || s_suppkey AS src, 'N' || s_nationkey AS dst FROM supplier
+      |  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+      |walk(entity_id, hop, path) AS (
+      |  SELECT 'S1', 0, ['S1']
+      |  UNION ALL
+      |  SELECT u.dst, w.hop + 1, list_append(w.path, u.dst)
+      |  FROM walk w JOIN und u ON u.src = w.entity_id
+      |  WHERE w.hop < 3 AND NOT list_contains(w.path, u.dst)),
+      |best AS (
+      |  SELECT entity_id, hop, path,
+      |    row_number() OVER (PARTITION BY entity_id ORDER BY hop, path) AS rn
+      |  FROM walk)
+      |SELECT entity_id, hop::INT AS hop, array_to_string(path, '->') AS path
+      |FROM best WHERE rn = 1 ORDER BY hop, entity_id""".stripMargin
+
   // §2.9 scalar-function pack: string ops + chars/4 token estimator +
   // md5 fingerprint (the reference's tokenizer estimate and cache keys).
   private def scalarPack(s: SparkSession, dir: String): DataFrame =
@@ -369,6 +415,7 @@ object Relational {
     Q("q_except_set", exceptSet, Some(exceptSetSql)),
     Q("q_asof_join", asofJoin, Some(asofJoinSql)),
     Q("q_graph_2hop", graphTwoHop, Some(graphTwoHopSql)),
+    Q("q_graph_paths", graphPaths, Some(graphPathsSql)),
     Q("q_scalar_pack", scalarPack, Some(scalarPackSql)),
     Q("q_json_get", jsonGet, Some(jsonGetSql)))
 }
