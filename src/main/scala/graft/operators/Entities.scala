@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Entities {
 
   private val NameRe = "[A-Z][a-z0-9]{1,19}"
-  private[operators] val CandRe = s"\\b($NameRe)\\b"
+  private val CandRe = s"\\b($NameRe)\\b"
   private val DiaRe = s"^($NameRe):\\s"
   private val PvRe = s"\\b($NameRe)\\s+(?:said|asked|told|replied|laughed|smiled|cried|felt|thinks?|wants?|loves?|hates?|knows?|decided|pushed|wrote)\\b"
   private val DirRe = s"\\b(?:hey|hi|thanks?|dear)\\s+($NameRe)\\b"

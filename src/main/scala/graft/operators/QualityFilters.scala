@@ -3,7 +3,6 @@ package graft.operators
 import graft.Q
 import graft.io.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data quality filters beyond the reference: PII scrubbing
@@ -72,15 +71,12 @@ object QualityFilters {
   private def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-    val w = Window.partitionBy("doc_id")
-    val perTok = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
-      .withColumn("n_tokens", sum("n").over(w))
-      .withColumn("top_n", max("n").over(w))
-    perTok.groupBy("doc_id")
+    tok.groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
       .agg(
-        first("n_tokens").as("n_tokens"),
+        sum("n").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        first("top_n").as("top_n"))
+        max("n").as("top_n"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6).as("dup_frac"),

@@ -38,9 +38,10 @@ object Normalizer {
     * probes, else plain text).
     */
   def detectFormat(content: Column): Column = {
-    val lines = slice(split(content, "\n"), 1, 20)
+    val allLines = split(content, "\n")
+    val lines = slice(allLines, 1, 20)
     val transcript =
-      size(filter(split(content, "\n"), l => ltrim(l).startsWith(">"))) >= 3
+      size(filter(allLines, l => ltrim(l).startsWith(">"))) >= 3
     val jsonish = ltrim(content).startsWith("{") || ltrim(content).startsWith("[")
     val claudeCode = exists(lines,
       l => get_json_object(l, "$.type").isin("human", "user", "assistant"))
