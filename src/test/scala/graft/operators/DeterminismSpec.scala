@@ -14,7 +14,8 @@ class DeterminismSpec extends SparkSpec {
     "q_topk", "q_window_latest", "q_knn_cosine", "q_knn_batch",
     "q_dedup_minhash_lsh", "q_consolidate_merge", "q_rrf_fusion",
     "q_feedback_rerank", "q_mmr_rerank", "q_ann_ivf_probe",
-    "q_compress_topthird", "q_token_budget")
+    "q_compress_topthird", "q_token_budget",
+    "q_entity_detect", "q_graph_paths", "q_crossencoder_rerank")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {
