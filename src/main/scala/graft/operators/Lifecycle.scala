@@ -41,17 +41,21 @@ object Lifecycle {
     val e = Tables.events(s, dir)
     val n = (t: String) => sum(when(col("event_type") === t, 1L).otherwise(0L))
     val asOfUs = unix_micros(to_timestamp(lit(Scoring.AsOf)))
-    // Last-error watermark per user; the clean streak is every event
-    // strictly after it (all events when the user never errored).
-    val lastErr = e.filter(col("event_type") === "error")
-      .groupBy("user_id").agg(max(unix_micros(col("ts"))).as("last_err_us"))
-    val profile = e.join(broadcast(lastErr), Seq("user_id"), "left")
+    // Last-error watermark per user via an unordered whole-partition
+    // window (no sort, no second shuffle): the clean streak is every
+    // event strictly after it (all events when the user never errored).
+    // The groupBy that follows reuses the window's hash partitioning.
+    val w = Window.partitionBy("user_id")
+    val profile = e
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("last_err_us",
+        max(when(col("event_type") === "error", col("ts_us"))).over(w))
       .groupBy("user_id")
       .agg(n("purchase").as("n_p"), n("error").as("n_e"),
         n("click").as("n_c"), n("view").as("n_v"),
-        max(unix_micros(col("ts"))).as("last_us"),
+        max(col("ts_us")).as("last_us"),
         sum(when(col("last_err_us").isNull ||
-          unix_micros(col("ts")) > col("last_err_us"), 1L).otherwise(0L)).as("streak"))
+          col("ts_us") > col("last_err_us"), 1L).otherwise(0L)).as("streak"))
       .select(col("user_id"), {
         val days = (asOfUs - col("last_us")).cast("double") / lit(86400000000.0)
         val decay = greatest(lit(0.5), exp(lit(-0.693) * days / lit(30.0)))
