@@ -54,6 +54,35 @@ class EntitiesSpec extends SparkSpec {
     assert(!detected.contains("Dave"))
   }
 
+  test("classification invariants hold over a randomized corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val names = Seq("Alice", "Bob", "Graftkit", "Pipeline9", "Corpus", "Zed")
+    val forms = Seq[String => String](
+      n => s"$n: checking in",
+      n => s"$n said something",
+      n => s"hey $n look at this",
+      n => s"deployed $n yesterday",
+      n => s"$n v3 is out",
+      n => s"just mentioning $n here")
+    val corpus = (1 to 400).map { _ =>
+      forms(rnd.nextInt(forms.length))(names(rnd.nextInt(names.length)))
+    }.toDF("text")
+    val rows = Entities.detect(corpus, col("text")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (typ, conf, freq, ps, prs) =
+        (r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(freq >= 3, s"min frequency violated: $r")
+      assert(conf >= 0.0 && conf <= 0.99, s"confidence out of range: $r")
+      val total = ps + prs
+      if (typ == "person")
+        assert(total > 0 && ps >= 5 && ps.toDouble / total >= 0.7, s"person rule violated: $r")
+      if (typ == "project")
+        assert(total > 0 && ps.toDouble / total <= 0.3, s"project rule violated: $r")
+    }
+  }
+
   test("detected rows feed GraphStore entities") {
     val es = Entities.toEntities(
       Entities.detect(lines, col("text"))).collect()
