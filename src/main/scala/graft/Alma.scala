@@ -256,6 +256,22 @@ final class Alma(
   def getArtifacts(memoryId: String): Seq[ArtifactRef] =
     store.artifacts(Some(memoryId)).collect().toSeq.sortBy(_.id)
 
+  /** One maintenance cycle — the deterministic batch form of the
+    * reference's background scheduler jobs (forgetting.py:1239-1470:
+    * registered prune/decay/consolidate tasks on a daemon thread):
+    * forget stale + low-confidence memories, enforce the outcome
+    * quota, and compact fragmented memory directories. Returns a
+    * per-task summary count.
+    */
+  def maintain(asOf: Timestamp, agent: Option[String] = None,
+      olderThanDays: Int = 90, belowConfidence: Double = 0.3,
+      maxOutcomesPerAgent: Int = 1000): Map[String, Long] = {
+    val pruned = forget(asOf, agent, olderThanDays, belowConfidence)
+    val archived = enforceQuota(maxOutcomesPerAgent, asOf)
+    val compacted = MemoryType.All.map(t => store.compact(t)).sum
+    Map("pruned" -> pruned, "quota_archived" -> archived, "files_before_compact" -> compacted)
+  }
+
   /** Record what a whole workflow run learned (core.py:652-741). */
   def learnFromWorkflow(agent: String, workflowId: String, runId: String,
       result: String, summary: String, asOf: Timestamp,

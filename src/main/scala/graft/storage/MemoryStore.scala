@@ -307,6 +307,25 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
           .as("feedback_score"))
   }
 
+  // ---- compaction (small-file maintenance) ------------------------------
+  /** Rewrite a memory type's directory into few large files. Append
+    * workloads (every learn() lands a tiny file) otherwise degrade
+    * every later scan — the classic small-file problem. Returns the
+    * file count before compaction; runs only when fragmentation
+    * exceeds `minFiles`. Same write-new-then-swap as every rewrite
+    * here, so readers never see a half state.
+    */
+  def compact(memoryType: String, minFiles: Int = 16, targetPartitions: Int = 4): Long = {
+    if (!exists(memoryType)) return 0L
+    def parquetFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    val files = parquetFiles(new java.io.File(path(memoryType)))
+    if (files > minFiles)
+      overwrite(spark.read.parquet(path(memoryType)).repartition(targetPartitions), memoryType)
+    files
+  }
+
   // ---- artifacts (J6 write path) ----------------------------------------
   def saveArtifacts(rows: Seq[ArtifactRef]): Unit =
     append(rows.toDS().toDF(), MemoryType.Artifacts)

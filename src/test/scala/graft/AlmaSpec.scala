@@ -374,6 +374,23 @@ class AlmaSpec extends SparkSpec {
     assert(arts.head.sizeBytes.contains(1024L))
   }
 
+  test("compaction collapses append fragmentation without losing rows") {
+    val alma = freshAlma()
+    (1 to 20).foreach { i =>
+      alma.learn("helena", "t", s"task $i", success = true, strategyUsed = "s",
+        asOf = ts(s"2024-01-${"%02d".format((i % 27) + 1)} 10:00:00"))
+    }
+    val before = alma.store.outcomes(Some("proj1")).count()
+    val filesBefore = alma.maintain(asOf = ts("2024-02-01 00:00:00"),
+      olderThanDays = 365)("files_before_compact")
+    assert(filesBefore > 16L, s"expected fragmentation, saw $filesBefore files")
+    assert(alma.store.outcomes(Some("proj1")).count() == before)
+    // A second cycle sees the compacted layout.
+    val filesAfter = alma.maintain(asOf = ts("2024-02-01 00:00:00"),
+      olderThanDays = 365)("files_before_compact")
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+  }
+
   test("learnFromWorkflow records the run outcome and validates result") {
     val alma = freshAlma()
     alma.learnFromWorkflow("helena", "wf1", "run1", "success",
