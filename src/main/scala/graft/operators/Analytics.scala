@@ -20,8 +20,11 @@ object Analytics {
     val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    // No broadcast hint: the filtered customer side scales with the
+    // data volume (unlike a true bounded dimension) — AQE picks
+    // broadcast at small SF and hash join once it would not fit.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -48,8 +51,9 @@ object Analytics {
       .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .select("s_suppkey", "n_name")
+    // Supplier scales with SF; no forced broadcast (AQE decides).
     Tables.lineitem(s, dir)
-      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
