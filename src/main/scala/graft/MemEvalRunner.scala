@@ -30,10 +30,16 @@ object MemEvalRunner {
     spark.sparkContext.setLogLevel("WARN")
     val m = run(spark, path, k)
     println(s"""{"metric":"longmemeval","recall_at_$k":${m.recall},"mrr":${m.mrr},"ndcg_at_$k":${m.ndcg},"questions":${m.n}}""")
+    // Per-question-type breakdown, matching the reference's report table
+    // (metrics.py:215-265 / BASELINE.md "Per-type R@5" rows).
+    m.perType.toSeq.sortBy(_._1).foreach { case (qtype, t) =>
+      println(f"per-type $qtype%-28s R@$k=${t.recall}%.3f MRR=${t.mrr}%.3f NDCG@$k=${t.ndcg}%.3f (n=${t.n})")
+    }
     spark.stop()
   }
 
-  final case class Metrics(recall: Double, mrr: Double, ndcg: Double, n: Long)
+  final case class Metrics(recall: Double, mrr: Double, ndcg: Double, n: Long,
+      perType: Map[String, Metrics] = Map.empty)
 
   def run(spark: SparkSession, path: String, k: Int,
       provider: EmbeddingProvider = HashEmbeddingProvider): Metrics = {
@@ -56,8 +62,13 @@ object MemEvalRunner {
         batch.iterator.zipWithIndex.map { case ((qid, _), i) => (qid, vecs(i)) }
       })
       .toDF("q_id", "q_vec")
+    val qtypes = corpus.select(col("question_id").as("t_id"), col("question_type")).distinct()
     val w = Window.partitionBy("question_id").orderBy(col("sim").desc, col("session_id"))
-    val m = embedded
+    // ONE job: per-question hit/first-hit, rolled up per question_type as
+    // SUMS (not averages) — the driver derives both the per-type and the
+    // exact overall averages from the handful of per-type rows, so the
+    // breakdown costs no extra Spark job and no float drift.
+    val perTypeRows = embedded
       .join(broadcast(questions), col("question_id") === col("q_id"))
       .withColumn("sim", VectorFunctions.cosine(col("embedding"), col("q_vec")))
       .withColumn("rnk", row_number().over(w))
@@ -68,17 +79,28 @@ object MemEvalRunner {
         // push recall past 1.0); a never-retrieved answer scores MRR 0.
         least(sum(when(col("rnk") <= k, col("rel")).otherwise(0L)), lit(1L)).as("hit"),
         min(when(col("rel") === 1L, col("rnk"))).as("first_hit"))
+      .join(broadcast(qtypes), col("question_id") === col("t_id"))
+      .groupBy("question_type")
       .agg(
-        avg(col("hit").cast("double")).as("recall"),
-        avg(coalesce(lit(1.0) / col("first_hit"), lit(0.0))).as("mrr"),
+        sum(col("hit").cast("double")).as("hit_sum"),
+        sum(coalesce(lit(1.0) / col("first_hit"), lit(0.0))).as("mrr_sum"),
         // NDCG@k, single relevant session per question: ideal DCG is
         // 1/log2(2) = 1, so ndcg = 1/log2(first_hit+1) when the answer
         // lands inside the cutoff, else 0 (metrics.py:46-55).
-        avg(when(col("first_hit") <= k,
-          lit(1.0) / log2(col("first_hit").cast("double") + lit(1.0))).otherwise(lit(0.0))).as("ndcg"),
+        sum(when(col("first_hit") <= k,
+          lit(1.0) / log2(col("first_hit").cast("double") + lit(1.0))).otherwise(lit(0.0))).as("ndcg_sum"),
         count(lit(1)).as("n"))
-      .head()
+      .collect()
     corpus.unpersist()
-    Metrics(m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getLong(3))
+    val perType = perTypeRows.map { r =>
+      val n = r.getLong(4)
+      r.getString(0) -> Metrics(r.getDouble(1) / n, r.getDouble(2) / n, r.getDouble(3) / n, n)
+    }.toMap
+    val n = perTypeRows.map(_.getLong(4)).sum
+    Metrics(
+      perTypeRows.map(_.getDouble(1)).sum / n,
+      perTypeRows.map(_.getDouble(2)).sum / n,
+      perTypeRows.map(_.getDouble(3)).sum / n,
+      n, perType)
   }
 }

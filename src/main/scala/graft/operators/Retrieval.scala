@@ -44,10 +44,10 @@ object Retrieval {
       |WHERE score >= 0.2
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
-  /** R7 MMR diversity re-rank (rows-only: greedy selection is
-    * inherently sequential, so it runs driver-side over the collected
-    * candidate top-N — bounded at ≤ 30 rows regardless of corpus size,
-    * SURVEY §7.4; reference: alma/retrieval/engine.py:639-715).
+  /** R7 MMR diversity re-rank (greedy selection is inherently
+    * sequential, so it runs driver-side over the collected candidate
+    * top-N — bounded at ≤ 30 rows regardless of corpus size, SURVEY
+    * §7.4; reference: alma/retrieval/engine.py:639-715).
     */
   private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -64,6 +64,42 @@ object Retrieval {
       .map { case (c, i) => (i.toLong + 1, c.id, c.score, c.sim) }
       .toDF("rank", "doc_id", "score", "sim")
   }
+
+  /** DuckDB oracle for the greedy MMR: a recursive CTE that picks one
+    * candidate per step. The Scala penalty `max over selected of
+    * sqrt(max(0, sim·sim_sel))` collapses to
+    * `sqrt(greatest(0, sim·mx, sim·mn))` because sqrt is monotone and
+    * the argmax of sim·sim_sel is at the max (sim ≥ 0) or min (sim < 0)
+    * selected sim — so the recursion only carries (mx, mn) plus the
+    * picked-id list for exclusion, not pairwise state.
+    */
+  private val mmrSql =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |j AS (
+      |  SELECT d.doc_id, d.lang, d.n_chars,
+      |    list_cosine_similarity(e.v, (SELECT qv FROM q)) AS rawsim
+      |  FROM documents d JOIN e ON d.doc_id = e.vec_id),
+      |cand AS (
+      |  SELECT doc_id, round(rawsim, 4) AS sim,
+      |    round(0.5 * rawsim
+      |        + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0)
+      |        + 0.2 * (CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END), 6) AS score
+      |  FROM j ORDER BY score DESC, doc_id LIMIT 30),
+      |sel AS (
+      |  (SELECT 1::BIGINT AS rank, doc_id, score, sim,
+      |          [doc_id] AS picked, sim AS mx, sim AS mn
+      |   FROM cand ORDER BY score DESC, doc_id LIMIT 1)
+      |  UNION ALL
+      |  (SELECT (s.rank + 1)::BIGINT, c.doc_id, c.score, c.sim,
+      |          list_append(s.picked, c.doc_id),
+      |          greatest(s.mx, c.sim), least(s.mn, c.sim)
+      |   FROM sel s, cand c
+      |   WHERE s.rank < 10 AND NOT list_contains(s.picked, c.doc_id)
+      |   ORDER BY c.score - 0.5 * sqrt(greatest(0.0, c.sim * s.mx, c.sim * s.mn)) DESC, c.doc_id
+      |   LIMIT 1))
+      |SELECT rank, doc_id, score, sim FROM sel ORDER BY rank""".stripMargin
 
   /** The pipeline's scored candidate set before top-k (shared by the
     * flagship query and the MMR stage).
@@ -84,5 +120,5 @@ object Retrieval {
 
   val all: Seq[Q] = Seq(
     Q("q_retrieval_pipeline", pipeline, Some(pipelineSql)),
-    Q("q_mmr_rerank", mmrRerank, None))
+    Q("q_mmr_rerank", mmrRerank, Some(mmrSql)))
 }

@@ -252,6 +252,34 @@ object Scoring {
       |  GROUP BY user_id) t
       |ORDER BY user_id""".stripMargin
 
+  // A8 per-type metric breakdown (reference benchmarks/longmemeval/
+  // metrics.py:215-265 groups QuestionResults by question_type and
+  // recomputes each metric per group; BASELINE.md "Per-type R@5" rows).
+  // The events table has no question_type, so the cohort key is the
+  // deterministic user_id % 4 — the rollup shape (per-key averages of
+  // the per-question metrics + group size) is what's under test.
+  private def irMetricsByType(s: SparkSession, dir: String): DataFrame =
+    irMetrics(s, dir)
+      .withColumn("cohort", col("user_id") % 4)
+      .groupBy("cohort")
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(avg("recall_at_10"), 6).as("recall_at_10"),
+        round(avg("precision_at_10"), 6).as("precision_at_10"),
+        round(avg("mrr"), 6).as("mrr"),
+        round(avg("ndcg_at_10"), 6).as("ndcg_at_10"))
+      .orderBy("cohort")
+
+  private val irMetricsByTypeSql =
+    s"""SELECT user_id % 4 AS cohort,
+      |  count(*)::BIGINT AS n_users,
+      |  round(avg(recall_at_10), 6) AS recall_at_10,
+      |  round(avg(precision_at_10), 6) AS precision_at_10,
+      |  round(avg(mrr), 6) AS mrr,
+      |  round(avg(ndcg_at_10), 6) AS ndcg_at_10
+      |FROM (${irMetricsSql.replace("ORDER BY user_id", "")}) per_user
+      |GROUP BY cohort ORDER BY cohort""".stripMargin
+
   // memory_strength model (decay family composition): exponential decay
   // × access bonus × importance factor, plus the linear/step curves.
   private def memoryStrength(s: SparkSession, dir: String): DataFrame = {
@@ -294,5 +322,6 @@ object Scoring {
     Q("q_feedback_rerank", feedbackRerank, Some(feedbackRerankSql)),
     Q("q_promote_heuristics", promoteHeuristics, Some(promoteHeuristicsSql)),
     Q("q_promote_antipatterns", promoteAntipatterns, Some(promoteAntipatternsSql)),
-    Q("q_ir_metrics", irMetrics, Some(irMetricsSql)))
+    Q("q_ir_metrics", irMetrics, Some(irMetricsSql)),
+    Q("q_ir_metrics_by_type", irMetricsByType, Some(irMetricsByTypeSql)))
 }

@@ -1,5 +1,9 @@
 package graft.retrieval
 
+import graft.functions.{ExternalCall, ExternalCompleter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** J9 cross-verification: candidates checked for mutual consistency
   * (reference: alma/retrieval/verification.py:623-688 — each candidate
   * vs the other candidates; LLM-backed there, deterministic token-
@@ -36,6 +40,42 @@ object Verification {
         else "contradicted"
       Verdict(id, votes, category)
     }
+  }
+
+  /** Ground-truth verification through a pluggable external model
+    * (reference: alma/retrieval/verification.py:563-688 — LLM checks
+    * each memory against authoritative sources; here the call is a
+    * rate-limited `mapPartitions` stage, so verifying a 100 TB batch is
+    * one distributed pass, not a driver loop). The deterministic
+    * `crossVerify` above remains the model-free default; this stage is
+    * optional, exactly like the reference's `llm=None` fallback.
+    *
+    * Returns (idCol, status, confidence, reason) rows.
+    */
+  def externalVerify(
+      candidates: DataFrame,
+      idCol: String,
+      contentCol: String,
+      sources: Seq[String],
+      completer: ExternalCompleter,
+      limiterKey: String = "verify",
+      callsPerPeriod: Int = 100,
+      periodMillis: Long = 60000L): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val prompts = candidates
+      .select(col(idCol).cast("long"), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, content) => (id, ExternalCall.verifyPrompt(content, sources)) }
+      .toDF("id", "prompt")
+    ExternalCall.callStage(prompts, "id", "prompt", completer,
+        limiterKey, callsPerPeriod, periodMillis)
+      .as[(Long, String)]
+      .map { case (id, resp) =>
+        val v = ExternalCall.parseVerdict(resp)
+        (id, v.status, v.confidence, v.reason)
+      }
+      .toDF(idCol, "status", "confidence", "reason")
   }
 }
 

@@ -56,13 +56,23 @@ object Ingestion {
     * benchmark, so the retrieval sweep is a single job, not a
     * per-question loop.
     */
-  def loadBenchmarkJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
+  def loadBenchmarkJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    // question_type is optional in the dataset (reference
+    // benchmarks/longmemeval/dataset.py: defaults to "unknown"); JSON
+    // schema inference drops absent fields, so probe the schema.
+    val qtype =
+      if (raw.columns.contains("question_type"))
+        coalesce(col("question_type"), lit("unknown"))
+      else lit("unknown")
+    raw
       .select(col("question_id"), col("question"), col("answer_session_id"),
-        explode(col("haystack")).as("session"))
+        qtype.as("question_type"), explode(col("haystack")).as("session"))
       .select(col("question_id"), col("question"), col("answer_session_id"),
+        col("question_type"),
         col("session.session_id").as("session_id"),
         col("session.text").as("session_text"))
+  }
 
   /** Rule-based memory extraction: classify text rows into memory types
     * by marker patterns with a confidence, keep rows ≥ minConfidence

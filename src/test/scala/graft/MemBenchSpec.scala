@@ -95,5 +95,30 @@ class MemBenchSpec extends SparkSpec {
     assert(m.n == 4)
     assert(m.recall == 1.0 && m.mrr == 1.0 && m.ndcg == 1.0,
       s"self-retrieval must be perfect: $m")
+    // No question_type in this dataset → one "unknown" group carrying
+    // the whole question set.
+    assert(m.perType.keySet == Set("unknown") && m.perType("unknown").n == 4)
+  }
+
+  test("MemEvalRunner breaks metrics down per question_type") {
+    val json = (0 until 6).map { qid =>
+      val haystack = (0 until 6).map { s =>
+        val sid = qid * 10 + s
+        s"""{"session_id": $sid, "text": "delta $sid eps ${sid * 3} zeta ${sid % 4}"}"""
+      }.mkString("[", ",", "]")
+      val answerSid = qid * 10 + (qid % 6)
+      val qtype = if (qid % 2 == 0) "multi-session" else "temporal-reasoning"
+      s"""{"question_id": $qid, "question_type": "$qtype", "question": "delta $answerSid eps ${answerSid * 3} zeta ${answerSid % 4}", "answer_session_id": $answerSid, "haystack": $haystack}"""
+    }
+    val path = Files.createTempDirectory("membench3").resolve("qs.json")
+    Files.write(path, json.mkString("\n").getBytes)
+    val m = MemEvalRunner.run(spark, path.toString, 5)
+    assert(m.n == 6)
+    assert(m.perType.keySet == Set("multi-session", "temporal-reasoning"))
+    assert(m.perType("multi-session").n == 3 && m.perType("temporal-reasoning").n == 3)
+    // Self-retrieval is perfect within every type, and the overall
+    // numbers are the exact n-weighted rollup of the per-type sums.
+    m.perType.values.foreach(t => assert(t.recall == 1.0 && t.mrr == 1.0 && t.ndcg == 1.0))
+    assert(m.recall == 1.0 && m.mrr == 1.0 && m.ndcg == 1.0)
   }
 }

@@ -22,10 +22,11 @@ class OperatorSmokeSpec extends SparkSpec {
 
   test("every query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // mapPartitions-based ops are the only rows-only entries (the
-    // cross-encoder rerank gained an oracle when its default scorer
-    // became the SQL-expressible lexical cosine).
-    assert(noOracle == Set("q_multimodal_decode", "q_mmr_rerank"))
+    // The env-limited multimodal decode stub is the ONLY rows-only
+    // entry left (MMR gained a recursive-CTE DuckDB oracle; the
+    // cross-encoder rerank gained one when its default scorer became
+    // the SQL-expressible lexical cosine).
+    assert(noOracle == Set("q_multimodal_decode"))
   }
 
   test("flagship entry returns ranked rows") {
