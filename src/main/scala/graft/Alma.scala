@@ -370,28 +370,15 @@ final class Alma(
         case None => raw.withColumn("_fb_score", col("_base_score"))
       }
       val boosted = blended.withColumn("_score", col("_fb_score") * failB * exactB)
-      val scored = boosted
+      boosted
         .drop("_base_score", "_fb_score")
         .filter(col("_score") >= m.minScore)
         .orderBy(col("_score").desc, col("id"))
-      if (m.diversity <= 0.0) scored.limit(k).drop("_score", "_sim")
-      else {
-        // R7 MMR: over-fetch 3×k, greedy diverse selection driver-side
-        // (bounded candidate set), order preserved via a rank join.
-        val cand = scored.limit(3 * k).localCheckpoint(true)
-        val rows = cand.select(col("id"), col("_score"), col("_sim")).collect()
-        val sel = PostProcess.mmr(
-          rows.zipWithIndex.map { case (r, i) =>
-            PostProcess.Candidate(i.toLong, r.getDouble(1), r.getDouble(2), "")
-          }.toSeq,
-          lambda = m.diversity, k = k)
-        val rank = sel.zipWithIndex
-          .map { case (c, i) => (rows(c.id.toInt).getString(0), i) }
-        val rankDf = rank.toDF("id", "_mmr_rank")
-        cand.join(broadcast(rankDf), Seq("id"))
-          .orderBy("_mmr_rank")
-          .drop("_score", "_sim", "_mmr_rank")
-      }
+        // Diversity modes over-fetch 3×k candidates for the driver-side
+        // greedy MMR (R7, applied after the single collect below);
+        // plain modes cap at k. Either way the per-type plan ends in a
+        // TakeOrderedAndProject — bounded output at any corpus size.
+        .limit(if (m.diversity <= 0.0) k else 3 * k)
     }
 
     // R13 provenance: memories read from an inherited agent are tagged
@@ -400,36 +387,74 @@ final class Alma(
     def tagShared(meta: Map[String, String], owner: String): Map[String, String] =
       if (owner != agent) meta + ("shared_from" -> owner) else meta
 
-    val hs = scoreAndTake(
-      store.heuristics(Some(projectId), agents).toDF(),
-      "lastValidated",
-      succ = col("successCount").cast("double") /
-        when(col("occurrenceCount") === 0, 1L).otherwise(col("occurrenceCount")),
-      conf = col("confidence")).as[Heuristic].collect().toSeq
+    // The five per-type top-k plans union into ONE Spark job (SURVEY
+    // §1.4 MemorySlice alternative): each branch wraps its typed row in
+    // a discriminated envelope carrying (_score, _sim); a single
+    // collect brings back ≤ 5×3k bounded rows, and the driver splits,
+    // re-sorts per type, and applies MMR where the mode asks for it.
+    def fused[T](src: DataFrame, capped: DataFrame, wrap: (T, Double, Double) => Alma.Fused)(
+        implicit enc: org.apache.spark.sql.Encoder[(T, Double, Double)]): org.apache.spark.sql.Dataset[Alma.Fused] =
+      capped.select(struct(src.columns.toIndexedSeq.map(col): _*).as("_1"),
+          col("_score").as("_2"), col("_sim").as("_3"))
+        .as[(T, Double, Double)]
+        .map { case (t, s, si) => wrap(t, s, si) }
+
+    val hdf = store.heuristics(Some(projectId), agents).toDF()
+    val odf = store.outcomes(Some(projectId), agents).toDF()
+    val kdf = store.knowledge(Some(projectId), agents).toDF()
+    val adf = store.antiPatterns(Some(projectId), agents).toDF()
+    val branches = Seq(
+      fused[Heuristic](hdf, scoreAndTake(hdf, "lastValidated",
+          succ = col("successCount").cast("double") /
+            when(col("occurrenceCount") === 0, 1L).otherwise(col("occurrenceCount")),
+          conf = col("confidence")),
+        (h, s, si) => Alma.Fused(MemoryType.Heuristics, h = Some(h), score = s, sim = si)),
+      fused[Outcome](odf, scoreAndTake(odf, "timestamp",
+          succ = when(col("success"), 1.0).otherwise(0.3),
+          conf = lit(1.0),
+          failureFlag = Some(!col("success"))),
+        (o, s, si) => Alma.Fused(MemoryType.Outcomes, o = Some(o), score = s, sim = si)),
+      fused[DomainKnowledge](kdf, scoreAndTake(kdf, "lastVerified",
+          succ = lit(1.0), conf = col("confidence")),
+        (dk, s, si) => Alma.Fused(MemoryType.Knowledge, dk = Some(dk), score = s, sim = si))) ++
+      (if (m.includeAntiPatterns)
+        Seq(fused[AntiPattern](adf, scoreAndTake(adf, "lastSeen",
+            succ = least(col("occurrenceCount").cast("double") / lit(10.0), lit(1.0)),
+            conf = lit(1.0)),
+          (ap, s, si) => Alma.Fused(MemoryType.AntiPatterns, ap = Some(ap), score = s, sim = si)))
+      else Nil) :+
+      // Preferences are unscored (engine.py:347-350).
+      store.preferences().orderBy(col("id")).limit(k)
+        .as[UserPreference].map(p => Alma.Fused(MemoryType.Preferences, up = Some(p)))
+    val collected = branches.reduce(_ union _).collect().toSeq
+
+    // Driver-side per-type finish over the bounded envelope rows:
+    // deterministic (score desc, id) order, then greedy MMR (R7) when
+    // the mode asks for diversity.
+    def finish[T](mt: String, get: Alma.Fused => Option[T], idOf: T => String): Seq[T] = {
+      val cand = collected.filter(_.memoryType == mt)
+        .sortBy(e => (-e.score, idOf(get(e).get)))
+      val picked =
+        if (m.diversity <= 0.0) cand
+        else {
+          val cs = cand.zipWithIndex.map { case (e, i) =>
+            PostProcess.Candidate(i.toLong, e.score, e.sim, "")
+          }
+          PostProcess.mmr(cs, lambda = m.diversity, k = k).map(c => cand(c.id.toInt))
+        }
+      picked.take(k).flatMap(e => get(e))
+    }
+
+    val hs = finish[Heuristic](MemoryType.Heuristics, _.h, _.id)
       .map(h => h.copy(metadata = tagShared(h.metadata, h.agent)))
-    val os = scoreAndTake(
-      store.outcomes(Some(projectId), agents).toDF(),
-      "timestamp",
-      succ = when(col("success"), 1.0).otherwise(0.3),
-      conf = lit(1.0),
-      failureFlag = Some(!col("success"))).as[Outcome].collect().toSeq
+    val os = finish[Outcome](MemoryType.Outcomes, _.o, _.id)
       .map(o => o.copy(metadata = tagShared(o.metadata, o.agent)))
-    val ks = scoreAndTake(
-      store.knowledge(Some(projectId), agents).toDF(),
-      "lastVerified",
-      succ = lit(1.0),
-      conf = col("confidence")).as[DomainKnowledge].collect().toSeq
+    val ks = finish[DomainKnowledge](MemoryType.Knowledge, _.dk, _.id)
       .map(kr => kr.copy(metadata = tagShared(kr.metadata, kr.agent)))
-    val aps = if (m.includeAntiPatterns) scoreAndTake(
-      store.antiPatterns(Some(projectId), agents).toDF(),
-      "lastSeen",
-      succ = least(col("occurrenceCount").cast("double") / lit(10.0), lit(1.0)),
-      conf = lit(1.0)).as[AntiPattern].collect().toSeq
+    val aps = finish[AntiPattern](MemoryType.AntiPatterns, _.ap, _.id)
       .map(a => a.copy(metadata = tagShared(a.metadata, a.agent)))
-    else Seq.empty
-    // Preferences are unscored (engine.py:347-350).
-    val prefs = store.preferences().orderBy(col("id")).limit(k)
-      .as[UserPreference].collect().toSeq
+    val prefs = collected.filter(_.memoryType == MemoryType.Preferences)
+      .flatMap(_.up).sortBy(_.id).take(k)
 
     val slice = MemorySlice(
       heuristics = hs, outcomes = os, preferences = prefs,
@@ -532,6 +557,20 @@ final class Alma(
 object Alma {
   /** R10 blend weight (reference feedback.py default w=0.15). */
   val FeedbackWeight = 0.15
+
+  /** One row of the fused retrieve plan: exactly one payload slot is
+    * set, discriminated by memoryType, so the five per-type top-k
+    * plans union into a single job and a single bounded collect.
+    */
+  private[graft] final case class Fused(
+      memoryType: String,
+      h: Option[Heuristic] = None,
+      o: Option[Outcome] = None,
+      dk: Option[DomainKnowledge] = None,
+      ap: Option[AntiPattern] = None,
+      up: Option[UserPreference] = None,
+      score: Double = 0.0,
+      sim: Double = 0.0)
 
   /** Deterministic collision-resistant id fragment (String.hashCode
     * collides trivially — e.g. "Aa"/"BB" — which would silently merge

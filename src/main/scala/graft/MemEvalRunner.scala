@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{EmbeddingProvider, HashEmbeddingProvider, VectorFunctions}
+import graft.functions.{EmbeddingProvider, HashEmbeddingProvider, VectorFunctions, Word2VecEmbeddingProvider}
 import graft.sources.Ingestion
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -28,7 +28,17 @@ object MemEvalRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val m = run(spark, path, k)
+    // Provider selection (V9): -Dprovider=w2v (or SPARK_GRAFT_PROVIDER)
+    // trains the MLlib Word2Vec provider on the haystack corpus before
+    // the sweep; default stays the deterministic hash embedder.
+    val provider: EmbeddingProvider =
+      sys.props.get("provider").orElse(sys.env.get("SPARK_GRAFT_PROVIDER")) match {
+        case Some("w2v") =>
+          Word2VecEmbeddingProvider.train(
+            Ingestion.loadBenchmarkJson(spark, path), "session_text")
+        case _ => HashEmbeddingProvider
+      }
+    val m = run(spark, path, k, provider)
     println(s"""{"metric":"longmemeval","recall_at_$k":${m.recall},"mrr":${m.mrr},"ndcg_at_$k":${m.ndcg},"questions":${m.n}}""")
     // Per-question-type breakdown, matching the reference's report table
     // (metrics.py:215-265 / BASELINE.md "Per-type R@5" rows).

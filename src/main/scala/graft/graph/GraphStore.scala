@@ -64,7 +64,15 @@ final class GraphStore(
     * count. Each hop is one join of the (small) frontier against the
     * edge table — broadcast when the frontier is small.
     */
-  def bfs(seeds: Seq[String], maxHops: Int, relationType: Option[String] = None): DataFrame = {
+  def bfs(seeds: Seq[String], maxHops: Int, relationType: Option[String] = None): DataFrame =
+    bfsFrom(seeds.toDF("entity_id"), maxHops, relationType)
+
+  /** BFS whose seed frontier is itself a DataFrame (one `entity_id`
+    * column) — the form every derived query should use: the seed set
+    * never visits the driver, so a predicate that matches millions of
+    * entities seeds the traversal as data, not as a collected list.
+    */
+  def bfsFrom(seeds: DataFrame, maxHops: Int, relationType: Option[String]): DataFrame = {
     val edges0 = relationType
       .map(t => relationships.filter(col("relationType") === t))
       .getOrElse(relationships)
@@ -73,7 +81,8 @@ final class GraphStore(
     val edges = edges0.union(edges0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
 
-    var visited = seeds.toDF("entity_id").withColumn("hop", lit(0))
+    var visited = seeds.select(col("entity_id")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(true)
     var frontier = visited
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -99,7 +108,13 @@ final class GraphStore(
     * smallest path. Paths are bounded by maxHops (≤ 3 in the
     * reference), so the array column stays tiny at any corpus scale.
     */
-  def bfsPaths(seeds: Seq[String], maxHops: Int, relationType: Option[String] = None): DataFrame = {
+  def bfsPaths(seeds: Seq[String], maxHops: Int, relationType: Option[String] = None): DataFrame =
+    bfsPathsFrom(seeds.toDF("entity_id"), maxHops, relationType)
+
+  /** Path-collecting BFS seeded by a DataFrame frontier (see
+    * [[bfsFrom]]).
+    */
+  def bfsPathsFrom(seeds: DataFrame, maxHops: Int, relationType: Option[String]): DataFrame = {
     val edges0 = relationType
       .map(t => relationships.filter(col("relationType") === t))
       .getOrElse(relationships)
@@ -107,9 +122,10 @@ final class GraphStore(
     val edges = edges0.union(edges0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
 
-    var visited = seeds.toDF("entity_id")
+    var visited = seeds.select(col("entity_id")).distinct()
       .withColumn("hop", lit(0))
       .withColumn("path", array(col("entity_id")))
+      .localCheckpoint(true)
     var frontier = visited
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -135,13 +151,14 @@ final class GraphStore(
 
   /** Neighborhood query: find entities by name/type, traverse, return
     * reached entities with their hop (the reference's graph query
-    * surface, store.py:121-134).
+    * surface, store.py:121-134). The matched seed set stays a DataFrame
+    * all the way into the BFS frontier — a broad pattern at 100 TB
+    * never materializes on the driver.
     */
   def query(namePattern: String, maxHops: Int): DataFrame = {
     val seeds = entities.filter(col("name").rlike(namePattern))
-      .select("id").as[String].collect().toSeq
-    if (seeds.isEmpty) spark.emptyDataset[(String, Int)].toDF("entity_id", "hop")
-    else bfs(seeds, maxHops)
+      .select(col("id").as("entity_id"))
+    bfsFrom(seeds, maxHops, None)
       .join(entities.toDF(), col("entity_id") === col("id"))
       .select("entity_id", "hop", "name", "entityType")
       .orderBy("hop", "entity_id")

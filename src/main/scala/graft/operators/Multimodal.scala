@@ -31,36 +31,62 @@ object Multimodal {
       |  ascii(substr(text, 1, 1))::BIGINT AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Stubbed decode + feature extraction over the binary payload. The
-    * decode itself is a deterministic fake (byte statistics standing in
-    * for decoded-media features); the plumbing — binary column in, fixed
-    * schema of features out, executed per partition with no driver
-    * round-trip — is the real production shape.
+  /** Pluggable media decoder — the same seam pattern as `CrossScorer`
+    * and `ExternalCompleter`: Serializable, executed per partition on
+    * executors, fixed feature contract. A real implementation (image/
+    * audio libraries, unavailable in this environment) drops in without
+    * touching `decodeQuery` or its schema.
     */
-  def decodeFeatures(payload: Array[Byte]): (Long, Long, Double) = {
-    // STUB: real impl would decode image/audio here. Deterministic fake:
-    var checksum = 0L
-    var i = 0
-    while (i < payload.length) { checksum = (checksum * 31 + (payload(i) & 0xff)) & 0xffffffffL; i += 1 }
-    val meanByte = if (payload.isEmpty) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / payload.length
-    (payload.length.toLong, checksum, meanByte)
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaFeatures
   }
 
-  // Rows-only query (no ANSI-SQL oracle: the stub decoder is library
-  // code): binary ingest → per-partition feature extraction.
-  private def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+  /** The fixed decode output contract (the query's schema). */
+  final case class MediaFeatures(nBytes: Long, checksum: Long, meanByte: Double)
+
+  /** STUB default: deterministic byte statistics standing in for
+    * decoded-media features (no media libs in this sandbox). The
+    * distributed plumbing around it — binary column in, fixed feature
+    * schema out, per-partition execution, no driver round-trip — is the
+    * real production shape.
+    */
+  object ByteStatDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): MediaFeatures = {
+      var checksum = 0L
+      var i = 0
+      while (i < payload.length) { checksum = (checksum * 31 + (payload(i) & 0xff)) & 0xffffffffL; i += 1 }
+      val meanByte = if (payload.isEmpty) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+      MediaFeatures(payload.length.toLong, checksum, meanByte)
+    }
+  }
+
+  /** Back-compat alias for the default decoder. */
+  def decodeFeatures(payload: Array[Byte]): (Long, Long, Double) = {
+    val f = ByteStatDecoder.decode(payload)
+    (f.nBytes, f.checksum, f.meanByte)
+  }
+
+  /** Binary ingest → per-partition feature extraction through the
+    * decoder seam (rows-only query: the default decoder is library
+    * code, not ANSI SQL).
+    */
+  def decodeQuery(s: SparkSession, dir: String,
+      decoder: MediaDecoder = ByteStatDecoder): DataFrame = {
     import s.implicits._
     val withPayload = Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     withPayload
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        val (nBytes, checksum, meanByte) = decodeFeatures(payload)
-        (id, nBytes, checksum, math.rint(meanByte * 10000) / 10000)
+        val f = decoder.decode(payload)
+        (id, f.nBytes, f.checksum, math.rint(f.meanByte * 10000) / 10000)
       })
       .toDF("doc_id", "n_bytes", "checksum", "mean_byte")
       .orderBy("doc_id")
   }
+
+  private def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    decodeQuery(s, dir)
 
   // V8 cross-encoder re-rank stage through the CrossScorer seam. The
   // default lexical scorer (token-set cosine) is deterministic and

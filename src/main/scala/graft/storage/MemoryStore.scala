@@ -50,6 +50,15 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     new java.io.File(s"${path(memoryType)}/_SUCCESS").exists() ||
       new java.io.File(path(memoryType)).exists()
 
+  /** Read a table with its schema declared from the encoder rather than
+    * inferred from footers: schema inference is a Spark job per read
+    * (visible as `parquet at ...` jobs), and on a 100 TB table with
+    * many files it is a real listing/footer pass. Declared schemas also
+    * pin column order regardless of partition-column placement.
+    */
+  private def readTable(memoryType: String): DataFrame =
+    spark.read.schema(emptyOf(memoryType).schema).parquet(path(memoryType))
+
   // ---- filtered scans (S2, F1/F2/F5/F8) --------------------------------
   /** Typed scan with the standard predicate set; filters push to the
     * Parquet scan (project partition prune + agent/confidence row
@@ -62,7 +71,7 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
       minConfidence: Option[Double] = None): DataFrame = {
     if (!exists(memoryType))
       return emptyOf(memoryType)
-    var df = spark.read.parquet(path(memoryType))
+    var df = readTable(memoryType)
     // User-keyed tables (preferences) carry no projectId/agent column;
     // a predicate on a column the schema lacks is skipped, not an error.
     val cols = df.columns.toSet
@@ -80,7 +89,7 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     scan(MemoryType.Outcomes, projectId, agents).as[Outcome]
 
   def preferences(): Dataset[UserPreference] =
-    (if (exists(MemoryType.Preferences)) spark.read.parquet(path(MemoryType.Preferences))
+    (if (exists(MemoryType.Preferences)) readTable(MemoryType.Preferences)
      else emptyOf(MemoryType.Preferences)).as[UserPreference]
 
   def knowledge(projectId: Option[String] = None, agents: Seq[String] = Nil,
@@ -109,7 +118,7 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     */
   def deleteWhere(memoryType: String, cond: Column): Long = {
     if (!exists(memoryType)) return 0L
-    val live = spark.read.parquet(path(memoryType))
+    val live = readTable(memoryType)
     val matched = live.filter(coalesce(cond, lit(false))).count()
     if (matched > 0)
       overwrite(live.filter(coalesce(cond, lit(false)) === false), memoryType)
@@ -236,7 +245,7 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     */
   def archiveIds(memoryType: String, ids: DataFrame, reason: String, asOfUs: Long): Unit = {
     if (!exists(memoryType)) return
-    val live = spark.read.parquet(path(memoryType))
+    val live = readTable(memoryType)
     // Materialize the id set once (it is often a window/overflow plan
     // that would re-execute per join), and let AQE pick the join
     // strategy — a forced broadcast would build the whole id set on the
@@ -268,7 +277,7 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "reason", "archived_at_us")
-    val live = if (exists(memoryType)) spark.read.parquet(path(memoryType)).select("id")
+    val live = if (exists(memoryType)) readTable(memoryType).select("id")
       else emptyOf(memoryType).select("id")
     val toRestore = arch.join(live, Seq("id"), "left_anti")
     if (!toRestore.isEmpty) append(toRestore, memoryType)
@@ -322,7 +331,7 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
       else if (f.getName.endsWith(".parquet")) 1L else 0L
     val files = parquetFiles(new java.io.File(path(memoryType)))
     if (files > minFiles)
-      overwrite(spark.read.parquet(path(memoryType)).repartition(targetPartitions), memoryType)
+      overwrite(readTable(memoryType).repartition(targetPartitions), memoryType)
     files
   }
 
@@ -335,7 +344,7 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     */
   def artifacts(memoryId: Option[String] = None): Dataset[ArtifactRef] = {
     val df = if (exists(MemoryType.Artifacts))
-      spark.read.parquet(path(MemoryType.Artifacts))
+      readTable(MemoryType.Artifacts)
     else emptyOf(MemoryType.Artifacts)
     memoryId.fold(df)(m => df.filter(col("memoryId") === m)).as[ArtifactRef]
   }

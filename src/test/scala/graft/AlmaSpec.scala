@@ -108,6 +108,43 @@ class AlmaSpec extends SparkSpec {
     assert(graft.retrieval.PostProcess.estimateTokens(prompt) <= 400)
   }
 
+  test("retrieve runs its five per-type plans as ONE Spark job") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", "deploy the payment service", success = true,
+        strategyUsed = "canary rollout", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE materializes each query stage of the ONE action as its own
+    // job id, which would make this count AQE-config-dependent; with it
+    // off, one action = one job, which is the claim under test (the
+    // pre-fusion code ran five sequential collect actions regardless).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val slice = alma.retrieve("deploy the payment service", "helena",
+        ts("2024-02-01 00:00:00"))
+      assert(slice.heuristics.nonEmpty && slice.outcomes.nonEmpty)
+      // The listener bus is async — wait until the job count is stable.
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = jobs.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get() == 1, s"fused retrieve launched ${jobs.get()} jobs, expected 1")
+  }
+
   test("scope inheritance: agent reads inherited memories, strangers do not") {
     val dir = Files.createTempDirectory("alma-test").toString
     val scopes = Map(

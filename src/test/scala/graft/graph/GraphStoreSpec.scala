@@ -72,6 +72,18 @@ class GraphStoreSpec extends SparkSpec {
     assert(out.toSet == Set(("a", 0, "alice"), ("b", 1, "bob"), ("e", 1, "eve")))
   }
 
+  test("bfsFrom seeds the frontier from a DataFrame without a collect") {
+    import spark.implicits._
+    val seeds = Seq("a", "a", "d").toDF("entity_id") // dup seed must not double-visit
+    val hops = g.bfsFrom(seeds, maxHops = 1, None).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hops == Map("a" -> 0, "d" -> 0, "b" -> 1, "e" -> 1, "c" -> 1))
+  }
+
+  test("query with a pattern matching nothing returns an empty frame") {
+    assert(g.query("no-such-entity", maxHops = 2).collect().isEmpty)
+  }
+
   test("latestPerEdge keeps the newest version of a duplicated edge") {
     import spark.implicits._
     val rels = Seq(
