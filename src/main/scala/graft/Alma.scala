@@ -41,6 +41,14 @@ final class Alma(
 
   private def cacheNamespace(agent: String): String = s"$agent|$projectId"
 
+  /** Driver-side event pub/sub (reference alma/events/emitter.py):
+    * facade writes emit bounded control-plane notifications here;
+    * attach a `WebhookManager` via `events.subscribeAll`/`start` for
+    * the reference's webhook surface. Off by default (no subscribers =
+    * no work).
+    */
+  val events = new graft.events.EventEmitter
+
   private def now(asOf: Timestamp) = asOf
 
   // ---- §3.2 the write path ---------------------------------------------
@@ -73,6 +81,10 @@ final class Alma(
       embedding = HashEmbedder.embed(s"$taskDescription $strategyUsed", embedDim),
       metadata = Map.empty)
     store.saveOutcomes(Seq(o))
+    events.emit(graft.events.MemoryEvent(
+      graft.events.MemoryEventType.Created, agent, projectId,
+      MemoryType.Outcomes, o.id, asOf.getTime * 1000L,
+      Map("task_type" -> taskType, "success" -> success.toString)))
     promoteHeuristics(agent, taskType, asOf)
     if (!success) promoteAntiPatterns(agent, asOf)
     // Write-triggered invalidation: this agent's cached retrievals are
@@ -168,6 +180,9 @@ final class Alma(
       memoryId = memoryId, memoryType = memoryType,
       agent = agent, projectId = projectId,
       signal = signal, timestamp = asOf)))
+    events.emit(graft.events.MemoryEvent(
+      graft.events.MemoryEventType.RagFeedback, agent, projectId,
+      memoryType, memoryId, asOf.getTime * 1000L, Map("signal" -> signal)))
     cache.invalidateWhere(_ => true)
   }
 
@@ -180,6 +195,10 @@ final class Alma(
       source = source, confidence = confidence, timestamp = now(asOf),
       metadata = Map.empty)
     store.savePreferences(Seq(p))
+    events.emit(graft.events.MemoryEvent(
+      graft.events.MemoryEventType.PreferenceAdded, userId, projectId,
+      MemoryType.Preferences, p.id, asOf.getTime * 1000L,
+      Map("category" -> category)))
     cache.invalidateWhere(_ => true)
     p
   }
@@ -195,6 +214,10 @@ final class Alma(
       embedding = HashEmbedder.embed(s"$domain $fact", embedDim),
       metadata = Map.empty)
     store.saveKnowledge(Seq(k))
+    events.emit(graft.events.MemoryEvent(
+      graft.events.MemoryEventType.KnowledgeAdded, agent, projectId,
+      MemoryType.Knowledge, k.id, asOf.getTime * 1000L,
+      Map("domain" -> domain)))
     cache.invalidateWhere(_.startsWith(cache.nsPrefix(cacheNamespace(agent))))
     k
   }

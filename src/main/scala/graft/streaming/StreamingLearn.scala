@@ -105,7 +105,8 @@ object StreamingLearn {
       events: Dataset[OutcomeEvent],
       outcomesPath: String,
       promotionsPath: String,
-      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointPath: String,
+      emitter: Option[graft.events.EventEmitter] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     events.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointPath)
@@ -123,6 +124,26 @@ object StreamingLearn {
           .withColumn("confidence", col("n_success").cast("double") / col("n"))
           .filter(col("n") >= 3 && col("confidence") > 0.5)
         promoted.write.mode("overwrite").parquet(promotionsPath)
+        // Optional event hook (reference alma/events/ wired through
+        // foreachBatch, SURVEY's optional-sink mapping): control-plane
+        // notifications only — one batch summary plus the promoted
+        // aggregate rows, which are bounded by the (agent, taskType)
+        // key space, CAPPED at 100 per batch so a wide key space can
+        // never turn the driver callback into the data plane (the
+        // promotions snapshot itself is the complete record).
+        emitter.foreach { em =>
+          em.emit(graft.events.MemoryEvent(
+            graft.events.MemoryEventType.Created, "stream", "stream",
+            "outcomes", s"batch-$batchId", batchId, Map.empty))
+          promoted.select("agent", "taskType", "confidence").limit(100)
+            .collect().foreach { r =>
+              em.emit(graft.events.MemoryEvent(
+                graft.events.MemoryEventType.HeuristicFormed,
+                r.getString(0), "stream", "heuristics",
+                s"${r.getString(0)}-${r.getString(1)}", batchId,
+                Map("confidence" -> r.getDouble(2).toString)))
+            }
+        }
       }
       .start()
   }

@@ -59,13 +59,18 @@ class StreamingLearnSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-learn").toString
     val input = MemoryStream[OutcomeEvent]
-    val query = runIncrementalLearn(input.toDS(), s"$dir/outcomes", s"$dir/promotions", s"$dir/ckpt")
+    val emitter = new graft.events.EventEmitter
+    var formed = List.empty[graft.events.MemoryEvent]
+    emitter.subscribe(graft.events.MemoryEventType.HeuristicFormed)(e => formed ::= e)
+    val query = runIncrementalLearn(input.toDS(), s"$dir/outcomes", s"$dir/promotions",
+      s"$dir/ckpt", emitter = Some(emitter))
     try {
       input.addData(
         OutcomeEvent("a", "deploy", success = true, ts("2024-01-01 10:00:00")),
         OutcomeEvent("a", "deploy", success = true, ts("2024-01-01 10:01:00")))
       query.processAllAvailable()
       assert(spark.read.parquet(s"$dir/promotions").count() == 0)
+      assert(formed.isEmpty)
 
       input.addData(OutcomeEvent("a", "deploy", success = true, ts("2024-01-01 10:02:00")))
       query.processAllAvailable()
@@ -74,6 +79,9 @@ class StreamingLearnSpec extends SparkSpec {
       val r = promoted.head
       assert(r.getAs[String]("agent") == "a" && r.getAs[Long]("n") == 3L)
       assert(r.getAs[Double]("confidence") == 1.0)
+      // The optional foreachBatch hook surfaced the promotion as a
+      // control-plane event.
+      assert(formed.map(e => (e.agent, e.payload("confidence"))) == List(("a", "1.0")))
     } finally query.stop()
   }
 
