@@ -137,6 +137,42 @@ object ExternalCall {
          |  Occurrences: $occ""".stripMargin
     }.mkString("\n\n")
 
+  /** Optional LLM-backed consolidation-merge stage
+    * (engine.py:576-657 `_llm_merge_*`): member rows in — (group_id,
+    * condition, strategy, confidence, occurrences), the connected-
+    * component output shape — one rendered merge prompt per group, one
+    * rate-limited call per group, (group_id, response) out. The
+    * deterministic merge aggregates stay the default (the reference's
+    * no-client fallback); this stage composes AFTER grouping, so the
+    * expensive call count is bounded by the number of duplicate groups,
+    * never corpus size.
+    */
+  def mergeStage(
+      members: DataFrame,
+      completer: ExternalCompleter,
+      limiterKey: String = "merge",
+      callsPerPeriod: Int = 100,
+      periodMillis: Long = 60000L): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    val prompts = members
+      .select(col("group_id").cast("long"), col("condition").cast("string"),
+        col("strategy").cast("string"), col("confidence").cast("double"),
+        col("occurrences").cast("long"))
+      .as[(Long, String, String, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (gid, it) =>
+        // Deterministic member order inside the prompt regardless of
+        // partitioning.
+        val group = it.toSeq.sortBy(t => (t._2, t._3))
+          .map(t => (t._2, t._3, t._4, t._5))
+        (gid, mergePrompt(group))
+      }
+      .toDF("group_id", "prompt")
+    callStage(prompts, "group_id", "prompt", completer,
+      limiterKey, callsPerPeriod, periodMillis)
+  }
+
   final case class Verdict(status: String, confidence: Double, reason: String)
 
   /** Parse the STATUS/CONFIDENCE/REASON response contract; malformed

@@ -90,6 +90,24 @@ class ExternalCallSpec extends SparkSpec {
       (1L, "verified", 0.8), (2L, "contradicted", 0.95), (3L, "verified", 0.8)))
   }
 
+  test("mergeStage renders one deterministic prompt per consolidation group") {
+    import spark.implicits._
+    val members = Seq(
+      (1L, "deploy", "canary", 0.9, 3L),
+      (1L, "deploy", "blue-green", 0.7, 2L),
+      (2L, "ingest", "bulk copy", 0.8, 5L)).toDF(
+      "group_id", "condition", "strategy", "confidence", "occurrences")
+      .repartition(3)
+    val completer = new ExternalCompleter {
+      def complete(prompt: String): String = s"merged ${prompt.count(_ == ':')}"
+    }
+    val out = ExternalCall.mergeStage(members, completer, limiterKey = "spec-merge")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // 5 colons per member block (header + 4 field labels): group 1 has
+    // 2 members, group 2 has 1.
+    assert(out == Seq((1L, "merged 10"), (2L, "merged 5")))
+  }
+
   test("verify and merge prompt renderers produce the reference shape") {
     val vp = ExternalCall.verifyPrompt("fact", Seq("s1", "s2", "s3"), maxSources = 2)
     assert(vp.contains("- s1") && vp.contains("- s2") && !vp.contains("- s3"))
