@@ -35,6 +35,53 @@ class ExternalCallSpec extends SparkSpec {
     assert(slept == 0L, s"slept = $slept")
   }
 
+  test("token bucket never grants more than N calls inside any window (randomized)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val calls = 1 + rnd.nextInt(5)
+      val period = 100L + rnd.nextInt(900)
+      var now = 0L
+      val bucket = new TokenBucket(calls, period,
+        clock = () => now,
+        sleeper = w => now += w)
+      val grants = (1 to 50).map { _ =>
+        // jittered arrivals, including bursts (zero gap)
+        now += rnd.nextInt(3) * (period / 4)
+        bucket.acquire()
+        now
+      }
+      // The reference algorithm (rate_limit.py:49-77) is a FIXED-window
+      // limiter: windows are anchored at construction time and re-anchor
+      // at the reset that follows each rollover — NOT at each first
+      // grant, so a late grant in one window plus an early grant in the
+      // next can sit closer than `period` apart. Mirror that exact
+      // anchoring here and assert its invariant: ≤ N grants per window.
+      var windowStart = 0L
+      var inWindow = 0
+      grants.foreach { t =>
+        if (t - windowStart >= period) { windowStart = t; inWindow = 1 }
+        else inWindow += 1
+        assert(inWindow <= calls,
+          s"calls=$calls period=$period: $inWindow grants inside one window")
+      }
+    }
+  }
+
+  test("concurrent threads sharing one bucket are paced together") {
+    // The executor scenario: multiple partition tasks, one per-JVM
+    // bucket. 2 calls per 200 ms and 6 acquisitions from 3 threads
+    // must span at least two full window rollovers (~400 ms).
+    val bucket = new TokenBucket(2, 200L)
+    val t0 = System.nanoTime()
+    val threads = (1 to 3).map { _ =>
+      new Thread(() => { bucket.acquire(); bucket.acquire() })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(10000))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs >= 380, s"6 acquires at 2/200ms finished in ${elapsedMs}ms")
+  }
+
   test("registry shares one bucket per key within the JVM") {
     val a = TokenBucket.forKey("spec-shared", 10, 1000L)
     val b = TokenBucket.forKey("spec-shared", 10, 1000L)
