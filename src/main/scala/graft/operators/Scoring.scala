@@ -29,7 +29,7 @@ object Scoring {
   /** Injected "now" for all decay math (SURVEY §7.4: determinism). */
   val AsOf = "2024-03-01 00:00:00"
 
-  private def recency(ts: Column): Column = {
+  private[operators] def recency(ts: Column): Column = {
     val asOfUs = unix_micros(to_timestamp(lit(AsOf)))
     val days = (asOfUs - unix_micros(ts)).cast("double") / lit(86400000000.0)
     pow(lit(0.5), days / lit(30.0))

@@ -53,7 +53,11 @@ object Modes {
   val All: Seq[ModeConfig] =
     Seq(Broad, Precise, Diagnostic, Learning, Recall, Benchmark, Similarity)
 
-  private val keywords: Seq[(Set[String], ModeConfig)] = Seq(
+  /** Inference precedence table — public so the oracle-checked
+    * `q_mode_infer` query and its DuckDB SQL are generated from the
+    * same source of truth (first matching set wins).
+    */
+  val keywordTable: Seq[(Set[String], ModeConfig)] = Seq(
     (Set("why", "failed", "error", "debug", "broken", "wrong"), Diagnostic),
     (Set("explore", "overview", "survey", "broad", "everything"), Broad),
     (Set("remember", "recall", "history", "past", "previously"), Recall),
@@ -63,7 +67,7 @@ object Modes {
   /** Keyword inference with PRECISE default (modes.py:167-272). */
   def infer(query: String): ModeConfig = {
     val toks = query.toLowerCase.split("\\W+").toSet
-    keywords.collectFirst { case (ks, m) if (ks & toks).nonEmpty => m }
+    keywordTable.collectFirst { case (ks, m) if (ks & toks).nonEmpty => m }
       .getOrElse(Precise)
   }
 }
