@@ -81,6 +81,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join:\n$p")
   }
 
+  test("contract queries keep scale-safe shapes") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Pure projections: no join, no aggregate — a 100 TB pass is one scan.
+    Seq("q_scope_acl", "q_sanitize_query", "q_share_provenance").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name: unexpected join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$name: unexpected aggregate:\n$p")
+    }
+    // Small sides broadcast: the 7-row mode dim and the ≤40-row block set.
+    Seq("q_mode_infer", "q_write_guard").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("Broadcast"), s"$name: small side not broadcast:\n$p")
+    }
+    // Every window is partitioned (bounded per-group state, no global funnel)
+    // and the pair generator stays bucket-local.
+    Seq("q_prompt_projection", "q_per_type_scores", "q_cross_verify").foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val global = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(global.isEmpty, s"$name: unpartitioned window:\n$exec")
+      assert(!exec.toString.contains("CartesianProduct"), s"$name plans a cartesian:\n$exec")
+    }
+  }
+
   test("no query plans a cartesian product") {
     // Candidate-pair generators are the risk surface; all must stay
     // bucket/block-local. (knn_batch and the IVF probe broadcast a
