@@ -36,7 +36,16 @@ object TextSearch {
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val t = tok(s, dir)
     val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = t.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // df derived from tf ((doc_id, term) rows are distinct, so count(*)
+    // per term ≡ countDistinct(doc_id) over the token stream), as an
+    // AGGREGATE, not a term-partitioned window: the aggregate keeps
+    // map-side partial combine, so a stop-word term shuffles one
+    // partial count per task instead of funneling every row of that
+    // term into a single window partition — the difference between
+    // fine and catastrophic at 100 TB. (Catalyst's column pruning
+    // keeps this branch a separate scan; measured equal locally, and
+    // the skew-free shuffle is what matters at scale.)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(df), Seq("term"))
