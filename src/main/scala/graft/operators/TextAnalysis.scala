@@ -38,6 +38,45 @@ object TextAnalysis {
       |  round(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // BPE-ish pretokenization (the GPT-2 pretokenizer shape, simplified
+  // to be lookahead-free so Java regex and RE2 agree): runs of letters,
+  // runs of digits, runs of other non-space chars — each with an
+  // optional leading space — and residual space runs. The corpus is
+  // plain lowercase word soup, so the query plants digits + punctuation
+  // per doc to exercise every class. Pure projection: one 100 TB scan,
+  // no shuffle but the final sort.
+  private val BpeRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"), lit(" doc"), col("doc_id"), lit(" v2.5 end!!"))
+    val toks = regexp_extract_all(col("raw"), lit(BpeRe), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_bpe"),
+        size(filter(toks, t => t.rlike("^ ?[a-z]"))).cast("long").as("n_word"),
+        size(filter(toks, t => t.rlike("^ ?[0-9]"))).cast("long").as("n_num"),
+        size(filter(toks, t => t.rlike("^ ?[^a-z0-9 ]"))).cast("long").as("n_other"),
+        size(split(col("raw"), " ")).cast("long").as("n_ws"),
+        expr("length(raw) div 4").cast("long").as("est_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeTokensSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, text || ' doc' || doc_id || ' v2.5 end!!' AS raw
+       |  FROM documents),
+       |t AS (SELECT doc_id, raw, regexp_extract_all(raw, '$BpeRe') AS toks FROM r)
+       |SELECT doc_id,
+       |  len(toks)::BIGINT AS n_bpe,
+       |  len(list_filter(toks, x -> regexp_matches(x, '^ ?[a-z]')))::BIGINT AS n_word,
+       |  len(list_filter(toks, x -> regexp_matches(x, '^ ?[0-9]')))::BIGINT AS n_num,
+       |  len(list_filter(toks, x -> regexp_matches(x, '^ ?[^a-z0-9 ]')))::BIGINT AS n_other,
+       |  len(string_split(raw, ' '))::BIGINT AS n_ws,
+       |  (length(raw) // 4)::BIGINT AS est_tokens
+       |FROM t ORDER BY doc_id""".stripMargin
+
   // Quality scoring: length prior + stopword-ratio prior.
   private def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
@@ -148,6 +187,7 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(
     Q("q_token_stats", tokenStats, Some(tokenStatsSql)),
+    Q("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("q_langid", langId, Some(langIdSql)),
     Q("q_fingerprint", fingerprint, Some(fingerprintSql)),
