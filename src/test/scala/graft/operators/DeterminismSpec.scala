@@ -15,7 +15,9 @@ class DeterminismSpec extends SparkSpec {
     "q_dedup_minhash_lsh", "q_consolidate_merge", "q_rrf_fusion",
     "q_feedback_rerank", "q_mmr_rerank", "q_ann_ivf_probe",
     "q_compress_topthird", "q_token_budget",
-    "q_entity_detect", "q_graph_paths", "q_crossencoder_rerank")
+    "q_entity_detect", "q_graph_paths", "q_crossencoder_rerank",
+    // Contract queries with ties, windows, or driver-side greedy loops.
+    "q_prompt_projection", "q_cross_verify", "q_per_type_scores")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {
