@@ -458,8 +458,59 @@ object Contracts {
       |SELECT memory_type, rk::BIGINT AS rk, event_id, score
       |FROM ranked WHERE rk <= 5 ORDER BY memory_type, rk""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S1/S3/S5: storage round-trip. Heuristic rows derived from events
+  // are batch-appended through the REAL MemoryStore (projectId-
+  // partitioned parquet), scanned back through its declared-schema
+  // read with partition pruning (projectId = 'p1') and a pushed
+  // confidence predicate, then aggregated. The oracle computes the
+  // same aggregate directly from events — any write/read infidelity
+  // (schema drift, partition loss, double mangling) breaks the hash.
+  private def storeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q_store_roundtrip"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent across runs
+    val store = new graft.storage.MemoryStore(s, root)
+    val rows = Tables.events(s, dir).select(
+      concat(lit("h"), col("event_id").cast("string")).as("id"),
+      concat(lit("agent_"), (col("user_id") % 5).cast("string")).as("agent"),
+      concat(lit("p"), (col("user_id") % 3).cast("string")).as("projectId"),
+      col("event_type").as("condition"),
+      concat(lit("strat_"), (col("event_id") % 7).cast("string")).as("strategy"),
+      round(least(col("value") / 200.0, lit(1.0)), 6).as("confidence"),
+      (col("event_id") % 9).as("occurrenceCount"),
+      (col("event_id") % 4).as("successCount"),
+      col("ts").as("lastValidated"),
+      col("ts").as("createdAt"),
+      array().cast("array<float>").as("embedding"),
+      map().cast("map<string,string>").as("metadata"))
+    store.appendRows(rows, graft.storage.MemoryType.Heuristics)
+    store.scan(graft.storage.MemoryType.Heuristics,
+        projectId = Some("p1"), minConfidence = Some(0.25))
+      .groupBy("agent", "condition")
+      .agg(count(lit(1)).as("n"),
+        round(sum("confidence"), 6).as("sum_conf"),
+        sum("occurrenceCount").as("sum_occ"))
+      .orderBy("agent", "condition")
+  }
+
+  private val storeRoundtripSql =
+    """WITH h AS (
+      |  SELECT 'agent_' || (user_id % 5) AS agent,
+      |    'p' || (user_id % 3) AS project_id,
+      |    event_type AS condition,
+      |    round(least(value / 200.0, 1.0), 6) AS confidence,
+      |    event_id % 9 AS occ
+      |  FROM events)
+      |SELECT agent, condition, count(*)::BIGINT AS n,
+      |  round(sum(confidence), 6) AS sum_conf, sum(occ)::BIGINT AS sum_occ
+      |FROM h WHERE project_id = 'p1' AND confidence >= 0.25
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_scope_acl", scopeAcl, Some(scopeAclSql)),
+    Q("q_store_roundtrip", storeRoundtrip, Some(storeRoundtripSql)),
     Q("q_sanitize_query", sanitizeQuery, Some(sanitizeQuerySql)),
     Q("q_mode_infer", modeInfer, Some(modeInferSql)),
     Q("q_share_provenance", shareProvenance, Some(shareProvenanceSql)),
