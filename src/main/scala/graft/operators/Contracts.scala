@@ -508,9 +508,58 @@ object Contracts {
       |FROM h WHERE project_id = 'p1' AND confidence >= 0.25
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S9: benchmark JSON source round-trip. Nested question/haystack JSON
+  // is generated from events, written, loaded back through the REAL
+  // Ingestion.loadBenchmarkJson (schema inference + explode), and
+  // aggregated; the oracle derives the same aggregate straight from
+  // events, so a lossy explode or schema-probe bug breaks the hash.
+  private def benchmarkSource(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q_benchmark_source"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent across runs
+    val bucket = col("user_id") % 20
+    Tables.events(s, dir)
+      .select(
+        concat(lit("q"), bucket.cast("string")).as("question_id"),
+        concat(lit("what about bucket "), bucket.cast("string")).as("question"),
+        concat(lit("s"), bucket.cast("string")).as("answer_session_id"),
+        when(bucket % 4 === 0, "single-session-user")
+          .when(bucket % 4 === 1, "multi-session")
+          .when(bucket % 4 === 2, "temporal-reasoning")
+          .otherwise("knowledge-update").as("question_type"),
+        struct(
+          concat(lit("s"), col("event_id").cast("string")).as("session_id"),
+          concat(col("event_type"), lit(" "), col("event_id").cast("string")).as("text"))
+          .as("session"))
+      .groupBy("question_id", "question", "answer_session_id", "question_type")
+      .agg(collect_list("session").as("haystack"))
+      .write.json(root)
+    graft.sources.Ingestion.loadBenchmarkJson(s, root)
+      .groupBy("question_type")
+      .agg(
+        countDistinct("question_id").as("n_questions"),
+        count(lit(1)).as("n_sessions"),
+        sum(length(col("session_text"))).as("sum_text_len"))
+      .orderBy("question_type")
+  }
+
+  private val benchmarkSourceSql =
+    """WITH b AS (
+      |  SELECT user_id % 20 AS bucket, event_id, event_type FROM events)
+      |SELECT CASE (bucket % 4) WHEN 0 THEN 'single-session-user'
+      |    WHEN 1 THEN 'multi-session' WHEN 2 THEN 'temporal-reasoning'
+      |    ELSE 'knowledge-update' END AS question_type,
+      |  count(DISTINCT bucket)::BIGINT AS n_questions,
+      |  count(*)::BIGINT AS n_sessions,
+      |  sum(length(event_type || ' ' || event_id))::BIGINT AS sum_text_len
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_scope_acl", scopeAcl, Some(scopeAclSql)),
     Q("q_store_roundtrip", storeRoundtrip, Some(storeRoundtripSql)),
+    Q("q_benchmark_source", benchmarkSource, Some(benchmarkSourceSql)),
     Q("q_sanitize_query", sanitizeQuery, Some(sanitizeQuerySql)),
     Q("q_mode_infer", modeInfer, Some(modeInferSql)),
     Q("q_share_provenance", shareProvenance, Some(shareProvenanceSql)),
