@@ -45,7 +45,7 @@ object TextAnalysis {
   // plain lowercase word soup, so the query plants digits + punctuation
   // per doc to exercise every class. Pure projection: one 100 TB scan,
   // no shuffle but the final sort.
-  private val BpeRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+  private[operators] val BpeRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
 
   private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
     val raw = concat(col("text"), lit(" doc"), col("doc_id"), lit(" v2.5 end!!"))
