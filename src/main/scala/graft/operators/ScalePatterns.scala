@@ -107,7 +107,54 @@ object ScalePatterns {
       |  count(*)::BIGINT AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Salted skewed JOIN (the companion to the salted aggregation): 40%
+  // of fact rows share one hot key; the fact side carries a
+  // deterministic salt and the dim side is replicated once per salt,
+  // so the hot key spreads across 8 tasks instead of one. Result is
+  // identical to the unsalted join (the oracle). The shuffle-hash hint
+  // is the point of the demo, not a forced optimization: a 98-key dim
+  // would broadcast here, but the pattern exists for dims too large to
+  // broadcast — at that size the join shuffles, and THEN the salt is
+  // what saves the hot key's task.
+  private def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val k = when(col("event_id") % 5 < 2, lit("hot"))
+      .otherwise(concat(lit("k"), (col("event_id") % 97).cast("string")))
+    val fact = Tables.events(s, dir)
+      .select(col("event_id"), col("value"), k.as("k"),
+        pmod(col("event_id"), lit(salts)).as("salt"))
+    // Integer weight + cent-scaled values keep the weighted sum in
+    // exact integer arithmetic — float sums would depend on addition
+    // order across the salted partials and flap the oracle hash.
+    val dim = fact.select("k").distinct()
+      .withColumn("weight",
+        ((length(col("k")) * 3 + ascii(substring(col("k"), 2, 1))) % 100).cast("long"))
+    val dimSalted = dim.select(col("k"), col("weight"),
+      explode(sequence(lit(0L), lit(salts - 1L))).as("salt"))
+    fact.join(dimSalted.hint("shuffle_hash"), Seq("k", "salt"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100, 0).cast("long") * col("weight")).as("wsum_scaled"))
+      .orderBy("k")
+  }
+
+  private val saltedJoinSql =
+    """WITH f AS (
+      |  SELECT event_id, value,
+      |    CASE WHEN event_id % 5 < 2 THEN 'hot'
+      |         ELSE 'k' || (event_id % 97) END AS k
+      |  FROM events),
+      |d AS (
+      |  SELECT DISTINCT k,
+      |    ((length(k) * 3 + ascii(substr(k, 2, 1))) % 100)::BIGINT AS weight
+      |  FROM f)
+      |SELECT f.k, count(*)::BIGINT AS cnt,
+      |  sum(round(f.value * 100)::BIGINT * d.weight)::BIGINT AS wsum_scaled
+      |FROM f JOIN d USING (k) GROUP BY f.k ORDER BY f.k""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_ann_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
-    Q("q_salted_agg", saltedAgg, Some(saltedAggSql)))
+    Q("q_salted_agg", saltedAgg, Some(saltedAggSql)),
+    Q("q_salted_join", saltedJoin, Some(saltedJoinSql)))
 }

@@ -108,6 +108,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("salted join spreads the hot key: shuffle join keyed on (k, salt)") {
+    val p = plan("q_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"salting demo lost its shuffle join:\n$p")
+    assert(p.contains("salt"), s"salt missing from the join keys:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans a cartesian product") {
     // Candidate-pair generators are the risk surface; all must stay
     // bucket/block-local. (knn_batch and the IVF probe broadcast a
