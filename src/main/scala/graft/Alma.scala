@@ -321,6 +321,100 @@ final class Alma(
     w
   }
 
+  // ---- workflow checkpoint API (core.py:546-650, 821-850) ---------------
+  /** Persist a crash-recovery checkpoint. Sequence numbers increment
+    * per (run, branch); with `skipIfUnchanged` an identical state to
+    * the branch tip writes nothing and returns None (the reference's
+    * no-change skip). The tip lookup is a pushed-down point filter —
+    * bounded by run length, never table size.
+    */
+  def checkpoint(
+      runId: String,
+      nodeId: String,
+      stateJson: String,
+      asOf: Timestamp,
+      branchId: String = "main",
+      parentCheckpointId: Option[String] = None,
+      skipIfUnchanged: Boolean = true): Option[graft.workflow.Checkpoint] = {
+    val tip = store.checkpoints(Some(runId))
+      .filter(col("branchId") === branchId)
+      .orderBy(col("sequenceNumber").desc, col("id"))
+      .take(1).headOption
+    if (skipIfUnchanged && tip.exists(_.stateJson == stateJson)) None
+    else {
+      val ck = graft.workflow.Checkpoint(
+        id = UUID.randomUUID().toString,
+        runId = runId, nodeId = nodeId, branchId = branchId,
+        sequenceNumber = tip.map(_.sequenceNumber + 1).getOrElse(0L),
+        parentCheckpointId = parentCheckpointId.orElse(tip.map(_.id)),
+        stateJson = stateJson, createdAt = now(asOf))
+      store.saveCheckpoints(Seq(ck))
+      Some(ck)
+    }
+  }
+
+  /** The checkpoint to resume from after a crash (core.py:600-616):
+    * highest sequence in the run, optionally within one branch.
+    */
+  def getResumePoint(runId: String,
+      branchId: Option[String] = None): Option[graft.workflow.Checkpoint] = {
+    val base = store.checkpoints(Some(runId))
+    branchId.fold(base.toDF())(b => base.filter(col("branchId") === b).toDF())
+      .orderBy(col("sequenceNumber").desc, col("id"))
+      .as[graft.workflow.Checkpoint]
+      .take(1).headOption
+  }
+
+  /** Merge parallel branch states key-wise with named reducers
+    * (core.py:618-650): later branches win for `last_value`; the A6
+    * reducer registry handles the rest. States are bounded driver-side
+    * dicts (workflow state, not data), so the merge runs over a tiny
+    * local DataFrame through the same distributed reducer expressions
+    * the state-reducer operator uses. State values are strings here
+    * (the reference merges typed dicts), so numeric reducers return
+    * the canonical double rendering ("8.0", not "8").
+    */
+  def mergeStates(
+      states: Seq[Map[String, String]],
+      reducerConfig: Map[String, String] = Map.empty,
+      defaultReducer: String = "last_value"): Map[String, String] = {
+    if (states.isEmpty) return Map.empty
+    val rows = states.zipWithIndex.flatMap { case (m, i) =>
+      m.toSeq.map { case (k, v) => (i.toString, k, v, i.toLong) }
+    }
+    val df = rows.toDF("branch", "key", "value", "seq")
+    graft.workflow.Checkpoints.mergeBranchStates(df, reducerConfig, defaultReducer)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Drop all but the latest `keepLatest` checkpoints per branch of a
+    * completed run (core.py:821-850). Returns the deleted count.
+    */
+  def cleanupCheckpoints(runId: String, keepLatest: Int = 1): Long =
+    store.cleanupCheckpoints(runId, keepLatest)
+
+  /** Bulk usage recording (core.py:1325-1368): every retrieved memory
+    * gets a signal — `used` if its id is in `usedIds`, else `ignored` —
+    * feeding the R10/R11 feedback re-rank. Returns the feedback ids.
+    */
+  def recordUsage(
+      retrievedIds: Seq[String],
+      usedIds: Set[String],
+      memoryType: String,
+      agent: String,
+      asOf: Timestamp): Seq[String] = {
+    val rows = retrievedIds.map { mid =>
+      RetrievalFeedback(
+        id = UUID.randomUUID().toString,
+        memoryId = mid, memoryType = memoryType,
+        agent = agent, projectId = projectId,
+        signal = if (usedIds(mid)) FeedbackSignal.Used else FeedbackSignal.Ignored,
+        timestamp = now(asOf))
+    }
+    store.saveFeedback(rows)
+    rows.map(_.id)
+  }
+
   // ---- §3.1 the read path ----------------------------------------------
   /** filter → similarity → 4-factor score → (mode boosts) → threshold →
     * top-k (→ MMR when the mode asks for diversity) per memory type →

@@ -23,7 +23,11 @@ object Reducers {
     case "min" => min(value)
     case "first_value" => min_by(value, order)
     case "last_value" => max_by(value, order)
-    case "append" => array_sort(collect_list(struct(order, value)))
+    case "append" =>
+      // Sort by the order key, then keep only the values — callers get
+      // the reference's flat ordered list, not (order, value) pairs.
+      transform(array_sort(collect_list(struct(order.as("o"), value.as("v")))),
+        s => s.getField("v"))
     case "union" => array_sort(collect_set(value))
     case other => throw new IllegalArgumentException(s"unknown reducer: $other")
   }

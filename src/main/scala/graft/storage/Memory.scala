@@ -145,6 +145,7 @@ object MemoryType {
   val Feedback = "retrieval_feedback"
   val Artifacts = "artifacts"
   val WorkflowOutcomes = "workflow_outcomes"
+  val Checkpoints = "checkpoints"
   val All: Seq[String] = Seq(Heuristics, Outcomes, Preferences, Knowledge, AntiPatterns)
 }
 

@@ -108,6 +108,36 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     case MemoryType.Feedback => spark.emptyDataset[RetrievalFeedback].toDF()
     case MemoryType.Artifacts => spark.emptyDataset[ArtifactRef].toDF()
     case MemoryType.WorkflowOutcomes => spark.emptyDataset[WorkflowOutcome].toDF()
+    case MemoryType.Checkpoints => spark.emptyDataset[graft.workflow.Checkpoint].toDF()
+  }
+
+  // ---- workflow checkpoints (crash-recovery state, core.py:546-650) ------
+  def saveCheckpoints(rows: Seq[graft.workflow.Checkpoint]): Unit =
+    append(rows.toDS().toDF(), MemoryType.Checkpoints)
+
+  def checkpoints(runId: Option[String] = None): Dataset[graft.workflow.Checkpoint] = {
+    val df = scan(MemoryType.Checkpoints)
+    runId.fold(df)(r => df.filter(col("runId") === r)).as[graft.workflow.Checkpoint]
+  }
+
+  /** Drop all but the latest `keepLatest` checkpoints per branch of a
+    * completed run (reference checkpoint.py cleanup): rank within the
+    * run, snapshot-rewrite the complement — the same distributed
+    * delete shape as `deleteWhere`, bounded by run length on the
+    * ranked side. Returns the number of checkpoints deleted.
+    */
+  def cleanupCheckpoints(runId: String, keepLatest: Int): Long = {
+    if (!exists(MemoryType.Checkpoints)) return 0L
+    val live = readTable(MemoryType.Checkpoints)
+    val w = Window.partitionBy("branchId")
+      .orderBy(col("sequenceNumber").desc, col("id"))
+    val doomed = live.filter(col("runId") === runId)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > keepLatest)
+      .select("id")
+    val n = doomed.count()
+    if (n > 0) overwrite(live.join(doomed, Seq("id"), "left_anti"), MemoryType.Checkpoints)
+    n
   }
 
   // ---- delete (forget maintenance) --------------------------------------

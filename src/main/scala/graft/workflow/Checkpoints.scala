@@ -3,7 +3,7 @@ package graft.workflow
 import java.sql.Timestamp
 
 import graft.operators.Reducers
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,14 +63,19 @@ object Checkpoints {
       states: DataFrame,
       reducerByKey: Map[String, String],
       defaultReducer: String = "last_value"): DataFrame = {
+    // List-valued reducers render as comma-joined values; scalars cast.
+    def rendered(reducer: String): Column = reducer match {
+      case "append" | "union" => array_join(Reducers(reducer, col("value"), col("seq")), ",")
+      case r => Reducers(r, col("value"), col("seq")).cast("string")
+    }
     val merged = reducerByKey.toSeq.sortBy(_._1).map { case (k, reducer) =>
       states.filter(col("key") === k)
         .groupBy("key")
-        .agg(Reducers(reducer, col("value"), col("seq")).cast("string").as("merged"))
+        .agg(rendered(reducer).as("merged"))
     }
     val otherKeys = states.filter(!col("key").isin(reducerByKey.keySet.toSeq: _*))
       .groupBy("key")
-      .agg(Reducers(defaultReducer, col("value"), col("seq")).cast("string").as("merged"))
+      .agg(rendered(defaultReducer).as("merged"))
     merged.foldLeft(otherKeys)(_ unionByName _).orderBy("key")
   }
 }

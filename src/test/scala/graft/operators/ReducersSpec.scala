@@ -37,8 +37,7 @@ class ReducersSpec extends SparkSpec {
       Reducers("append", col("tag"), col("seq")).as("ap"),
       Reducers("union", col("tag"), col("seq")).as("un"))
       .orderBy("key").collect()
-    val appended = r(0).getSeq[org.apache.spark.sql.Row](1).map(_.getString(1))
-    assert(appended == Seq("a", "b", "a"))
+    assert(r(0).getSeq[String](1) == Seq("a", "b", "a"))
     assert(r(0).getSeq[String](2) == Seq("a", "b"))
   }
 
