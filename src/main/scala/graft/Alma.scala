@@ -64,7 +64,9 @@ final class Alma(
       strategyUsed: String,
       asOf: Timestamp,
       durationMs: Long = 0L,
-      errorMessage: Option[String] = None): Outcome = {
+      errorMessage: Option[String] = None,
+      context: Option[graft.workflow.WorkflowContext] = None): Outcome = {
+    context.foreach(_.validate())
     // F10 write guard: learning a strategy that matches a stored
     // anti-pattern is refused.
     val guard = store.antiPatterns(Some(projectId), scope(agent).readableAgents)
@@ -79,7 +81,9 @@ final class Alma(
       durationMs = durationMs, errorMessage = errorMessage,
       timestamp = now(asOf),
       embedding = HashEmbedder.embed(s"$taskDescription $strategyUsed", embedDim),
-      metadata = Map.empty)
+      // Workflow-scoped learns stamp their coordinates so that
+      // retrieveWithScope can filter on them (context.py pairing).
+      metadata = context.fold(Map.empty[String, String])(_.toStamp))
     store.saveOutcomes(Seq(o))
     events.emit(graft.events.MemoryEvent(
       graft.events.MemoryEventType.Created, agent, projectId,
@@ -130,7 +134,8 @@ final class Alma(
           metadata = Map.empty)
       }.toDF()
     store.mergeHeuristics(incoming, addCounts = false,
-      insertFilter = Some(col("occurrenceCount") >= 3 && col("confidence") > 0.5))
+      insertFilter = Some(col("occurrenceCount") >= scope(agent).minOccurrencesForHeuristic &&
+        col("confidence") > 0.5))
   }
 
   /** A2 anti-pattern promotion: ≥2 failures with the same error class.
@@ -429,11 +434,42 @@ final class Alma(
       agent: String,
       asOf: Timestamp,
       topK: Int = -1,
+      mode: ModeConfig = Modes.Precise): MemorySlice =
+    retrieveImpl(query, agent, asOf, topK, mode, graft.workflow.ScopeFilter())
+
+  /** Workflow-scoped retrieval (core.py:851-924 retrieve_with_scope):
+    * `retrieve` plus a conjunctive workflow-coordinate filter derived
+    * from the context at the requested scope level. Rows tagged with a
+    * DIFFERENT id are excluded; untagged rows still match (the
+    * reference keeps legacy tables unfiltered — sqlite_local.py:1971's
+    * back-compat no-op). The filter compiles into per-scan metadata
+    * predicates, so at scale it prunes before scoring, not after.
+    */
+  def retrieveWithScope(
+      task: String,
+      agent: String,
+      asOf: Timestamp,
+      context: graft.workflow.WorkflowContext,
+      scope: graft.workflow.RetrievalScope = graft.workflow.RetrievalScope.Agent,
+      topK: Int = -1,
       mode: ModeConfig = Modes.Precise): MemorySlice = {
+    context.validate()
+    retrieveImpl(task, agent, asOf, topK, mode, context.scopeFilter(scope))
+  }
+
+  private def retrieveImpl(
+      query: String,
+      agent: String,
+      asOf: Timestamp,
+      topK: Int,
+      mode: ModeConfig,
+      wf: graft.workflow.ScopeFilter): MemorySlice = {
     val m = mode.normalized
     val k = if (topK > 0) topK else m.topK
+    val wfFilter = wf.toMap
     val cacheKey = cache.nsKey(cacheNamespace(agent),
-      query, k.toString, asOf.toString, m.name)
+      query, k.toString, asOf.toString, m.name,
+      wfFilter.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(","))
     cache.get(cacheKey, asOf.getTime) match {
       case Some(hit) => return hit
       case None =>
@@ -516,10 +552,17 @@ final class Alma(
         .as[(T, Double, Double)]
         .map { case (t, s, si) => wrap(t, s, si) }
 
-    val hdf = store.heuristics(Some(projectId), agents).toDF()
-    val odf = store.outcomes(Some(projectId), agents).toDF()
-    val kdf = store.knowledge(Some(projectId), agents).toDF()
-    val adf = store.antiPatterns(Some(projectId), agents).toDF()
+    // Workflow scope: each set coordinate must match when the row is
+    // tagged with it; a missing metadata key passes (getItem → null →
+    // coalesce true). Applied at the scan, before scoring.
+    def scoped(df: DataFrame): DataFrame =
+      wfFilter.foldLeft(df) { case (d, (key, value)) =>
+        d.filter(coalesce(col("metadata").getItem(key) === lit(value), lit(true)))
+      }
+    val hdf = scoped(store.heuristics(Some(projectId), agents).toDF())
+    val odf = scoped(store.outcomes(Some(projectId), agents).toDF())
+    val kdf = scoped(store.knowledge(Some(projectId), agents).toDF())
+    val adf = scoped(store.antiPatterns(Some(projectId), agents).toDF())
     val branches = Seq(
       fused[Heuristic](hdf, scoreAndTake(hdf, "lastValidated",
           succ = col("successCount").cast("double") /
@@ -701,4 +744,30 @@ object Alma {
   def apply(spark: SparkSession, root: String, projectId: String,
       scopes: Map[String, MemoryScope] = Map.empty): Alma =
     new Alma(new MemoryStore(spark, root), projectId, scopes)
+
+  /** Build from a `.alma/config.yaml` (core.py:165-222 from_config):
+    * storage dir, project id, and per-agent scope definitions. Every
+    * storage backend the reference dispatches on (file/sqlite/postgres/
+    * azure) maps to the one Parquet-backed MemoryStore here — the
+    * config's `storage_dir` is the store root. Missing file → defaults
+    * (loader.py:40-43).
+    */
+  def fromConfig(spark: SparkSession, configPath: String): Alma = {
+    import graft.config.ConfigLoader
+    val cfg = ConfigLoader.load(configPath)
+    val scopes = ConfigLoader.section(cfg, "agents").map { case (name, sc) =>
+      name -> MemoryScope(
+        agent = name,
+        canLearn = ConfigLoader.strings(sc, "can_learn").toSet,
+        cannotLearn = ConfigLoader.strings(sc, "cannot_learn").toSet,
+        shareWith = ConfigLoader.strings(sc, "share_with").toSet,
+        inheritFrom = ConfigLoader.strings(sc, "inherit_from").toSet,
+        minOccurrencesForHeuristic =
+          ConfigLoader.int(sc, "min_occurrences_for_heuristic", 3))
+    }
+    apply(spark,
+      ConfigLoader.str(cfg, "storage_dir", ".alma"),
+      ConfigLoader.str(cfg, "project_id", "default"),
+      scopes)
+  }
 }

@@ -157,7 +157,8 @@ final case class MemoryScope(
     canLearn: Set[String] = Set.empty,
     cannotLearn: Set[String] = Set.empty,
     shareWith: Set[String] = Set.empty,
-    inheritFrom: Set[String] = Set.empty) {
+    inheritFrom: Set[String] = Set.empty,
+    minOccurrencesForHeuristic: Int = 3) {
 
   /** Deny-list beats allow-list; empty allow = everything
     * (alma/types.py:46-52).
