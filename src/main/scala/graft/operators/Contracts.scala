@@ -556,8 +556,98 @@ object Contracts {
       |  sum(length(event_type || ' ' || event_id))::BIGINT AS sum_text_len
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Workflow scope filter (Alma.retrieveWithScope / context.py:128-167):
+  // conjunctive coordinate match over a metadata MAP column — a tagged
+  // row must match every set coordinate; an untagged row always passes
+  // (getItem on a missing key → null → coalesce true; the reference
+  // keeps legacy tables unfiltered). Coordinates are synthesized from
+  // events; rows with event_id % 7 == 0 stay untagged. The filter runs
+  // through the SAME map-getItem-coalesce expression shape
+  // Alma.retrieveImpl compiles (ContractsSpec pins them equal).
+  private[operators] def scopedRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val tagged = col("event_id") % 7 =!= 0
+    val meta = when(tagged, map(
+      lit("tenant_id"), concat(lit("t"), (col("user_id") % 3).cast("string")),
+      lit("workflow_id"), col("event_type"),
+      lit("run_id"), concat(lit("r"), (col("event_id") % 5).cast("string"))))
+      .otherwise(map().cast("map<string,string>"))
+    val ctx = graft.workflow.WorkflowContext(
+      tenantId = Some("t1"), workflowId = Some("view"), runId = Some("r2"))
+    val wf = ctx.scopeFilter(graft.workflow.RetrievalScope.Run).toMap
+    val allowed = wf.toSeq.sortBy(_._1).map { case (k, v) =>
+      coalesce(col("m").getItem(k) === lit(v), lit(true))
+    }.reduce(_ && _)
+    Tables.events(s, dir)
+      .select(col("event_id"), meta.as("m"))
+      .select(col("event_id"), size(col("m")).cast("long").as("n_tags"),
+        allowed.as("allowed"))
+      .orderBy("event_id")
+  }
+
+  private val scopedRetrievalSql =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 7 <> 0 THEN 3 ELSE 0 END::BIGINT AS n_tags,
+      |  CASE WHEN event_id % 7 <> 0 THEN
+      |    ('t' || (user_id % 3)) = 't1' AND event_type = 'view'
+      |      AND ('r' || (event_id % 5)) = 'r2'
+      |  ELSE TRUE END AS allowed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Checkpoint cleanup (MemoryStore.cleanupCheckpoints / reference
+  // checkpoint cleanup core.py:821-850): checkpoints synthesized from
+  // events are written through the REAL store, keep-latest-2 per branch
+  // runs against run1, and the surviving table aggregates per (run,
+  // branch) — a wrong window frame, tiebreak, or anti-join breaks the
+  // hash. Scale shape: ranked side bounded by one run; rewrite is the
+  // deleteWhere snapshot pattern.
+  private def checkpointCleanup(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q_checkpoint_cleanup"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent across runs
+    val store = new graft.storage.MemoryStore(s, root)
+    val cks = Tables.events(s, dir).select(
+      concat(lit("ck"), col("event_id").cast("string")).as("id"),
+      concat(lit("run"), (col("user_id") % 2).cast("string")).as("runId"),
+      col("event_type").as("nodeId"),
+      concat(lit("b"), (col("event_id") % 3).cast("string")).as("branchId"),
+      col("event_id").cast("long").as("sequenceNumber"),
+      lit(null).cast("string").as("parentCheckpointId"),
+      concat(lit("""{"v":"""), col("event_id").cast("string"), lit("}")).as("stateJson"),
+      col("ts").as("createdAt"))
+    store.appendRows(cks, graft.storage.MemoryType.Checkpoints)
+    store.cleanupCheckpoints("run1", keepLatest = 2)
+    store.checkpoints()
+      .groupBy(col("runId").as("run_id"), col("branchId").as("branch_id"))
+      .agg(count(lit(1)).as("n"),
+        max("sequenceNumber").as("max_seq"),
+        sum("sequenceNumber").as("sum_seq"))
+      .orderBy("run_id", "branch_id")
+  }
+
+  private val checkpointCleanupSql =
+    """WITH c AS (
+      |  SELECT 'ck' || event_id AS id, 'run' || (user_id % 2) AS run_id,
+      |    'b' || (event_id % 3) AS branch_id, event_id AS seq
+      |  FROM events),
+      |ranked AS (
+      |  SELECT id, run_id, branch_id, seq,
+      |    row_number() OVER (PARTITION BY branch_id ORDER BY seq DESC, id) AS rn
+      |  FROM c WHERE run_id = 'run1'),
+      |survivors AS (
+      |  SELECT id, run_id, branch_id, seq FROM c WHERE run_id <> 'run1'
+      |  UNION ALL
+      |  SELECT id, run_id, branch_id, seq FROM ranked WHERE rn <= 2)
+      |SELECT run_id, branch_id, count(*)::BIGINT AS n,
+      |  max(seq)::BIGINT AS max_seq, sum(seq)::BIGINT AS sum_seq
+      |FROM survivors GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_scope_acl", scopeAcl, Some(scopeAclSql)),
+    Q("q_scoped_retrieval", scopedRetrieval, Some(scopedRetrievalSql)),
+    Q("q_checkpoint_cleanup", checkpointCleanup, Some(checkpointCleanupSql)),
     Q("q_store_roundtrip", storeRoundtrip, Some(storeRoundtripSql)),
     Q("q_benchmark_source", benchmarkSource, Some(benchmarkSourceSql)),
     Q("q_sanitize_query", sanitizeQuery, Some(sanitizeQuerySql)),

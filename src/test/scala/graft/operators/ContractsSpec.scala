@@ -112,6 +112,52 @@ class ContractsSpec extends SparkSpec {
     }
   }
 
+  test("q_scoped_retrieval matches the WorkflowContext scope-filter semantics") {
+    val ctx = graft.workflow.WorkflowContext(
+      tenantId = Some("t1"), workflowId = Some("view"), runId = Some("r2"))
+    val wf = ctx.scopeFilter(graft.workflow.RetrievalScope.Run).toMap
+    val coords = graft.io.Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("event_type")).collect()
+      .map { r =>
+        val (e, u) = (r.getLong(0), r.getLong(1))
+        val tags: Map[String, String] =
+          if (e % 7 == 0) Map.empty
+          else Map("tenant_id" -> s"t${u % 3}", "workflow_id" -> r.getString(2),
+            "run_id" -> s"r${e % 5}")
+        e -> tags
+      }.toMap
+    val rows = q("q_scoped_retrieval").collect()
+    assert(rows.length == coords.size)
+    rows.foreach { r =>
+      val tags = coords(r.getLong(0))
+      // Library semantics: every set coordinate must match when the row
+      // carries the key; missing keys pass (back-compat untagged rows).
+      val expect = wf.forall { case (k, v) => tags.get(k).forall(_ == v) }
+      assert(r.getLong(1) == tags.size.toLong, s"event ${r.getLong(0)} tags")
+      assert(r.getBoolean(2) == expect, s"event ${r.getLong(0)}")
+    }
+    // The filter actually discriminates at this SF.
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+  }
+
+  test("q_checkpoint_cleanup keeps exactly latest-2 per branch of run1 only") {
+    val rows = q("q_checkpoint_cleanup").collect()
+    val byRun = rows.groupBy(_.getString(0))
+    // run1 branches were cut to ≤2 survivors; run0 untouched (bigger).
+    assert(byRun("run1").forall(_.getLong(2) <= 2L))
+    assert(byRun("run0").forall(_.getLong(2) > 2L))
+    // Survivors are the TOP sequences: max_seq must be the branch max
+    // over all of run1's checkpoints, which cleanup never deletes.
+    val branchMax = graft.io.Tables.events(spark, Sf)
+      .filter(col("user_id") % 2 === 1)
+      .groupBy((col("event_id") % 3).as("b"))
+      .agg(max("event_id")).collect()
+      .map(r => s"b${r.getLong(0)}" -> r.getLong(1)).toMap
+    byRun("run1").foreach { r =>
+      assert(r.getLong(3) == branchMax(r.getString(1)), s"branch ${r.getString(1)}")
+    }
+  }
+
   test("q_write_guard keeps no blocked strategy and some strategies are blocked") {
     val kept = q("q_write_guard").collect().map(_.getString(1)).toSet
     val all = graft.io.Tables.events(spark, Sf)
