@@ -129,15 +129,24 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
   def cleanupCheckpoints(runId: String, keepLatest: Int): Long = {
     if (!exists(MemoryType.Checkpoints)) return 0L
     val live = readTable(MemoryType.Checkpoints)
-    val w = Window.partitionBy("branchId")
-      .orderBy(col("sequenceNumber").desc, col("id"))
-    val doomed = live.filter(col("runId") === runId)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > keepLatest)
-      .select("id")
+    val doomed = doomedCheckpoints(live, runId, keepLatest)
     val n = doomed.count()
     if (n > 0) overwrite(live.join(doomed, Seq("id"), "left_anti"), MemoryType.Checkpoints)
     n
+  }
+
+  /** The over-quota checkpoint ids of one run: branch-partitioned rank
+    * over the run-filtered side, so window state is bounded by run
+    * length (PlanShapeSpec asserts the partitioning).
+    */
+  private[graft] def doomedCheckpoints(live: DataFrame, runId: String,
+      keepLatest: Int): DataFrame = {
+    val w = Window.partitionBy("branchId")
+      .orderBy(col("sequenceNumber").desc, col("id"))
+    live.filter(col("runId") === runId)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > keepLatest)
+      .select("id")
   }
 
   // ---- delete (forget maintenance) --------------------------------------

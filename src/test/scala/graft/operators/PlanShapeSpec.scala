@@ -108,6 +108,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("scoped retrieval filter is a pure projection over the metadata map") {
+    // The workflow scope filter must stay a per-row map probe — no join
+    // against a coordinate table, no aggregate; a 100 TB scoped scan is
+    // one pass with the predicate evaluated next to the scan.
+    val p = plan("q_scoped_retrieval")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+  }
+
+  test("checkpoint cleanup ranks inside the run partition only") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Run the query to populate its store, then plan the doomed-row
+    // frame directly: the ranking must be a branch-partitioned window
+    // over the run-filtered side (bounded by run length), never a
+    // global funnel over the checkpoint table.
+    SparkEntry.queries("q_checkpoint_cleanup")(spark, Sf).collect()
+    val store = new graft.storage.MemoryStore(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_q_checkpoint_cleanup")
+    val doomed = store.doomedCheckpoints(store.checkpoints().toDF(), "run0", 2)
+    val exec = doomed.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected a window in:\n$exec")
+    assert(windows.forall(_.partitionSpec.nonEmpty), s"unpartitioned window:\n$exec")
+    // The run filter sits below the window (pushed toward the scan).
+    assert(windows.forall(_.child.toString.contains("runId")),
+      s"run filter not below the window:\n$exec")
+  }
+
   test("salted join spreads the hot key: shuffle join keyed on (k, salt)") {
     val p = plan("q_salted_join")
     assert(p.contains("ShuffledHashJoin"), s"salting demo lost its shuffle join:\n$p")
