@@ -6,11 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
-  * with feature extraction over the bytes. The real decode (image/audio
-  * libraries) is not available in this environment, so the decode stage
-  * is a deterministic stub — but the Spark-side contract (binary column,
-  * metadata struct, per-row feature extraction, partition-parallel) is
-  * the real one a 100 TB media pipeline would use.
+  * with feature extraction over the bytes. The decode stage is a real
+  * JDK-only image decoder (`javax.imageio` — PNG/BMP/JPEG/GIF readers
+  * ship with the JRE): payloads that decode as images emit true
+  * width/height/channel/luminance features; payloads that don't fall
+  * back to deterministic byte statistics with zeroed image dims. The
+  * Spark-side contract (binary column, metadata struct, per-partition
+  * feature extraction, no driver round-trip) is the shape a 100 TB
+  * media pipeline uses; heavier codecs (audio/video) drop into the same
+  * `MediaDecoder` seam.
   */
 object Multimodal {
 
@@ -33,22 +37,24 @@ object Multimodal {
 
   /** Pluggable media decoder — the same seam pattern as `CrossScorer`
     * and `ExternalCompleter`: Serializable, executed per partition on
-    * executors, fixed feature contract. A real implementation (image/
-    * audio libraries, unavailable in this environment) drops in without
+    * executors, fixed feature contract. Heavier codecs drop in without
     * touching `decodeQuery` or its schema.
     */
   trait MediaDecoder extends Serializable {
     def decode(payload: Array[Byte]): MediaFeatures
   }
 
-  /** The fixed decode output contract (the query's schema). */
-  final case class MediaFeatures(nBytes: Long, checksum: Long, meanByte: Double)
+  /** The fixed decode output contract (the query's schema): byte-level
+    * stats for every payload, plus image dims/stats when the payload
+    * decodes as an image (zeroed otherwise).
+    */
+  final case class MediaFeatures(
+      nBytes: Long, checksum: Long, meanByte: Double,
+      width: Int, height: Int, channels: Int, meanLuma: Double)
 
-  /** STUB default: deterministic byte statistics standing in for
-    * decoded-media features (no media libs in this sandbox). The
-    * distributed plumbing around it — binary column in, fixed feature
-    * schema out, per-partition execution, no driver round-trip — is the
-    * real production shape.
+  /** Byte-statistics decoder: the cheap pass for payloads with no
+    * decodable structure (and the fallback features every decoder
+    * emits). Image dims stay zero.
     */
   object ByteStatDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): MediaFeatures = {
@@ -56,22 +62,60 @@ object Multimodal {
       var i = 0
       while (i < payload.length) { checksum = (checksum * 31 + (payload(i) & 0xff)) & 0xffffffffL; i += 1 }
       val meanByte = if (payload.isEmpty) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / payload.length
-      MediaFeatures(payload.length.toLong, checksum, meanByte)
+      MediaFeatures(payload.length.toLong, checksum, meanByte, 0, 0, 0, 0.0)
     }
   }
 
-  /** Back-compat alias for the default decoder. */
-  def decodeFeatures(payload: Array[Byte]): (Long, Long, Double) = {
-    val f = ByteStatDecoder.decode(payload)
-    (f.nBytes, f.checksum, f.meanByte)
+  /** Real image decode, JDK-only (`javax.imageio` ships with the JRE:
+    * PNG/BMP/JPEG/GIF): width, height, color channels, and mean
+    * luminance (BT.601 weights) over a bounded pixel sample — feature
+    * extraction must stay O(bounded) per row no matter how large one
+    * image is. Non-image payloads (no registered reader matches the
+    * magic bytes) degrade to byte statistics with zeroed dims, so one
+    * query handles a mixed binary column.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    private val MaxSampleSide = 256
+
+    def decode(payload: Array[Byte]): MediaFeatures = {
+      val base = ByteStatDecoder.decode(payload)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null) base
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val stepX = math.max(1, w / MaxSampleSide)
+        val stepY = math.max(1, h / MaxSampleSide)
+        var lumaSum = 0.0
+        var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lumaSum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        base.copy(width = w, height = h,
+          channels = img.getColorModel.getNumComponents,
+          meanLuma = if (n == 0) 0.0 else lumaSum / n)
+      }
+    }
   }
 
   /** Binary ingest → per-partition feature extraction through the
-    * decoder seam (rows-only query: the default decoder is library
-    * code, not ANSI SQL).
+    * decoder seam (rows-only query: ImageIO decode is library code, not
+    * ANSI SQL — the corpus payloads are text bytes, so they exercise
+    * the fallback branch; MultimodalSpec's golden test exercises the
+    * image branch with real PNG/BMP bytes).
     */
   def decodeQuery(s: SparkSession, dir: String,
-      decoder: MediaDecoder = ByteStatDecoder): DataFrame = {
+      decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
     import s.implicits._
     val withPayload = Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -79,9 +123,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val f = decoder.decode(payload)
-        (id, f.nBytes, f.checksum, math.rint(f.meanByte * 10000) / 10000)
+        (id, f.nBytes, f.checksum, math.rint(f.meanByte * 10000) / 10000,
+          f.width, f.height, f.channels, math.rint(f.meanLuma * 10000) / 10000)
       })
-      .toDF("doc_id", "n_bytes", "checksum", "mean_byte")
+      .toDF("doc_id", "n_bytes", "checksum", "mean_byte",
+        "width", "height", "channels", "mean_luma")
       .orderBy("doc_id")
   }
 

@@ -1,5 +1,6 @@
 package graft.storage
 
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,19 +11,152 @@ import org.apache.spark.sql.functions._
   * Postgres/Chroma/Qdrant/Pinecone/Cosmos backends all collapse into
   * one columnar layout, SURVEY S5).
   *
-  * Layout: `<root>/<memory_type>/` Parquet, partitioned by `projectId`
-  * so project/agent predicates become partition pruning + pushed
-  * filters at 100 TB. Writes are append-only batches (S3/S4); upsert
-  * (A3) and archive (S10) are DISTRIBUTED snapshot-rewrite jobs — a
-  * full-outer-join column-level merge followed by write-new-then-swap,
-  * the open-format stand-in for Delta MERGE. Nothing in this class
-  * collects a table to the driver: every merge/split is a join, so the
-  * same code runs when the heuristics table is 10 rows or 10 billion.
+  * Layout: `<root>/<memory_type>/snap_<version>_<uuid>/` Parquet
+  * snapshots, partitioned by `projectId` so project/agent predicates
+  * become partition pruning + pushed filters at 100 TB, plus a
+  * `_CURRENT` marker file naming the committed snapshot. Writes are
+  * append-only batches into the current snapshot (S3/S4); upsert (A3)
+  * and archive (S10) are DISTRIBUTED snapshot-rewrite jobs — a
+  * full-outer-join column-level merge written as a NEW snapshot
+  * directory, committed by an atomic marker flip — the open-format
+  * stand-in for Delta MERGE. Nothing in this class collects a table to
+  * the driver: every merge/split is a join, so the same code runs when
+  * the heuristics table is 10 rows or 10 billion.
+  *
+  * Commit protocol (cloud-portable; the reference gets the equivalent
+  * from SQLite transactions, sqlite_local.py): all filesystem access
+  * goes through Hadoop's `FileSystem`/`FileContext` API, so the same
+  * code runs on file://, hdfs:// and s3a://. A rewrite (1) writes the
+  * merged table to a fresh `snap_<v+1>_<uuid>` directory — the live
+  * snapshot is never touched while it is being read — then (2) flips
+  * `_CURRENT` by writing a temp marker and renaming it over the old one
+  * (`Options.Rename.OVERWRITE`: atomic on HDFS/POSIX; a single-object
+  * PUT on stores like S3, whose object-level atomicity gives the same
+  * reader guarantee). Concurrent committers race only on the marker:
+  * LAST WRITER WINS — the losing snapshot becomes unreferenced garbage
+  * reclaimed once the version advances past the retention window (or by
+  * `vacuum`), and no interleaving can lose the table or expose a
+  * half-written directory, because the marker only ever names a fully
+  * written snapshot. Readers that catch the marker mid-flip (or a
+  * missing/corrupt marker) fall back to the highest fully-written
+  * (`_SUCCESS`-bearing) snapshot present. The previous
+  * `retainSnapshots - 1` snapshots are retained so in-flight readers
+  * that resolved the marker just before a commit still find their
+  * files; a reader more than that many commits stale can fail and
+  * should re-resolve — the documented trade against unbounded storage.
   */
-final class MemoryStore(val spark: SparkSession, val root: String) {
+final class MemoryStore(val spark: SparkSession, val root: String,
+    val retainSnapshots: Int = 3) {
   import spark.implicits._
 
-  private def path(memoryType: String) = s"$root/$memoryType"
+  // ---- snapshot resolution (cloud-portable commit protocol) -------------
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(hadoopConf)
+  private def tableDir(memoryType: String) = new HPath(s"$root/$memoryType")
+  private def markerOf(memoryType: String) = new HPath(tableDir(memoryType), "_CURRENT")
+
+  private val SnapName = "snap_([0-9]+)_[0-9a-f]+".r
+  private def versionOf(name: String): Long = name match {
+    case SnapName(v) => v.toLong
+    case _ => -1L
+  }
+
+  /** The committed `(version, snapshotDir)` of a table: the `_CURRENT`
+    * marker when readable, else the highest `_SUCCESS`-complete snapshot
+    * directory (covers the marker-swap window on filesystems where the
+    * overwrite-rename is delete+rename, and a corrupted marker).
+    */
+  private def currentSnapshot(memoryType: String): Option[(Long, HPath)] = {
+    val marker = markerOf(memoryType)
+    val fs = fsOf(marker)
+    val fromMarker =
+      try {
+        if (!fs.exists(marker)) None
+        else {
+          val in = fs.open(marker)
+          val name =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (versionOf(name) < 0) None
+          else Some((versionOf(name), new HPath(tableDir(memoryType), name)))
+        }
+      } catch { case _: java.io.IOException => None }
+    fromMarker.orElse {
+      try {
+        fsOf(tableDir(memoryType)).listStatus(tableDir(memoryType)).toSeq
+          .filter(st => st.isDirectory && versionOf(st.getPath.getName) >= 0)
+          .filter(st => fs.exists(new HPath(st.getPath, "_SUCCESS")))
+          .map(st => (versionOf(st.getPath.getName), st.getPath))
+          .sortBy { case (v, p) => (v, p.getName) }
+          .lastOption
+      } catch { case _: java.io.IOException => None }
+    }
+  }
+
+  /** Write `df` as a brand-new snapshot directory, then atomically flip
+    * the `_CURRENT` marker to it. The base version is read at call time;
+    * concurrent committers produce same-version siblings and the last
+    * marker write wins (documented last-writer-wins).
+    */
+  private def commitSnapshot(df: DataFrame, memoryType: String, baseVersion: Long): Unit = {
+    val version = baseVersion + 1
+    val name = f"snap_$version%06d_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}%s"
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionColsOf(df): _*)
+      .parquet(new HPath(tableDir(memoryType), name).toString)
+    commitMarker(memoryType, name)
+    cleanupSnapshots(memoryType, keepFromVersion = version - (retainSnapshots - 1),
+      protect = Some(name))
+  }
+
+  private def commitMarker(memoryType: String, name: String): Unit = {
+    val dir = tableDir(memoryType)
+    val fs = fsOf(dir)
+    val tmp = new HPath(dir, s"._CURRENT_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(fs.getUri, hadoopConf)
+      .rename(tmp, markerOf(memoryType), Options.Rename.OVERWRITE)
+  }
+
+  /** Best-effort delete of snapshot dirs below the retention floor (a
+    * concurrent cleanup may have removed them already) — never the one
+    * the marker currently names.
+    */
+  private def cleanupSnapshots(memoryType: String, keepFromVersion: Long,
+      protect: Option[String]): Unit = {
+    val dir = tableDir(memoryType)
+    val fs = fsOf(dir)
+    try {
+      fs.listStatus(dir).foreach { st =>
+        val v = versionOf(st.getPath.getName)
+        if (st.isDirectory && v >= 0 && v < keepFromVersion
+            && !protect.contains(st.getPath.getName))
+          try fs.delete(st.getPath, true): Unit
+          catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Delete every unreferenced snapshot of a table regardless of age
+    * (losing concurrent committers, aborted writes). Run when no reader
+    * is pinned to an old snapshot.
+    */
+  def vacuum(memoryType: String): Unit =
+    cleanupSnapshots(memoryType, keepFromVersion = Long.MaxValue,
+      protect = currentSnapshot(memoryType).map(_._2.getName))
+
+  /** An empty table is represented by no marker and no snapshots at all
+    * (an empty partitioned parquet dir has no schema files and poisons
+    * later reads — exists() → typed empty instead).
+    */
+  private def dropTable(memoryType: String): Unit = {
+    val marker = markerOf(memoryType)
+    val fs = fsOf(marker)
+    try { if (fs.exists(marker)) fs.delete(marker, false): Unit }
+    catch { case _: java.io.IOException => () }
+    cleanupSnapshots(memoryType, keepFromVersion = Long.MaxValue, protect = None)
+  }
 
   // ---- batch writes (S3) ------------------------------------------------
   def saveHeuristics(rows: Seq[Heuristic]): Unit = append(rows.toDS().toDF(), MemoryType.Heuristics)
@@ -41,14 +175,21 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
   private def partitionColsOf(df: DataFrame): Seq[String] =
     if (df.columns.contains("projectId")) Seq("projectId") else Nil
 
+  /** Batch append: lands new files inside the CURRENT snapshot (cheap —
+    * no rewrite); the first append creates snapshot 1 and commits the
+    * marker. An append racing a rewrite can land in the snapshot the
+    * rewrite is replacing — last-writer-wins, same as the marker race.
+    */
   private def append(df: DataFrame, memoryType: String): Unit =
-    df.write.mode(SaveMode.Append)
-      .partitionBy(partitionColsOf(df): _*)
-      .parquet(path(memoryType))
+    currentSnapshot(memoryType) match {
+      case Some((_, snap)) =>
+        df.write.mode(SaveMode.Append)
+          .partitionBy(partitionColsOf(df): _*)
+          .parquet(snap.toString)
+      case None => commitSnapshot(df, memoryType, baseVersion = 0L)
+    }
 
-  def exists(memoryType: String): Boolean =
-    new java.io.File(s"${path(memoryType)}/_SUCCESS").exists() ||
-      new java.io.File(path(memoryType)).exists()
+  def exists(memoryType: String): Boolean = currentSnapshot(memoryType).isDefined
 
   /** Read a table with its schema declared from the encoder rather than
     * inferred from footers: schema inference is a Spark job per read
@@ -57,7 +198,11 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     * pin column order regardless of partition-column placement.
     */
   private def readTable(memoryType: String): DataFrame =
-    spark.read.schema(emptyOf(memoryType).schema).parquet(path(memoryType))
+    currentSnapshot(memoryType) match {
+      case Some((_, snap)) =>
+        spark.read.schema(emptyOf(memoryType).schema).parquet(snap.toString)
+      case None => emptyOf(memoryType)
+    }
 
   // ---- filtered scans (S2, F1/F2/F5/F8) --------------------------------
   /** Typed scan with the standard predicate set; filters push to the
@@ -232,38 +377,15 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
   def replaceHeuristics(incoming: Seq[Heuristic]): Unit =
     mergeHeuristics(incoming.toDS().toDF(), addCounts = false)
 
+  /** Snapshot rewrite: the merge plan reads the live snapshot while the
+    * new one is written to a sibling directory, then the marker flips —
+    * a failure at any step leaves the old snapshot live (the marker is
+    * only written after the new directory is complete).
+    */
   private def overwrite(df: DataFrame, memoryType: String): Unit = {
-    val live = new java.io.File(path(memoryType))
-    // An empty dataset written with partitionBy produces no schema
-    // files (only _SUCCESS), which poisons later reads — an empty table
-    // is represented by no directory at all (exists() → typed empty).
-    if (df.isEmpty) {
-      if (live.exists()) delete(live)
-      return
-    }
-    // Write-new-then-swap keeps the operation idempotent and never
-    // leaves a half-written live directory: the merge plan reads the
-    // live snapshot while writing tmp, then a directory rename swaps.
-    // Every rename is checked: a failed swap restores the backup
-    // instead of silently dropping the only copy of the table.
-    val tmp = s"$root/.tmp_$memoryType"
-    df.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionColsOf(df): _*)
-      .parquet(tmp)
-    val bak = new java.io.File(s"$root/.bak_$memoryType")
-    if (bak.exists()) delete(bak)
-    if (live.exists() && !live.renameTo(bak))
-      throw new java.io.IOException(s"could not stage backup for $memoryType")
-    if (!new java.io.File(tmp).renameTo(live)) {
-      if (bak.exists()) bak.renameTo(live)
-      throw new java.io.IOException(s"could not swap snapshot for $memoryType")
-    }
-    delete(bak)
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete(): Unit
+    val base = currentSnapshot(memoryType).map(_._1).getOrElse(0L)
+    if (df.isEmpty) dropTable(memoryType)
+    else commitSnapshot(df, memoryType, base)
   }
 
   // ---- archive / restore (S10) -----------------------------------------
@@ -299,11 +421,15 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     }
   }
 
-  def archived(memoryType: String): DataFrame =
-    if (new java.io.File(s"$root/archive/$memoryType").exists())
-      spark.read.parquet(s"$root/archive/$memoryType")
+  def archived(memoryType: String): DataFrame = {
+    // The archive is a plain append-only log (never rewritten in place,
+    // so it needs no snapshot protocol) — but existence still goes
+    // through the Hadoop FS so it works on any scheme.
+    val p = new HPath(s"$root/archive/$memoryType")
+    if (fsOf(p).exists(p)) spark.read.parquet(p.toString)
     else emptyOf(memoryType)
       .withColumn("reason", lit("")).withColumn("archived_at_us", lit(0L))
+  }
 
   /** Restore = archived rows (latest snapshot per id) not currently
     * live, re-appended — anti-join + append, no rewrite of the archive
@@ -363,16 +489,18 @@ final class MemoryStore(val spark: SparkSession, val root: String) {
     * exceeds `minFiles`. Same write-new-then-swap as every rewrite
     * here, so readers never see a half state.
     */
-  def compact(memoryType: String, minFiles: Int = 16, targetPartitions: Int = 4): Long = {
-    if (!exists(memoryType)) return 0L
-    def parquetFiles(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(parquetFiles).sum
-      else if (f.getName.endsWith(".parquet")) 1L else 0L
-    val files = parquetFiles(new java.io.File(path(memoryType)))
-    if (files > minFiles)
-      overwrite(readTable(memoryType).repartition(targetPartitions), memoryType)
-    files
-  }
+  def compact(memoryType: String, minFiles: Int = 16, targetPartitions: Int = 4): Long =
+    currentSnapshot(memoryType) match {
+      case None => 0L
+      case Some((_, snap)) =>
+        var files = 0L
+        val it = fsOf(snap).listFiles(snap, true)
+        while (it.hasNext)
+          if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+        if (files > minFiles)
+          overwrite(readTable(memoryType).repartition(targetPartitions), memoryType)
+        files
+    }
 
   // ---- artifacts (J6 write path) ----------------------------------------
   def saveArtifacts(rows: Seq[ArtifactRef]): Unit =

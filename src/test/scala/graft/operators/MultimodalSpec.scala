@@ -1,37 +1,84 @@
 package graft.operators
 
-import graft.SparkSpec
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
 
-/** The media-decoder seam: the default byte-stat stub is deterministic,
-  * and a custom decoder drops into the same query without changing its
-  * schema — the contract a real image/audio decoder would rely on.
+import graft.SparkSpec
+import javax.imageio.ImageIO
+
+/** The media-decoder seam: real JDK ImageIO decode for image payloads
+  * (golden-tested against generated PNG/BMP bytes), deterministic
+  * byte-stat fallback for everything else, and a custom decoder dropping
+  * into the same query without changing its schema.
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("default decoder is deterministic byte statistics") {
+  private def imageBytes(format: String, w: Int, h: Int, argb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, argb)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, out), s"no $format writer registered")
+    out.toByteArray
+  }
+
+  test("byte-stat fallback is deterministic and zeroes image dims") {
     val f = Multimodal.ByteStatDecoder.decode("abc".getBytes("UTF-8"))
     assert(f.nBytes == 3)
     assert(f == Multimodal.ByteStatDecoder.decode("abc".getBytes("UTF-8")))
     val empty = Multimodal.ByteStatDecoder.decode(Array.emptyByteArray)
-    assert(empty == Multimodal.MediaFeatures(0L, 0L, 0.0))
+    assert(empty == Multimodal.MediaFeatures(0L, 0L, 0.0, 0, 0, 0, 0.0))
+  }
+
+  test("ImageIO decoder golden: real PNG bytes decode to exact dims and luminance") {
+    // Solid mid-gray 8x4: luma = 0.299*100 + 0.587*100 + 0.114*100 = 100.
+    val png = imageBytes("png", 8, 4, 0xff646464)
+    val f = Multimodal.ImageIoDecoder.decode(png)
+    assert(f.width == 8 && f.height == 4, s"dims: ${f.width}x${f.height}")
+    assert(f.channels == 3, s"channels: ${f.channels}")
+    assert(math.abs(f.meanLuma - 100.0) < 1e-9, s"luma: ${f.meanLuma}")
+    assert(f.nBytes == png.length.toLong)
+    // Decode is deterministic.
+    assert(f == Multimodal.ImageIoDecoder.decode(png))
+  }
+
+  test("ImageIO decoder golden: BMP bytes and a two-tone luminance average") {
+    // Left half white (luma 255), right half black (luma 0) → mean 127.5.
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xffffffff else 0xff000000)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "bmp", out))
+    val f = Multimodal.ImageIoDecoder.decode(out.toByteArray)
+    assert(f.width == 8 && f.height == 8)
+    assert(math.abs(f.meanLuma - 127.5) < 1e-9, s"luma: ${f.meanLuma}")
+  }
+
+  test("non-image payloads degrade to byte statistics with zero dims") {
+    val f = Multimodal.ImageIoDecoder.decode("not an image at all".getBytes("UTF-8"))
+    val bs = Multimodal.ByteStatDecoder.decode("not an image at all".getBytes("UTF-8"))
+    assert(f == bs)
+    assert(f.width == 0 && f.height == 0 && f.channels == 0)
   }
 
   test("a custom decoder slots into decodeQuery without schema changes") {
     object ConstDecoder extends Multimodal.MediaDecoder {
       def decode(payload: Array[Byte]): Multimodal.MediaFeatures =
-        Multimodal.MediaFeatures(payload.length.toLong, 42L, 0.5)
+        Multimodal.MediaFeatures(payload.length.toLong, 42L, 0.5, 1, 2, 3, 4.0)
     }
     val out = Multimodal.decodeQuery(spark, Sf, ConstDecoder)
-    assert(out.columns.toSeq == Seq("doc_id", "n_bytes", "checksum", "mean_byte"))
+    assert(out.columns.toSeq == Seq("doc_id", "n_bytes", "checksum", "mean_byte",
+      "width", "height", "channels", "mean_luma"))
     val rows = out.limit(5).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getLong(2) == 42L && r.getDouble(3) == 0.5))
+    assert(rows.forall(r => r.getLong(2) == 42L && r.getDouble(3) == 0.5 && r.getInt(4) == 1))
   }
 
-  test("the named query and the seam default agree") {
+  test("the named query runs the ImageIO decoder and agrees with the seam") {
     val viaSeam = Multimodal.decodeQuery(spark, Sf).limit(3).collect().toSeq
     val viaQuery = graft.SparkEntry.queries("q_multimodal_decode")(spark, Sf)
       .limit(3).collect().toSeq
     assert(viaSeam.map(_.toSeq) == viaQuery.map(_.toSeq))
+    // Text payloads take the fallback branch: dims zero, byte stats real.
+    assert(viaSeam.forall(r => r.getInt(4) == 0 && r.getLong(1) > 0))
   }
 }

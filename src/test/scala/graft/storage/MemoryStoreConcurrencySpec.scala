@@ -1,0 +1,115 @@
+package graft.storage
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** The storage commit protocol under contention and over time: versioned
+  * snapshot directories, the atomic `_CURRENT` marker, bounded retention,
+  * and last-writer-wins under two concurrent rewriters (the property the
+  * reference gets from SQLite transactions, sqlite_local.py — here it must
+  * hold on any Hadoop FileSystem).
+  */
+class MemoryStoreConcurrencySpec extends SparkSpec {
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private def h(id: String): Heuristic =
+    Heuristic(id, "a", "p", "c", "s", 0.9, 1L, 1L, t0, t0, Array.fill(4)(0.5f), Map.empty)
+
+  private def fsOf(dir: String) =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snapDirs(dir: String): Seq[String] =
+    fsOf(dir).listStatus(new HPath(s"$dir/${MemoryType.Heuristics}"))
+      .map(_.getPath.getName).toSeq.filter(_.startsWith("snap_")).sorted
+
+  private def markerTarget(dir: String): String = {
+    val fs = fsOf(dir)
+    val in = fs.open(new HPath(s"$dir/${MemoryType.Heuristics}/_CURRENT"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+  }
+
+  test("rewrites create versioned snapshots, retain the previous two, drop older") {
+    val dir = Files.createTempDirectory("store-snap").toString
+    val store = new MemoryStore(spark, dir)
+    store.saveHeuristics(Seq(h("a"))) // snapshot v1
+    store.upsertHeuristics(Seq(h("b"))) // v2
+    store.upsertHeuristics(Seq(h("c"))) // v3
+    store.upsertHeuristics(Seq(h("d"))) // v4 → v1 falls out of retention
+    val dirs = snapDirs(dir)
+    assert(dirs.map(_.take(11)) == Seq("snap_000002", "snap_000003", "snap_000004"),
+      s"retention window wrong: $dirs")
+    assert(markerTarget(dir) == dirs.last, s"marker ${markerTarget(dir)} != ${dirs.last}")
+    val ids = store.heuristics().toDF().select("id").as[String](Encoders.STRING).collect().toSet
+    assert(ids == Set("a", "b", "c", "d"))
+  }
+
+  test("an emptying rewrite drops the table; the table comes back on append") {
+    val dir = Files.createTempDirectory("store-drop").toString
+    val store = new MemoryStore(spark, dir)
+    store.saveHeuristics(Seq(h("a"), h("b")))
+    assert(store.deleteWhere(MemoryType.Heuristics, lit(true)) == 2L)
+    assert(!store.exists(MemoryType.Heuristics))
+    assert(store.heuristics().count() == 0L)
+    assert(snapDirs(dir).isEmpty, s"snapshots survived the drop: ${snapDirs(dir)}")
+    store.saveHeuristics(Seq(h("c")))
+    assert(store.heuristics().count() == 1L)
+  }
+
+  test("two concurrent rewriters: table never lost, marker always names a full snapshot") {
+    val dir = Files.createTempDirectory("store-conc").toString
+    val store = new MemoryStore(spark, dir)
+    store.saveHeuristics(Seq(h("seed")))
+
+    val rounds = 6
+    val pool = Executors.newFixedThreadPool(2)
+    val tasks = Seq("w1", "w2").map { w =>
+      new Callable[Int] {
+        def call(): Int = {
+          var committed = 0
+          (1 to rounds).foreach { i =>
+            // A writer whose base snapshot fell out of retention mid-merge
+            // may fail — the protocol promises the TABLE survives, and the
+            // marker flip means a failed writer changed nothing.
+            try { store.upsertHeuristics(Seq(h(s"$w-$i"))); committed += 1 }
+            catch { case _: Exception => () }
+          }
+          committed
+        }
+      }
+    }
+    val committed = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+    pool.shutdown()
+    assert(pool.awaitTermination(5, TimeUnit.MINUTES))
+
+    assert(committed.forall(_ >= 1), s"a writer made no progress: $committed")
+    assert(committed.sum >= rounds, s"most merges should commit: $committed")
+
+    // The committed snapshot is complete: the seed row is in every merge's
+    // base, so losing it would mean a half-written or lost table.
+    val ids = store.heuristics().toDF().select("id").as[String](Encoders.STRING).collect().toSet
+    assert(ids.contains("seed"), s"seed row lost: $ids")
+
+    // Marker integrity: it exists, names a present snapshot, and no temp
+    // markers or legacy .bak/.tmp staging dirs leak.
+    val entries = fsOf(dir).listStatus(new HPath(s"$dir/${MemoryType.Heuristics}"))
+      .map(_.getPath.getName).toSeq
+    assert(entries.contains("_CURRENT"))
+    assert(!entries.exists(_.startsWith("._CURRENT_")), s"stray temp marker: $entries")
+    assert(!entries.exists(n => n.startsWith(".bak") || n.startsWith(".tmp")), s"legacy staging: $entries")
+    val cur = markerTarget(dir)
+    assert(entries.contains(cur), s"marker names a missing snapshot: $cur not in $entries")
+
+    // vacuum reclaims every losing writer's unreferenced snapshot.
+    store.vacuum(MemoryType.Heuristics)
+    assert(snapDirs(dir) == Seq(cur), s"vacuum left garbage: ${snapDirs(dir)}")
+    assert(store.heuristics().toDF().select("id").as[String](Encoders.STRING).collect().toSet == ids)
+  }
+}
