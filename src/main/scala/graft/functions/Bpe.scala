@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenizer — the tokenizer-primary half of
+  * the reference's token accounting (alma/utils/tokenizer.py:21-520
+  * tiktoken-primary, chars/4 estimator fallback budget.py:131-152).
+  * Training is the classic two-altitude split: one distributed corpus
+  * pass builds the pretoken VOCABULARY with frequencies (bounded by
+  * distinct pretokens — O(100k) for natural text regardless of corpus
+  * size, the same reason real BPE trainers work on word-frequency
+  * dicts), then the merge loop runs on the driver over that bounded
+  * table. Encoding is a pure per-row column expression (codegen'd
+  * built-ins, ANSI-expressible so the oracle can replicate it).
+  *
+  * Representation trick shared by the Scala, Column, and oracle-SQL
+  * implementations: a word is its characters wrapped as `|c|` symbols
+  * concatenated (`"abc"` → `"|a||b||c|"`), so applying merge (a, b) is
+  * the literal replace `|a||b|` → `|ab|`. Left-to-right non-overlapping
+  * replacement — the semantics of Java's `String.replace`, Spark's
+  * `replace`, and DuckDB's `replace` alike — is exactly BPE's greedy
+  * merge application, and because symbols never contain `|`, a pattern
+  * can only ever match whole symbols. The subword count of a word is
+  * then pipes/2.
+  */
+object Bpe {
+
+  /** Pretokenizer classes (lookahead-free so Java regex and RE2 agree):
+    * letter runs, digit runs, other non-space runs. Spaces separate
+    * pretokens and are not counted (simpler than GPT-2's leading-space
+    * convention; the estimator's job is budget accounting, not model
+    * parity).
+    */
+  val PretokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  /** `"abc"` → `"|a||b||c|"`. */
+  def wrap(word: String): String = word.map(c => s"|$c|").mkString
+
+  private def symbols(wrapped: String): Array[String] =
+    wrapped.substring(1, wrapped.length - 1)
+      .split(java.util.regex.Pattern.quote("||"), -1)
+
+  /** Learn `numMerges` merges from a word-frequency table: each round
+    * counts adjacent symbol pairs weighted by word frequency (every
+    * index position counts, matching the oracle SQL), picks the most
+    * frequent pair (ties break lexicographically), and applies it
+    * everywhere. Deterministic for a given vocabulary.
+    */
+  def trainMerges(wordFreqs: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words = wordFreqs.map { case (w, f) => (wrap(w), f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, f) =>
+        val syms = symbols(s)
+        var k = 0
+        while (k < syms.length - 1) {
+          val p = (syms(k), syms(k + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          k += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (a, b) = counts.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += ((a, b))
+        val (pat, rep) = (s"|$a||$b|", s"|$a$b|")
+        words = words.map { case (s, f) => (s.replace(pat, rep), f) }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed vocabulary pass (pretokenize + frequency groupBy —
+    * ONE corpus scan, one shuffle bounded by vocabulary size) feeding
+    * the driver-side merge loop.
+    */
+  def trainMergesFrom(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    val vocab = docs
+      .select(explode(regexp_extract_all(col(textCol), lit(PretokenRe), lit(0))).as("w"))
+      .groupBy("w").count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+      .toSeq
+    trainMerges(vocab, numMerges)
+  }
+
+  /** Subword count of one string under a trained merge list — the
+    * plain-Scala twin of `countSubwordsCol`, for the driver-side
+    * budget/prompt paths. Floors at 1 like the chars/4 estimator.
+    */
+  def countSubwords(text: String, merges: Seq[(String, String)]): Int = {
+    val m = java.util.regex.Pattern.compile(PretokenRe).matcher(text)
+    var n = 0
+    while (m.find()) {
+      var s = wrap(m.group())
+      merges.foreach { case (a, b) => s = s.replace(s"|$a||$b|", s"|$a$b|") }
+      n += (s.length - s.replace("|", "").length) / 2
+    }
+    math.max(1, n)
+  }
+
+  /** Per-row subword count as a pure built-in column expression:
+    * pretokenize, wrap each token's chars, fold the merge list as
+    * chained literal replaces, count pipes/2, sum. Stays inside
+    * whole-stage codegen; rows with no pretokens count 0.
+    */
+  def countSubwordsCol(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val toks = regexp_extract_all(textCol, lit(PretokenRe), lit(0))
+    val counted = transform(toks, { t =>
+      val wrapped = regexp_replace(t, "(?s)(.)", "|$1|")
+      val merged = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+        replace(c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+      }
+      ((length(merged) - length(replace(merged, lit("|"), lit("")))) / 2).cast("long")
+    })
+    coalesce(aggregate(counted, lit(0L), (acc, x) => acc + x), lit(0L))
+  }
+}

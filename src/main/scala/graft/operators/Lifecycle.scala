@@ -397,6 +397,79 @@ object Lifecycle {
       |WHERE cum_tokens <= 2000 ORDER BY cum_tokens""".stripMargin
 
   // -------------------------------------------------------------------
+  // R15/A12 tokenizer-primary budget: the same running-sum knapsack as
+  // q_token_budget, but costs come from a BPE subword tokenizer TRAINED
+  // on the corpus in-query (reference structure: tiktoken-primary,
+  // chars/4 fallback — tokenizer.py:287-310, budget.py:131-152). One
+  // vocabulary scan + driver merge loop (bounded by distinct pretokens),
+  // then counting is a pure codegen projection. The oracle replays
+  // training as unrolled SQL iterations over the word-frequency table
+  // and must land on the identical merge list, subword counts, and
+  // budget cut — any drift in pair counting, tie-breaks, or merge
+  // application breaks the hash.
+  private val BpeMergeCount = 16
+
+  private def tokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.functions.Bpe.trainMergesFrom(docs, "text", BpeMergeCount)
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("bpe_tokens", graft.functions.Bpe.countSubwordsCol(col("text"), merges))
+      .select("doc_id", "n_chars", "bpe_tokens")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(BudgetCandidates)
+      .withColumn("cum_tokens", sum(col("bpe_tokens")).over(w))
+      .filter(col("cum_tokens") <= 6000)
+      .select("doc_id", "n_chars", "bpe_tokens", "cum_tokens")
+      .orderBy("cum_tokens")
+  }
+
+  private val tokenBudgetBpeSql: String = {
+    val pretok = graft.functions.Bpe.PretokenRe
+    // MATERIALIZED: each w_i is referenced twice (pair counting + the
+    // next rewrite), so inlined CTEs would re-expand exponentially.
+    val head =
+      s"""toks AS MATERIALIZED (
+         |  SELECT unnest(regexp_extract_all(text, '$pretok')) AS w FROM documents),
+         |w0 AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS f,
+         |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
+         |  FROM toks GROUP BY w)""".stripMargin
+    val iters = (1 to BpeMergeCount).map { i =>
+      s"""p$i AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(syms)-1), k -> syms[k])) AS a,
+         |         unnest(list_transform(generate_series(1, len(syms)-1), k -> syms[k+1])) AS b,
+         |         f
+         |  FROM (SELECT f, string_split(substr(s, 2, length(s)-2), '||') AS syms FROM w${i - 1})),
+         |b$i AS MATERIALIZED (
+         |  SELECT '|'||a||'||'||b||'|' AS pat, '|'||a||b||'|' AS rep
+         |  FROM (SELECT a, b, sum(f) AS cnt FROM p$i GROUP BY a, b
+         |        ORDER BY cnt DESC, a, b LIMIT 1)),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.w, w.f, replace(w.s, b.pat, b.rep) AS s FROM w${i - 1} w, b$i b)""".stripMargin
+    }
+    (Seq(s"WITH $head") ++ iters).mkString(",\n") +
+      s""",
+         |enc AS MATERIALIZED (
+         |  SELECT w, ((length(s) - length(replace(s, '|', ''))) // 2)::BIGINT AS ntok
+         |  FROM w$BpeMergeCount),
+         |dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '$pretok')) AS w FROM documents),
+         |db AS (SELECT dt.doc_id, sum(enc.ntok)::BIGINT AS bpe_tokens
+         |       FROM dt JOIN enc USING (w) GROUP BY dt.doc_id),
+         |cand AS (
+         |  SELECT d.doc_id, d.n_chars, coalesce(db.bpe_tokens, 0)::BIGINT AS bpe_tokens
+         |  FROM documents d LEFT JOIN db USING (doc_id)
+         |  ORDER BY d.n_chars DESC, d.doc_id LIMIT $BudgetCandidates),
+         |run AS (
+         |  SELECT doc_id, n_chars, bpe_tokens,
+         |    sum(bpe_tokens) OVER (ORDER BY n_chars DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+         |  FROM cand)
+         |SELECT doc_id, n_chars, bpe_tokens, cum_tokens FROM run
+         |WHERE cum_tokens <= 6000 ORDER BY cum_tokens""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // R16 progressive disclosure: rank-dependent projection depth
   // (full → summary → headline). The rank window runs over the top-35
   // candidate cut (TakeOrderedAndProject), never the raw table.
@@ -562,6 +635,7 @@ object Lifecycle {
     Q("q_extract_memories", extractMemories, Some(extractMemoriesSql)),
     Q("q_chunk_text", chunkText, Some(chunkTextSql)),
     Q("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    Q("q_token_budget_bpe", tokenBudgetBpe, Some(tokenBudgetBpeSql)),
     Q("q_progressive", progressive, Some(progressiveSql)),
     Q("q_mode_boosts", modeBoosts, Some(modeBoostsSql)),
     Q("q_verified_retrieval", verifiedRetrieval, Some(verifiedRetrievalSql)),

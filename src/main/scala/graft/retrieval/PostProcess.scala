@@ -40,21 +40,32 @@ object PostProcess {
   /** chars/4 token estimator (reference: alma/retrieval/budget.py:131-152). */
   def estimateTokens(text: String): Int = math.max(1, text.length / 4)
 
+  /** Pluggable token estimator, the reference's tokenizer-primary /
+    * estimator-fallback structure (alma/utils/tokenizer.py:287-310 vs
+    * budget.py:131-152): with a trained BPE merge list, counts true
+    * subwords; with none, falls back to chars/4.
+    */
+  def estimatorFor(merges: Seq[(String, String)]): String => Int =
+    if (merges.isEmpty) estimateTokens _
+    else text => graft.functions.Bpe.countSubwords(text, merges)
+
   /** Greedy token-budget selection in score order within tier order
     * (reference: alma/retrieval/budget.py:198-472: MUST_SEE tiers first,
     * then SHOULD_SEE, each capped, total capped). Returns kept candidates
-    * in selection order.
+    * in selection order. `costOf` is the token estimator (chars/4 by
+    * default; pass `estimatorFor(merges)` for BPE-trained counting).
     */
   def budgetSelect(
       tiers: Seq[Seq[Candidate]],
       perTierTokens: Int,
-      totalTokens: Int): Seq[Candidate] = {
+      totalTokens: Int,
+      costOf: String => Int = estimateTokens): Seq[Candidate] = {
     val kept = scala.collection.mutable.ArrayBuffer.empty[Candidate]
     var totalUsed = 0
     tiers.foreach { tier =>
       var tierUsed = 0
       tier.sortBy(c => (-c.score, c.id)).foreach { c =>
-        val t = estimateTokens(c.text)
+        val t = costOf(c.text)
         if (tierUsed + t <= perTierTokens && totalUsed + t <= totalTokens) {
           kept += c; tierUsed += t; totalUsed += t
         }
@@ -67,7 +78,8 @@ object PostProcess {
     * MemorySlice.to_prompt): render candidates as a numbered context
     * block, stopping at the token budget.
     */
-  def toPrompt(candidates: Seq[Candidate], maxTokens: Int): String = {
+  def toPrompt(candidates: Seq[Candidate], maxTokens: Int,
+      costOf: String => Int = estimateTokens): String = {
     val sb = new StringBuilder("# Relevant memories\n")
     var i = 1
     candidates.foreach { c =>
@@ -75,7 +87,7 @@ object PostProcess {
       // Budget against the actual rendered length: summing per-line
       // estimates undercounts vs the estimate of the concatenation
       // (floor division), which would overshoot the cap.
-      if (estimateTokens(sb.toString + line) <= maxTokens) { sb.append(line); i += 1 }
+      if (costOf(sb.toString + line) <= maxTokens) { sb.append(line); i += 1 }
     }
     sb.toString
   }

@@ -72,4 +72,50 @@ object ScoringProps extends Properties("scoring") {
     Prop.forAll(candsGen, Gen.choose(20, 300)) { (cs, cap) =>
       PostProcess.estimateTokens(PostProcess.toPrompt(cs, cap)) <= cap
     }
+
+  // ---- BPE subword estimator (tokenizer-primary path) ------------------
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(12))
+  private val textGen = Gen.listOfN(20, wordGen).map(_.mkString(" "))
+  private val corpusGen = Gen.nonEmptyListOf(wordGen).map(_.take(40))
+
+  private def trained(corpus: List[String], n: Int): Seq[(String, String)] =
+    graft.functions.Bpe.trainMerges(
+      corpus.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq.sortBy(_._1), n)
+
+  property("BPE with zero merges counts pretoken characters") =
+    Prop.forAll(textGen) { text =>
+      val expect = java.util.regex.Pattern.compile(graft.functions.Bpe.PretokenRe)
+        .matcher(text).results().mapToInt(_.group().length).sum()
+      graft.functions.Bpe.countSubwords(text, Nil) == math.max(1, expect)
+    }
+
+  property("more BPE merges never increase the subword count") =
+    Prop.forAll(corpusGen, textGen, Gen.choose(0, 12)) { (corpus, text, n) =>
+      val merges = trained(corpus, 12)
+      graft.functions.Bpe.countSubwords(text, merges.take(n + 1)) <=
+        graft.functions.Bpe.countSubwords(text, merges.take(n))
+    }
+
+  property("BPE count is bounded by [pretokens, chars] of the text") =
+    Prop.forAll(corpusGen, textGen) { (corpus, text) =>
+      val merges = trained(corpus, 12)
+      val n = graft.functions.Bpe.countSubwords(text, merges)
+      val nTok = java.util.regex.Pattern.compile(graft.functions.Bpe.PretokenRe)
+        .matcher(text).results().count().toInt
+      n >= math.max(1, nTok) && n <= math.max(1, text.replace(" ", "").length)
+    }
+
+  property("budget selection under the BPE estimator respects the budget") =
+    Prop.forAll(candsGen, corpusGen, Gen.choose(10, 500)) { (cs, corpus, budget) =>
+      val costOf = PostProcess.estimatorFor(trained(corpus, 8))
+      val kept = PostProcess.budgetSelect(Seq(cs), perTierTokens = budget,
+        totalTokens = budget, costOf = costOf)
+      kept.map(c => costOf(c.text)).sum <= budget
+    }
+
+  property("estimatorFor with no merges is the chars/4 fallback") =
+    Prop.forAll(textGen) { text =>
+      PostProcess.estimatorFor(Nil)(text) == PostProcess.estimateTokens(text)
+    }
 }
