@@ -39,13 +39,27 @@ object MemEvalRunner {
         case _ => HashEmbeddingProvider
       }
     val m = run(spark, path, k, provider)
-    println(s"""{"metric":"longmemeval","recall_at_$k":${m.recall},"mrr":${m.mrr},"ndcg_at_$k":${m.ndcg},"questions":${m.n}}""")
-    // Per-question-type breakdown, matching the reference's report table
-    // (metrics.py:215-265 / BASELINE.md "Per-type R@5" rows).
+    val providerName =
+      sys.props.get("provider").orElse(sys.env.get("SPARK_GRAFT_PROVIDER")).getOrElse("hash")
+    // ONE machine-readable line (overall + per-type), sorted keys, so
+    // tools/bench_diff.py can diff IR metrics across rounds mechanically.
+    println(jsonLine(m, k, providerName))
+    // Human-readable per-type breakdown, matching the reference's report
+    // table (metrics.py:215-265 / BASELINE.md "Per-type R@5" rows).
     m.perType.toSeq.sortBy(_._1).foreach { case (qtype, t) =>
       println(f"per-type $qtype%-28s R@$k=${t.recall}%.3f MRR=${t.mrr}%.3f NDCG@$k=${t.ndcg}%.3f (n=${t.n})")
     }
     spark.stop()
+  }
+
+  /** The metrics as one JSON line; per-type keys sorted for stable diffs. */
+  def jsonLine(m: Metrics, k: Int, providerName: String): String = {
+    def block(t: Metrics) =
+      s"""{"recall":${t.recall},"mrr":${t.mrr},"ndcg":${t.ndcg},"n":${t.n}}"""
+    val perType = m.perType.toSeq.sortBy(_._1)
+      .map { case (qtype, t) => s""""$qtype":${block(t)}""" }
+      .mkString(",")
+    s"""{"metric":"longmemeval","k":$k,"provider":"$providerName","recall_at_k":${m.recall},"mrr":${m.mrr},"ndcg_at_k":${m.ndcg},"questions":${m.n},"per_type":{$perType}}"""
   }
 
   final case class Metrics(recall: Double, mrr: Double, ndcg: Double, n: Long,
