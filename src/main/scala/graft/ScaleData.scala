@@ -1,0 +1,93 @@
+package graft
+
+import graft.io.Tables
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus upsampler for scaling-curve measurements:
+  * writes a `factor`× copy of a testdata directory by unioning
+  * key-shifted shards of each fact table (the `region`/`nation` dims
+  * copy unchanged, as in TPC-H scaling). Key DOMAINS shift together
+  * across tables — an order's shifted `o_custkey` still hits its
+  * shifted customer — so join cardinalities scale linearly and the
+  * upsampled corpus behaves like one database `factor`× the size, not
+  * `factor` overlapping ones.
+  *
+  * Near-dup surfaces (document text, embedding vectors) get a tiny
+  * deterministic per-shard perturbation: without it every shard
+  * collides with every other in the dedup/LSH buckets, pair counts go
+  * quadratic in `factor`, and the scaling curve measures the artifact
+  * instead of the operator.
+  *
+  * Usage: runMain graft.ScaleData <srcDir> <dstDir> [factor=10]
+  */
+object ScaleData {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+
+    def keyDomain(name: String, keyCol: String): Long =
+      Tables.load(spark, src, name).agg(max(col(keyCol))).head().getLong(0) + 1L
+
+    val custOff = keyDomain("customer", "c_custkey")
+    val suppOff = keyDomain("supplier", "s_suppkey")
+    val partOff = keyDomain("part", "p_partkey")
+    val orderOff = keyDomain("orders", "o_orderkey")
+    val eventOff = keyDomain("events", "event_id")
+    val userOff = keyDomain("events", "user_id")
+    val docOff = keyDomain("documents", "doc_id")
+    val vecOff = keyDomain("embeddings", "vec_id")
+
+    def shifted(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.load(spark, src, name)
+      write((0 until factor).map(i => shift(base, i)).reduce(_.unionByName(_)), name)
+    }
+    def bump(c: String, off: Long, i: Int): Column = col(c) + lit(off * i)
+
+    write(Tables.load(spark, src, "region"), "region")
+    write(Tables.load(spark, src, "nation"), "nation")
+    shifted("customer")((d, i) => d.withColumn("c_custkey", bump("c_custkey", custOff, i)))
+    shifted("supplier")((d, i) => d.withColumn("s_suppkey", bump("s_suppkey", suppOff, i)))
+    shifted("part")((d, i) => d.withColumn("p_partkey", bump("p_partkey", partOff, i)))
+    shifted("orders")((d, i) => d
+      .withColumn("o_orderkey", bump("o_orderkey", orderOff, i))
+      .withColumn("o_custkey", bump("o_custkey", custOff, i)))
+    shifted("lineitem")((d, i) => d
+      .withColumn("l_orderkey", bump("l_orderkey", orderOff, i))
+      .withColumn("l_partkey", bump("l_partkey", partOff, i))
+      .withColumn("l_suppkey", bump("l_suppkey", suppOff, i)))
+    shifted("events")((d, i) => d
+      .withColumn("event_id", bump("event_id", eventOff, i))
+      .withColumn("user_id", bump("user_id", userOff, i)))
+    shifted("documents")((d, i) => d
+      .withColumn("doc_id", bump("doc_id", docOff, i))
+      // Shard 0 is the source verbatim; other shards append a shard tag
+      // so duplicate structure per shard matches the source corpus.
+      .withColumn("text",
+        if (i == 0) col("text") else concat(col("text"), lit(s" shard$i")))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    shifted("embeddings")((d, i) => d
+      .withColumn("vec_id", bump("vec_id", vecOff, i))
+      // Deterministic per-shard direction nudge (scale-invariant cosine
+      // needs a direction change, not a magnitude one).
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, j) => (x + ((lit(i * 31) + j) % 7 - lit(3)).cast("double") * lit(1e-4)).cast("float"))))
+  }
+}

@@ -22,7 +22,12 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NANOS files surface ts as a raw long under the legacy conf and
+      // need the micros conversion; self-generated corpora (ScaleData)
+      // carry a normal TIMESTAMP(MICROS) ts already.
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -77,11 +77,26 @@ object Multimodal {
   object ImageIoDecoder extends MediaDecoder {
     private val MaxSampleSide = 256
 
+    /** Magic-byte probe for the formats ImageIO ships readers for
+      * (PNG, JPEG, GIF, BMP): a mixed binary column is mostly
+      * non-image, and spinning up the ImageIO reader registry per row
+      * costs ~0.4 ms even to say "no" — the probe keeps the fallback
+      * branch at byte-stat speed.
+      */
+    private def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+        (p(0) == 'B' && p(1) == 'M'))
+
     def decode(payload: Array[Byte]): MediaFeatures = {
       val base = ByteStatDecoder.decode(payload)
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (!looksLikeImage(payload)) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
       if (img == null) base
       else {
         val w = img.getWidth

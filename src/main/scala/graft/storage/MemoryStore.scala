@@ -109,14 +109,35 @@ final class MemoryStore(val spark: SparkSession, val root: String,
       protect = Some(name))
   }
 
+  /** Flip `_CURRENT` to `name`: write a temp marker, overwrite-rename it
+    * over the live one. Two concurrent flips can race inside the
+    * filesystem's delete-then-rename implementation of OVERWRITE (the
+    * loser throws FileAlreadyExists when the winner re-creates the
+    * destination between its delete and rename) — that race is
+    * retryable, and the temp marker is always cleaned up, so a flip
+    * either lands or leaves no trace (the table then still shows the
+    * previous committed snapshot).
+    */
   private def commitMarker(memoryType: String, name: String): Unit = {
     val dir = tableDir(memoryType)
     val fs = fsOf(dir)
-    val tmp = new HPath(dir, s"._CURRENT_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(name.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(fs.getUri, hadoopConf)
-      .rename(tmp, markerOf(memoryType), Options.Rename.OVERWRITE)
+    val fc = FileContext.getFileContext(fs.getUri, hadoopConf)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val tmp = new HPath(dir, s"._CURRENT_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(name.getBytes("UTF-8")) finally out.close()
+        fc.rename(tmp, markerOf(memoryType), Options.Rename.OVERWRITE)
+        done = true
+      } catch {
+        case _: java.io.IOException if attempt < 3 => attempt += 1
+      } finally {
+        try { if (!done && fs.exists(tmp)) fs.delete(tmp, false): Unit }
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** Best-effort delete of snapshot dirs below the retention floor (a
