@@ -63,6 +63,44 @@ class MemoryStoreConcurrencySpec extends SparkSpec {
     assert(store.heuristics().count() == 1L)
   }
 
+  test("a corrupted or missing marker falls back to the highest complete snapshot") {
+    val dir = Files.createTempDirectory("store-fallback").toString
+    val store = new MemoryStore(spark, dir)
+    store.saveHeuristics(Seq(h("a"))) // v1
+    store.upsertHeuristics(Seq(h("b"))) // v2
+    val fs = fsOf(dir)
+    val marker = new HPath(s"$dir/${MemoryType.Heuristics}/_CURRENT")
+
+    // Corrupt the marker (a reader catching a half-written flip).
+    val out = fs.create(marker, true)
+    out.write("garbage not a snapshot name".getBytes("UTF-8")); out.close()
+    assert(store.heuristics().toDF().select("id").as[String](Encoders.STRING)
+      .collect().toSet == Set("a", "b"), "fallback did not resolve v2")
+
+    // Delete the marker entirely (mid-swap window on delete+rename FS).
+    fs.delete(marker, false)
+    assert(store.exists(MemoryType.Heuristics))
+    assert(store.heuristics().toDF().select("id").as[String](Encoders.STRING)
+      .collect().toSet == Set("a", "b"))
+
+    // A later rewrite self-heals: commits v3 and a fresh marker.
+    store.upsertHeuristics(Seq(h("c")))
+    assert(markerTarget(dir).startsWith("snap_000003_"), markerTarget(dir))
+    assert(store.heuristics().count() == 3L)
+  }
+
+  test("the fallback ignores snapshot dirs without _SUCCESS (half-written)") {
+    val dir = Files.createTempDirectory("store-half").toString
+    val store = new MemoryStore(spark, dir)
+    store.saveHeuristics(Seq(h("a"))) // v1
+    val fs = fsOf(dir)
+    // Fake an aborted higher-version write: dir exists, no _SUCCESS.
+    fs.mkdirs(new HPath(s"$dir/${MemoryType.Heuristics}/snap_000009_deadbeef"))
+    fs.delete(new HPath(s"$dir/${MemoryType.Heuristics}/_CURRENT"), false)
+    assert(store.heuristics().toDF().select("id").as[String](Encoders.STRING)
+      .collect().toSet == Set("a"), "fallback picked the half-written dir")
+  }
+
   test("two concurrent rewriters: table never lost, marker always names a full snapshot") {
     val dir = Files.createTempDirectory("store-conc").toString
     val store = new MemoryStore(spark, dir)
