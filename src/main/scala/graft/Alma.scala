@@ -297,6 +297,10 @@ final class Alma(
     val pruned = forget(asOf, agent, olderThanDays, belowConfidence)
     val archived = enforceQuota(maxOutcomesPerAgent, asOf)
     val compacted = MemoryType.All.map(t => store.compact(t)).sum
+    // Reclaim snapshots left by losing concurrent committers and
+    // aborted writes — maintenance is the documented quiet point where
+    // no reader is pinned to an old snapshot.
+    MemoryType.All.foreach(store.vacuum)
     Map("pruned" -> pruned, "quota_archived" -> archived, "files_before_compact" -> compacted)
   }
 

@@ -107,8 +107,11 @@ object Bpe {
 
   /** Per-row subword count as a pure built-in column expression:
     * pretokenize, wrap each token's chars, fold the merge list as
-    * chained literal replaces, count pipes/2, sum. Stays inside
-    * whole-stage codegen; rows with no pretokens count 0.
+    * chained literal replaces, count pipes/2, sum. The higher-order
+    * functions (transform/aggregate) evaluate interpreted (they are
+    * CodegenFallback), but the stage remains a single narrow
+    * projection — one corpus pass, no shuffle, no UDF serialization;
+    * rows with no pretokens count 0.
     */
   def countSubwordsCol(textCol: Column, merges: Seq[(String, String)]): Column = {
     val toks = regexp_extract_all(textCol, lit(PretokenRe), lit(0))
