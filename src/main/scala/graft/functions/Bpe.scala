@@ -75,14 +75,25 @@ object Bpe {
     merges.result()
   }
 
-  /** Distributed vocabulary pass (pretokenize + frequency groupBy —
-    * ONE corpus scan, one shuffle bounded by vocabulary size) feeding
-    * the driver-side merge loop.
+  /** Natural text has a bounded vocabulary, but adversarial corpora
+    * (random strings, base64 blobs) do not — the trainer keeps only the
+    * most frequent pretokens so the driver transfer is bounded by
+    * construction, the way real BPE trainers apply a frequency cutoff.
+    * Rare tokens contribute no competitive pairs anyway.
     */
-  def trainMergesFrom(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+  val MaxVocab: Int = 1 << 16
+
+  /** Distributed vocabulary pass (pretokenize + frequency groupBy —
+    * ONE corpus scan, one shuffle bounded by vocabulary size, top-N cut
+    * as TakeOrderedAndProject) feeding the driver-side merge loop.
+    */
+  def trainMergesFrom(docs: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = MaxVocab): Seq[(String, String)] = {
     val vocab = docs
       .select(explode(regexp_extract_all(col(textCol), lit(PretokenRe), lit(0))).as("w"))
       .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(maxVocab)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)

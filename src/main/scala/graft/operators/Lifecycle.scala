@@ -432,9 +432,10 @@ object Lifecycle {
       s"""toks AS MATERIALIZED (
          |  SELECT unnest(regexp_extract_all(text, '$pretok')) AS w FROM documents),
          |w0 AS MATERIALIZED (
-         |  SELECT w, count(*)::BIGINT AS f,
+         |  SELECT w, f,
          |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
-         |  FROM toks GROUP BY w)""".stripMargin
+         |  FROM (SELECT w, count(*)::BIGINT AS f FROM toks GROUP BY w
+         |        ORDER BY f DESC, w LIMIT ${graft.functions.Bpe.MaxVocab}) v)""".stripMargin
     val iters = (1 to BpeMergeCount).map { i =>
       s"""p$i AS (
          |  SELECT unnest(list_transform(generate_series(1, len(syms)-1), k -> syms[k])) AS a,

@@ -36,7 +36,7 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    Seq("q_rrf_fusion", "q_token_budget", "q_progressive").foreach { name =>
+    Seq("q_rrf_fusion", "q_token_budget", "q_token_budget_bpe", "q_progressive").foreach { name =>
       val exec = SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan match {
         // AQE roots hold the physical tree in a field, not as a child —
         // unwrap so collect() sees the window operators.
