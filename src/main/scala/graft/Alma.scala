@@ -689,11 +689,33 @@ final class Alma(
   }
 
   /** Retrieve + render: the full read path ending in the token-capped
-    * prompt projection (S11).
+    * prompt projection (S11). `costOf` is the token estimator — the
+    * chars/4 fallback by default; pass `tokenizer()` (or
+    * `PostProcess.estimatorFor(merges)`) for BPE-trained counting.
     */
   def retrievePrompt(query: String, agent: String, asOf: Timestamp,
-      topK: Int = -1, maxTokens: Int = 800): String =
-    retrieve(query, agent, asOf, topK).toPrompt(maxTokens)
+      topK: Int = -1, maxTokens: Int = 800,
+      costOf: String => Int = graft.retrieval.PostProcess.estimateTokens): String =
+    retrieve(query, agent, asOf, topK).toPrompt(maxTokens, costOf)
+
+  /** Train a BPE token estimator on this project's stored memory text
+    * (heuristic conditions/strategies, outcome descriptions, knowledge
+    * facts) — the tokenizer-primary half of the reference's token
+    * accounting, learned from the corpus the budgets actually gate.
+    * One bounded vocabulary job; returns the chars/4 fallback when
+    * nothing is stored yet.
+    */
+  def tokenizer(numMerges: Int = 64): String => Int = {
+    val texts = Seq(
+      store.heuristics(Some(projectId)).toDF()
+        .select(concat_ws(" ", col("condition"), col("strategy")).as("t")),
+      store.outcomes(Some(projectId)).toDF().select(col("taskDescription").as("t")),
+      store.knowledge(Some(projectId)).toDF().select(col("fact").as("t")))
+      .reduce(_.unionByName(_))
+    if (texts.isEmpty) graft.retrieval.PostProcess.estimateTokens _
+    else graft.retrieval.PostProcess.estimatorFor(
+      graft.functions.Bpe.trainMergesFrom(texts, "t", numMerges))
+  }
 
   // ---- maintenance jobs -------------------------------------------------
   /** A10 quota enforcement: keep the top-N outcomes per agent by

@@ -183,9 +183,14 @@ final case class MemorySlice(
   def totalCount: Int =
     heuristics.size + outcomes.size + preferences.size + knowledge.size + antiPatterns.size
 
-  /** Token-budget-capped prompt projection (alma/types.py:278-338). */
-  def toPrompt(maxTokens: Int): String = {
-    import graft.retrieval.PostProcess.estimateTokens
+  /** Token-budget-capped prompt projection (alma/types.py:278-338).
+    * `costOf` is the token estimator — chars/4 by default, or
+    * `PostProcess.estimatorFor(merges)` for BPE-trained subword
+    * counting (the reference's tokenizer-primary slot).
+    */
+  def toPrompt(maxTokens: Int,
+      costOf: String => Int = graft.retrieval.PostProcess.estimateTokens): String = {
+    def estimateTokens(s: String): Int = costOf(s)
     val sections: Seq[(String, Seq[String])] = Seq(
       "## User preferences" -> preferences.map(p => s"- ${p.preference}"),
       "## Avoid (anti-patterns)" -> antiPatterns.map(a => s"- ${a.pattern}: ${a.betterAlternative}"),

@@ -108,6 +108,28 @@ class AlmaSpec extends SparkSpec {
     assert(graft.retrieval.PostProcess.estimateTokens(prompt) <= 400)
   }
 
+  test("a tokenizer trained on stored memories gates the prompt budget") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", "deploy the payment service", success = true,
+        strategyUsed = "canary rollout with small traffic slice", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val costOf = alma.tokenizer(numMerges = 16)
+    // Trained BPE counts true subwords: more than the chars/4 floor on
+    // this short prose, and merge-compressed below raw character count.
+    val sample = "deploy the payment service"
+    assert(costOf(sample) > graft.retrieval.PostProcess.estimateTokens(sample))
+    assert(costOf(sample) < sample.replace(" ", "").length)
+    val prompt = alma.retrievePrompt("how should I deploy the payment service",
+      "helena", asOf = ts("2024-02-01 00:00:00"), maxTokens = 60, costOf = costOf)
+    assert(costOf(prompt) <= 60, s"BPE-budgeted prompt overflows: ${costOf(prompt)}")
+    // The budget estimator changes what fits: BPE counts are stricter
+    // than chars/4 here, so the BPE-gated prompt can only be shorter.
+    val loose = alma.retrievePrompt("how should I deploy the payment service",
+      "helena", asOf = ts("2024-02-01 00:00:00"), maxTokens = 60)
+    assert(prompt.length <= loose.length)
+  }
+
   test("retrieve runs its five per-type plans as ONE Spark job") {
     val alma = freshAlma()
     (1 to 3).foreach { i =>
