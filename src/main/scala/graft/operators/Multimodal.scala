@@ -123,6 +123,59 @@ object Multimodal {
     }
   }
 
+  /** Typed audio metadata (the audio half of the multimodal contract):
+    * sample rate, channels, frame count, duration. JDK-only —
+    * `javax.sound.sampled` ships WAV/AIFF/AU readers with the JRE; only
+    * the container header is parsed, so cost per row is O(header), not
+    * O(payload). Payloads no reader recognizes return None (callers
+    * keep the row with null metadata, mirroring the image fallback).
+    */
+  final case class AudioMeta(
+      sampleRateHz: Double, channels: Int, frames: Long, durationMs: Double)
+
+  object AudioIoDecoder extends Serializable {
+    private def looksLikeAudio(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') || // WAV
+        (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') || // AIFF
+        (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd')) // AU
+
+    def decode(payload: Array[Byte]): Option[AudioMeta] = {
+      if (!looksLikeAudio(payload)) None
+      else
+        try {
+          val aff = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+          val fmt = aff.getFormat
+          val frames = aff.getFrameLength.toLong
+          Some(AudioMeta(
+            fmt.getSampleRate.toDouble, fmt.getChannels, frames,
+            if (fmt.getFrameRate > 0) frames * 1000.0 / fmt.getFrameRate else 0.0))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+    }
+  }
+
+  /** Binary column → typed audio metadata rows (null metadata for
+    * non-audio payloads): the same per-partition, no-driver-round-trip
+    * plumbing as `decodeQuery`, with the audio schema.
+    */
+  def audioMeta(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        AudioIoDecoder.decode(payload) match {
+          case Some(m) => (id, Some(m.sampleRateHz), Some(m.channels), Some(m.frames), Some(m.durationMs))
+          case None => (id, None, None, None, None)
+        }
+      })
+      .toDF(idCol, "sample_rate_hz", "channels", "frames", "duration_ms")
+  }
+
   /** Binary ingest → per-partition feature extraction through the
     * decoder seam (rows-only query: ImageIO decode is library code, not
     * ANSI SQL — the corpus payloads are text bytes, so they exercise

@@ -73,6 +73,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) == 42L && r.getDouble(3) == 0.5 && r.getInt(4) == 1))
   }
 
+  private def wavBytes(sampleRate: Float, channels: Int, frames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio decoder golden: real WAV bytes parse to exact format metadata") {
+    val wav = wavBytes(44100f, 2, 4410) // 100 ms of silence, stereo
+    val m = Multimodal.AudioIoDecoder.decode(wav)
+    assert(m.isDefined, "WAV header not recognized")
+    assert(m.get.sampleRateHz == 44100.0)
+    assert(m.get.channels == 2)
+    assert(m.get.frames == 4410L)
+    assert(math.abs(m.get.durationMs - 100.0) < 1e-6, s"duration: ${m.get.durationMs}")
+    assert(Multimodal.AudioIoDecoder.decode("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audioMeta query: typed metadata for audio rows, nulls for the rest") {
+    import spark.implicits._
+    val wav = wavBytes(8000f, 1, 800) // 100 ms mono
+    val rows = Seq((1L, wav), (2L, "plain text payload".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.audioMeta(rows, "id", "payload").orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(1) == 8000.0 && out(0).getInt(2) == 1 && out(0).getLong(3) == 800L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
   test("the named query runs the ImageIO decoder and agrees with the seam") {
     val viaSeam = Multimodal.decodeQuery(spark, Sf).limit(3).collect().toSeq
     val viaQuery = graft.SparkEntry.queries("q_multimodal_decode")(spark, Sf)
