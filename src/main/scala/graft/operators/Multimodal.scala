@@ -177,10 +177,14 @@ object Multimodal {
   }
 
   /** Binary ingest → per-partition feature extraction through the
-    * decoder seam (rows-only query: ImageIO decode is library code, not
-    * ANSI SQL — the corpus payloads are text bytes, so they exercise
-    * the fallback branch; MultimodalSpec's golden test exercises the
-    * image branch with real PNG/BMP bytes).
+    * decoder seam. Means are floored to integers so every output column
+    * is exact arithmetic — which lets the query carry a REAL oracle:
+    * on this corpus the payloads are (pure-ASCII) text bytes, so the
+    * oracle replays the byte-stat fallback branch in SQL (checksum
+    * fold, byte mean, zeroed image dims) and any drift in the probe or
+    * fallback semantics breaks the hash. The image branch is library
+    * code (not ANSI SQL) and is golden-tested in MultimodalSpec against
+    * real PNG/BMP bytes instead.
     */
   def decodeQuery(s: SparkSession, dir: String,
       decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
@@ -191,16 +195,33 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val f = decoder.decode(payload)
-        (id, f.nBytes, f.checksum, math.rint(f.meanByte * 10000) / 10000,
-          f.width, f.height, f.channels, math.rint(f.meanLuma * 10000) / 10000)
+        (id, f.nBytes, f.checksum, math.floor(f.meanByte).toLong,
+          f.width, f.height, f.channels, math.floor(f.meanLuma).toLong)
       })
-      .toDF("doc_id", "n_bytes", "checksum", "mean_byte",
-        "width", "height", "channels", "mean_luma")
+      .toDF("doc_id", "n_bytes", "checksum", "mean_byte_floor",
+        "width", "height", "channels", "mean_luma_floor")
       .orderBy("doc_id")
   }
 
   private def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     decodeQuery(s, dir)
+
+  // The fallback-branch oracle: checksum is the same 31-multiplier fold
+  // over byte values (pure-ASCII corpus → char codes ARE the UTF-8
+  // bytes, verified for all testdata SFs), the mean is exact integer
+  // division, and the image features are the fallback's zeros.
+  private val multimodalDecodeSql =
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+      |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS codes
+      |  FROM documents)
+      |SELECT doc_id, n_bytes,
+      |  list_reduce(list_prepend(0::BIGINT, codes),
+      |    (acc, c) -> (acc * 31 + c) & 4294967295)::BIGINT AS checksum,
+      |  (CASE WHEN n_bytes = 0 THEN 0 ELSE list_sum(codes) // n_bytes END)::BIGINT AS mean_byte_floor,
+      |  0::INT AS width, 0::INT AS height, 0::INT AS channels,
+      |  0::BIGINT AS mean_luma_floor
+      |FROM b ORDER BY doc_id""".stripMargin
 
   // V8 cross-encoder re-rank stage through the CrossScorer seam. The
   // default lexical scorer (token-set cosine) is deterministic and
@@ -227,6 +248,6 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(
     Q("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
-    Q("q_multimodal_decode", multimodalDecode, None),
+    Q("q_multimodal_decode", multimodalDecode, Some(multimodalDecodeSql)),
     Q("q_crossencoder_rerank", crossencoderRerank, Some(crossencoderRerankSql)))
 }

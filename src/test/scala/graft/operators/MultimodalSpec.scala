@@ -66,11 +66,11 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.MediaFeatures(payload.length.toLong, 42L, 0.5, 1, 2, 3, 4.0)
     }
     val out = Multimodal.decodeQuery(spark, Sf, ConstDecoder)
-    assert(out.columns.toSeq == Seq("doc_id", "n_bytes", "checksum", "mean_byte",
-      "width", "height", "channels", "mean_luma"))
+    assert(out.columns.toSeq == Seq("doc_id", "n_bytes", "checksum", "mean_byte_floor",
+      "width", "height", "channels", "mean_luma_floor"))
     val rows = out.limit(5).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getLong(2) == 42L && r.getDouble(3) == 0.5 && r.getInt(4) == 1))
+    assert(rows.forall(r => r.getLong(2) == 42L && r.getLong(3) == 0L && r.getInt(4) == 1))
   }
 
   private def wavBytes(sampleRate: Float, channels: Int, frames: Int): Array[Byte] = {
