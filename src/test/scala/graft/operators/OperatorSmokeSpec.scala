@@ -20,13 +20,12 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle or a documented exemption") {
+  test("every query has an oracle — no exemptions left") {
+    // Round 5 closed the last rows-only entry: q_multimodal_decode's
+    // byte-stat fallback branch is replayed in SQL (its image branch is
+    // golden-tested in MultimodalSpec, since ImageIO is not SQL).
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // The env-limited multimodal decode stub is the ONLY rows-only
-    // entry left (MMR gained a recursive-CTE DuckDB oracle; the
-    // cross-encoder rerank gained one when its default scorer became
-    // the SQL-expressible lexical cosine).
-    assert(noOracle == Set("q_multimodal_decode"))
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
   test("flagship entry returns ranked rows") {
