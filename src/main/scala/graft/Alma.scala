@@ -702,8 +702,8 @@ final class Alma(
     * (heuristic conditions/strategies, outcome descriptions, knowledge
     * facts) — the tokenizer-primary half of the reference's token
     * accounting, learned from the corpus the budgets actually gate.
-    * One bounded vocabulary job; returns the chars/4 fallback when
-    * nothing is stored yet.
+    * One bounded vocabulary job; an empty store trains zero merges, so
+    * `estimatorFor` degrades to the chars/4 fallback by itself.
     */
   def tokenizer(numMerges: Int = 64): String => Int = {
     val texts = Seq(
@@ -712,8 +712,7 @@ final class Alma(
       store.outcomes(Some(projectId)).toDF().select(col("taskDescription").as("t")),
       store.knowledge(Some(projectId)).toDF().select(col("fact").as("t")))
       .reduce(_.unionByName(_))
-    if (texts.isEmpty) graft.retrieval.PostProcess.estimateTokens _
-    else graft.retrieval.PostProcess.estimatorFor(
+    graft.retrieval.PostProcess.estimatorFor(
       graft.functions.Bpe.trainMergesFrom(texts, "t", numMerges))
   }
 

@@ -31,16 +31,17 @@ object MemEvalRunner {
     // Provider selection (V9): -Dprovider=w2v (or SPARK_GRAFT_PROVIDER)
     // trains the MLlib Word2Vec provider on the haystack corpus before
     // the sweep; default stays the deterministic hash embedder.
-    val provider: EmbeddingProvider =
+    // The name is derived from the SAME match as the provider, so the
+    // emitted JSON can never label metrics with an embedder that did
+    // not run (any unrecognized value falls back to hash, and says so).
+    val (provider: EmbeddingProvider, providerName) =
       sys.props.get("provider").orElse(sys.env.get("SPARK_GRAFT_PROVIDER")) match {
         case Some("w2v") =>
-          Word2VecEmbeddingProvider.train(
-            Ingestion.loadBenchmarkJson(spark, path), "session_text")
-        case _ => HashEmbeddingProvider
+          (Word2VecEmbeddingProvider.train(
+            Ingestion.loadBenchmarkJson(spark, path), "session_text"), "w2v")
+        case _ => (HashEmbeddingProvider, "hash")
       }
     val m = run(spark, path, k, provider)
-    val providerName =
-      sys.props.get("provider").orElse(sys.env.get("SPARK_GRAFT_PROVIDER")).getOrElse("hash")
     // ONE machine-readable line (overall + per-type), sorted keys, so
     // tools/bench_diff.py can diff IR metrics across rounds mechanically.
     println(jsonLine(m, k, providerName))

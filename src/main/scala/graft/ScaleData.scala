@@ -84,10 +84,14 @@ object ScaleData {
     shifted("embeddings")((d, i) => d
       .withColumn("vec_id", bump("vec_id", vecOff, i))
       // Deterministic per-shard direction nudge (scale-invariant cosine
-      // needs a direction change, not a magnitude one).
+      // needs a direction change, not a magnitude one). Modulus 97 with
+      // a multiplier coprime to it: every component differs between any
+      // two shards for factor ≤ 97 — a composite modulus sharing a
+      // factor with the multiplier would repeat shards periodically and
+      // reintroduce the exact cross-shard duplicates this avoids.
       .withColumn("embedding",
         if (i == 0) col("embedding")
         else transform(col("embedding"),
-          (x, j) => (x + ((lit(i * 31) + j) % 7 - lit(3)).cast("double") * lit(1e-4)).cast("float"))))
+          (x, j) => (x + ((lit(i * 30) + j) % 97 - lit(48)).cast("double") * lit(1e-4)).cast("float"))))
   }
 }

@@ -27,15 +27,30 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Pretokenizer classes (lookahead-free so Java regex and RE2 agree):
-    * letter runs, digit runs, other non-space runs. Spaces separate
-    * pretokens and are not counted (simpler than GPT-2's leading-space
-    * convention; the estimator's job is budget accounting, not model
-    * parity).
+    * letter runs, digit runs, other non-space-non-pipe runs. Spaces
+    * separate pretokens and are not counted (simpler than GPT-2's
+    * leading-space convention; the estimator's job is budget
+    * accounting, not model parity). The pipe is excluded because it is
+    * the wrap delimiter — a symbol containing `|` would make merge
+    * patterns ambiguous, so pipes are treated like whitespace.
     */
-  val PretokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+  val PretokenRe = "[a-z]+|[0-9]+|[^a-z0-9 |]+"
 
-  /** `"abc"` → `"|a||b||c|"`. */
-  def wrap(word: String): String = word.map(c => s"|$c|").mkString
+  /** `"abc"` → `"|a||b||c|"`. Iterates CODE POINTS, not UTF-16 units,
+    * so a supplementary character (emoji) is one symbol — matching the
+    * column encoder's `(?s)(.)` (Java regex `.` is one code point) and
+    * the oracle's per-character split.
+    */
+  def wrap(word: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      sb.append('|').append(word.substring(i, i + n)).append('|')
+      i += n
+    }
+    sb.toString
+  }
 
   private def symbols(wrapped: String): Array[String] =
     wrapped.substring(1, wrapped.length - 1)

@@ -436,27 +436,41 @@ object Lifecycle {
          |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
          |  FROM (SELECT w, count(*)::BIGINT AS f FROM toks GROUP BY w
          |        ORDER BY f DESC, w LIMIT ${graft.functions.Bpe.MaxVocab}) v)""".stripMargin
+    // b$i coalesces to a chr(1) sentinel when the vocabulary runs out of
+    // pairs before the merge budget — replace() with a never-occurring
+    // pattern is a no-op, exactly like the Scala trainer's early stop
+    // (an empty b$i would otherwise cross-join w$i to nothing and wipe
+    // the vocabulary).
     val iters = (1 to BpeMergeCount).map { i =>
       s"""p$i AS (
          |  SELECT unnest(list_transform(generate_series(1, len(syms)-1), k -> syms[k])) AS a,
          |         unnest(list_transform(generate_series(1, len(syms)-1), k -> syms[k+1])) AS b,
          |         f
          |  FROM (SELECT f, string_split(substr(s, 2, length(s)-2), '||') AS syms FROM w${i - 1})),
+         |r$i AS (
+         |  SELECT a, b FROM (SELECT a, b, sum(f) AS cnt FROM p$i GROUP BY a, b
+         |                    ORDER BY cnt DESC, a, b LIMIT 1)),
          |b$i AS MATERIALIZED (
-         |  SELECT '|'||a||'||'||b||'|' AS pat, '|'||a||b||'|' AS rep
-         |  FROM (SELECT a, b, sum(f) AS cnt FROM p$i GROUP BY a, b
-         |        ORDER BY cnt DESC, a, b LIMIT 1)),
+         |  SELECT coalesce((SELECT '|'||a||'||'||b||'|' FROM r$i), chr(1)) AS pat,
+         |         coalesce((SELECT '|'||a||b||'|' FROM r$i), chr(1)) AS rep),
          |w$i AS MATERIALIZED (
          |  SELECT w.w, w.f, replace(w.s, b.pat, b.rep) AS s FROM w${i - 1} w, b$i b)""".stripMargin
     }
+    // Per-token counting applies the learned merges to EVERY document
+    // pretoken directly (a join against the training vocabulary would
+    // silently drop tokens beyond the MaxVocab training cutoff, which
+    // countSubwordsCol still counts).
+    val wrapExpr = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+    val mergedExpr = (1 to BpeMergeCount)
+      .foldLeft(wrapExpr)((e, i) => s"replace($e, b$i.pat, b$i.rep)")
     (Seq(s"WITH $head") ++ iters).mkString(",\n") +
       s""",
-         |enc AS MATERIALIZED (
-         |  SELECT w, ((length(s) - length(replace(s, '|', ''))) // 2)::BIGINT AS ntok
-         |  FROM w$BpeMergeCount),
          |dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '$pretok')) AS w FROM documents),
-         |db AS (SELECT dt.doc_id, sum(enc.ntok)::BIGINT AS bpe_tokens
-         |       FROM dt JOIN enc USING (w) GROUP BY dt.doc_id),
+         |dtc AS (
+         |  SELECT doc_id, ((length(m) - length(replace(m, '|', ''))) // 2)::BIGINT AS ntok
+         |  FROM (SELECT dt.doc_id, $mergedExpr AS m
+         |        FROM dt, ${(1 to BpeMergeCount).map(i => s"b$i").mkString(", ")}) t),
+         |db AS (SELECT doc_id, sum(ntok)::BIGINT AS bpe_tokens FROM dtc GROUP BY doc_id),
          |cand AS (
          |  SELECT d.doc_id, d.n_chars, coalesce(db.bpe_tokens, 0)::BIGINT AS bpe_tokens
          |  FROM documents d LEFT JOIN db USING (doc_id)

@@ -68,14 +68,18 @@ object Multimodal {
 
   /** Real image decode, JDK-only (`javax.imageio` ships with the JRE:
     * PNG/BMP/JPEG/GIF): width, height, color channels, and mean
-    * luminance (BT.601 weights) over a bounded pixel sample — feature
-    * extraction must stay O(bounded) per row no matter how large one
-    * image is. Non-image payloads (no registered reader matches the
-    * magic bytes) degrade to byte statistics with zeroed dims, so one
-    * query handles a mixed binary column.
+    * luminance (BT.601 weights) over a bounded pixel sample. Memory is
+    * bounded two ways: dimensions are read from the HEADER before any
+    * raster is allocated, and payloads whose raster would exceed
+    * `maxPixels` (a decompression bomb: a few-KB PNG can declare a
+    * multi-gigapixel raster) report their true dims with `channels = 0`
+    * marking the skipped decode. Non-image payloads (no reader matches
+    * the magic bytes) degrade to byte statistics with zeroed dims, so
+    * one query handles a mixed binary column.
     */
   object ImageIoDecoder extends MediaDecoder {
     private val MaxSampleSide = 256
+    private val DefaultMaxPixels = 64L * 1024 * 1024 // ≤ 256 MB ARGB raster
 
     /** Magic-byte probe for the formats ImageIO ships readers for
       * (PNG, JPEG, GIF, BMP): a mixed binary column is mostly
@@ -90,36 +94,47 @@ object Multimodal {
         (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
         (p(0) == 'B' && p(1) == 'M'))
 
-    def decode(payload: Array[Byte]): MediaFeatures = {
+    def decode(payload: Array[Byte]): MediaFeatures = decode(payload, DefaultMaxPixels)
+
+    private[operators] def decode(payload: Array[Byte], maxPixels: Long): MediaFeatures = {
       val base = ByteStatDecoder.decode(payload)
-      val img =
-        if (!looksLikeImage(payload)) null
-        else
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException | _: RuntimeException => null }
-      if (img == null) base
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val stepX = math.max(1, w / MaxSampleSide)
-        val stepY = math.max(1, h / MaxSampleSide)
-        var lumaSum = 0.0
-        var n = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            lumaSum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-            n += 1
-            x += stepX
-          }
-          y += stepY
-        }
-        base.copy(width = w, height = h,
-          channels = img.getColorModel.getNumComponents,
-          meanLuma = if (n == 0) 0.0 else lumaSum / n)
-      }
+      if (!looksLikeImage(payload)) return base
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return base
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w.toLong * h > maxPixels) base.copy(width = w, height = h)
+            else {
+              val img = reader.read(0)
+              val stepX = math.max(1, w / MaxSampleSide)
+              val stepY = math.max(1, h / MaxSampleSide)
+              var lumaSum = 0.0
+              var n = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  lumaSum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  n += 1
+                  x += stepX
+                }
+                y += stepY
+              }
+              base.copy(width = w, height = h,
+                channels = img.getColorModel.getNumComponents,
+                meanLuma = if (n == 0) 0.0 else lumaSum / n)
+            }
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case _: java.io.IOException | _: RuntimeException => base }
     }
   }
 

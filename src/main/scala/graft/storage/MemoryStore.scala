@@ -77,8 +77,13 @@ final class MemoryStore(val spark: SparkSession, val root: String,
           val name =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
             finally in.close()
-          if (versionOf(name) < 0) None
-          else Some((versionOf(name), new HPath(tableDir(memoryType), name)))
+          val snap = new HPath(tableDir(memoryType), name)
+          // A marker naming a vanished directory (a stale writer's
+          // commit landed after its snapshot was vacuumed) is treated
+          // as corrupt: fall back to the listing, self-heal on the
+          // next commit.
+          if (versionOf(name) < 0 || !fs.exists(snap)) None
+          else Some((versionOf(name), snap))
         }
       } catch { case _: java.io.IOException => None }
     fromMarker.orElse {
@@ -159,13 +164,24 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     } catch { case _: java.io.IOException => () }
   }
 
-  /** Delete every unreferenced snapshot of a table regardless of age
-    * (losing concurrent committers, aborted writes). Run when no reader
-    * is pinned to an old snapshot.
+  /** Delete every unreferenced snapshot AT OR BELOW the current version
+    * (losing same-version committers, aborted writes). Higher-version
+    * directories are left alone — they belong to commits in flight,
+    * whose fully-written-but-not-yet-committed snapshots must not be
+    * swept from under their marker flip. (A stale writer committing a
+    * version BELOW current can still lose its snapshot to vacuum; its
+    * marker flip then names a vanished directory, which readers treat
+    * as corrupt and resolve via the listing fallback — last-writer-wins
+    * degrades to self-healing, never to a lost table.) Run from
+    * maintenance, when no reader is pinned to an old snapshot.
     */
   def vacuum(memoryType: String): Unit =
-    cleanupSnapshots(memoryType, keepFromVersion = Long.MaxValue,
-      protect = currentSnapshot(memoryType).map(_._2.getName))
+    currentSnapshot(memoryType) match {
+      case Some((v, snap)) =>
+        cleanupSnapshots(memoryType, keepFromVersion = v + 1, protect = Some(snap.getName))
+      case None =>
+        cleanupSnapshots(memoryType, keepFromVersion = Long.MaxValue, protect = None)
+    }
 
   /** An empty table is represented by no marker and no snapshots at all
     * (an empty partitioned parquet dir has no schema files and poisons

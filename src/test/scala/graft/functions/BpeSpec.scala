@@ -33,6 +33,28 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.countSubwords("aaaaa", merges) == 2)
   }
 
+  test("pipes are wrap delimiters, never symbols: pipe text cannot inflate counts") {
+    // '|' is excluded from every pretoken class, so a markdown table row
+    // contributes only its non-pipe tokens and the chars upper bound
+    // holds (a pipe inside a symbol would make merge patterns ambiguous).
+    val text = "| a | bb |"
+    assert(Bpe.countSubwords(text, Nil) == 3) // a, b, b
+    val merges = Bpe.trainMerges(Seq(("bb", 2L)), 2)
+    assert(merges == Seq(("b", "b")))
+    assert(Bpe.countSubwords(text, merges) == 2) // a, bb
+  }
+
+  test("supplementary characters are one symbol in both encoders") {
+    val emoji = new String(Character.toChars(0x1F600)) // outside the BMP
+    val text = s"ab${emoji}ab"
+    // Scala wrap iterates code points: 'ab', emoji+? — pretokens are
+    // [ab][emoji][ab] (emoji falls in the "other" class) → 5 chars.
+    assert(Bpe.countSubwords(text, Nil) == 5)
+    val viaCol = spark.range(1).select(
+      Bpe.countSubwordsCol(lit(text), Nil).as("n")).head().getLong(0)
+    assert(viaCol == 5L, s"column encoder counted $viaCol")
+  }
+
   test("column encoder agrees with the Scala encoder on the real corpus") {
     val docs = Tables.documents(spark, Sf)
     val merges = Bpe.trainMergesFrom(docs, "text", 8)

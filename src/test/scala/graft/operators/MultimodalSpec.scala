@@ -53,6 +53,16 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.meanLuma - 127.5) < 1e-9, s"luma: ${f.meanLuma}")
   }
 
+  test("an oversized raster reports header dims but skips the decode") {
+    // 8x4 = 32 pixels against a 16-pixel cap: dims come from the header
+    // (no raster allocated), channels = 0 marks the skipped decode.
+    val png = imageBytes("png", 8, 4, 0xff646464)
+    val f = Multimodal.ImageIoDecoder.decode(png, maxPixels = 16L)
+    assert(f.width == 8 && f.height == 4)
+    assert(f.channels == 0 && f.meanLuma == 0.0)
+    assert(f.checksum == Multimodal.ByteStatDecoder.decode(png).checksum)
+  }
+
   test("non-image payloads degrade to byte statistics with zero dims") {
     val f = Multimodal.ImageIoDecoder.decode("not an image at all".getBytes("UTF-8"))
     val bs = Multimodal.ByteStatDecoder.decode("not an image at all".getBytes("UTF-8"))
