@@ -91,14 +91,22 @@ final class Alma(
       Map("task_type" -> taskType, "success" -> success.toString)))
     promoteHeuristics(agent, taskType, asOf)
     if (!success) promoteAntiPatterns(agent, asOf)
-    // Write-triggered invalidation: this agent's cached retrievals are
-    // stale, as are those of any agent that inherits from it.
+    invalidateCacheFor(agent)
+    o
+  }
+
+  /** Write-triggered invalidation: the writing agent's cached
+    * retrievals are stale, as are those of any agent whose scope
+    * inherits from it (their scans include the writer's rows via
+    * `readableAgents`) — every agent-scoped write path must use this,
+    * not a single-namespace invalidation.
+    */
+  private def invalidateCacheFor(agent: String): Unit = {
     val affected = agent +: scopes.collect {
       case (reader, sc) if sc.inheritFrom.contains(agent) => reader
     }.toSeq
     affected.foreach(a =>
       cache.invalidateWhere(_.startsWith(cache.nsPrefix(cacheNamespace(a)))))
-    o
   }
 
   /** A1 heuristic promotion over recent outcomes of this task type.
@@ -223,7 +231,7 @@ final class Alma(
       graft.events.MemoryEventType.KnowledgeAdded, agent, projectId,
       MemoryType.Knowledge, k.id, asOf.getTime * 1000L,
       Map("domain" -> domain)))
-    cache.invalidateWhere(_.startsWith(cache.nsPrefix(cacheNamespace(agent))))
+    invalidateCacheFor(agent)
     k
   }
 
@@ -243,7 +251,7 @@ final class Alma(
         store.deleteWhere(MemoryType.Heuristics,
           col("projectId") === projectId && agentCond && col("confidence") < belowConfidence)
     if (pruned > 0) agent match {
-      case Some(a) => cache.invalidateWhere(_.startsWith(cache.nsPrefix(cacheNamespace(a))))
+      case Some(a) => invalidateCacheFor(a)
       case None => cache.invalidateWhere(_ => true)
     }
     pruned
@@ -296,11 +304,14 @@ final class Alma(
       maxOutcomesPerAgent: Int = 1000): Map[String, Long] = {
     val pruned = forget(asOf, agent, olderThanDays, belowConfidence)
     val archived = enforceQuota(maxOutcomesPerAgent, asOf)
-    val compacted = MemoryType.All.map(t => store.compact(t)).sum
+    // Side tables included: the feedback log and checkpoint table are
+    // the highest-append tables in the system (and feedbackSummary is
+    // scanned on every retrieve), so they fragment fastest.
+    val compacted = MemoryType.AllStored.map(t => store.compact(t)).sum
     // Reclaim snapshots left by losing concurrent committers and
     // aborted writes — maintenance is the documented quiet point where
     // no reader is pinned to an old snapshot.
-    MemoryType.All.foreach(store.vacuum)
+    MemoryType.AllStored.foreach(store.vacuum)
     Map("pruned" -> pruned, "quota_archived" -> archived, "files_before_compact" -> compacted)
   }
 
@@ -421,6 +432,9 @@ final class Alma(
         timestamp = now(asOf))
     }
     store.saveFeedback(rows)
+    // Usage signals feed feedbackSummary, which blends into EVERY
+    // agent's scores — same full invalidation as recordFeedback.
+    cache.invalidateWhere(_ => true)
     rows.map(_.id)
   }
 
@@ -471,8 +485,11 @@ final class Alma(
     val m = mode.normalized
     val k = if (topK > 0) topK else m.topK
     val wfFilter = wf.toMap
+    // The FULL normalized mode config keys the entry (case-class
+    // toString carries every field): two configs sharing a preset name
+    // but differing in weights/threshold/boosts must not collide.
     val cacheKey = cache.nsKey(cacheNamespace(agent),
-      query, k.toString, asOf.toString, m.name,
+      query, k.toString, asOf.toString, m.toString,
       wfFilter.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(","))
     cache.get(cacheKey, asOf.getTime) match {
       case Some(hit) => return hit

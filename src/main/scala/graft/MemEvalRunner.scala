@@ -103,6 +103,10 @@ object MemEvalRunner {
         // hit indicator (capped at 1 so duplicate relevant rows cannot
         // push recall past 1.0); a never-retrieved answer scores MRR 0.
         least(sum(when(col("rnk") <= k, col("rel")).otherwise(0L)), lit(1L)).as("hit"),
+        // first_hit is NOT cut at k on purpose: the reference's MRR is
+        // full reciprocal rank over the whole ranked list
+        // (metrics.py:165-184), while recall/NDCG are @k — parity with
+        // the published baseline beats internal consistency here.
         min(when(col("rel") === 1L, col("rnk"))).as("first_hit"))
       .join(broadcast(qtypes), col("question_id") === col("t_id"))
       .groupBy("question_type")

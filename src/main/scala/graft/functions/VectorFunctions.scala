@@ -47,19 +47,25 @@ object VectorFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Reference HOF formulation of cosine — kept for parity tests. */
-  def cosineHof(a: Column, b: Column): Column =
-    dotHof(a, b) / (norm2(a) * norm2(b))
+  /** Reference HOF formulation of cosine — kept for parity tests.
+    * Zero-norm sides yield 0.0 like the kernel (never NaN).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
+    val denom = norm2(a) * norm2(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dotHof(a, b) / denom)
+  }
 
   /** L2 norm, in double. */
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** L2-normalized copy of a vector column. */
+  /** L2-normalized copy of a vector column; a zero vector stays zero
+    * (never NaN elements).
+    */
   def l2normalize(a: Column): Column = {
     val n = norm2(a)
-    transform(a, x => (x.cast("double") / n))
+    transform(a, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
   }
 
   /** Coarse IVF-style bucket id from the sign bits of the first `bits`

@@ -76,7 +76,11 @@ case class DotProductF32(left: Expression, right: Expression) extends FloatVecto
 }
 
 /** Cosine similarity over two float arrays: dot / (||a|| * ||b||), all
-  * accumulated in double in element order.
+  * accumulated in double in element order. A zero-norm side yields 0.0,
+  * NOT NaN: Spark orders NaN ABOVE every double, so a 0/0 here would
+  * make one all-zero embedding (empty text through a hash/model
+  * encoder) outrank every genuine match in every descending
+  * similarity sort.
   */
 case class CosineSimF32(left: Expression, right: Expression) extends FloatVectorKernel {
 
@@ -97,7 +101,8 @@ case class CosineSimF32(left: Expression, right: Expression) extends FloatVector
       ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -115,7 +120,8 @@ case class CosineSimF32(left: Expression, right: Expression) extends FloatVector
          |    nx += xi * xi;
          |    ny += yi * yi;
          |  }
-         |  ${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |  double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
+         |  ${ev.value} = denom == 0.0 ? 0.0 : dot / denom;
          |}
        """.stripMargin
     })

@@ -147,6 +147,15 @@ object MemoryType {
   val WorkflowOutcomes = "workflow_outcomes"
   val Checkpoints = "checkpoints"
   val All: Seq[String] = Seq(Heuristics, Outcomes, Preferences, Knowledge, AntiPatterns)
+
+  /** Every stored table, side tables included — the maintenance set.
+    * The append-heaviest tables (feedback: one row per retrieved memory
+    * per recordUsage; checkpoints: one per workflow step) are side
+    * tables, so a maintenance loop over `All` alone would skip exactly
+    * the tables that fragment fastest.
+    */
+  val AllStored: Seq[String] =
+    All ++ Seq(Feedback, Artifacts, WorkflowOutcomes, Checkpoints)
 }
 
 /** Per-agent access scope (alma/types.py:26-85): row-level predicates on

@@ -64,8 +64,17 @@ object Checkpoints {
       reducerByKey: Map[String, String],
       defaultReducer: String = "last_value"): DataFrame = {
     // List-valued reducers render as comma-joined values; scalars cast.
+    // Numeric reducers see only numeric-parsing values (reference
+    // reducers.py:145-190: non-numeric values are IGNORED by sum/max/
+    // min, and the comparison is numeric) — state values are strings
+    // here, and a string max would otherwise compare lexicographically
+    // ("9" > "10").
+    val NumRe = "^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$"
     def rendered(reducer: String): Column = reducer match {
       case "append" | "union" => array_join(Reducers(reducer, col("value"), col("seq")), ",")
+      case r @ ("sum" | "max" | "min") =>
+        Reducers(r, when(col("value").rlike(NumRe), col("value").cast("double")), col("seq"))
+          .cast("string")
       case r => Reducers(r, col("value"), col("seq")).cast("string")
     }
     val merged = reducerByKey.toSeq.sortBy(_._1).map { case (k, reducer) =>

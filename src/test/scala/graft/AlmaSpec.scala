@@ -282,6 +282,27 @@ class AlmaSpec extends SparkSpec {
     assert(topHeuristics == Map(0L -> single0, 1L -> single1))
   }
 
+  test("recordUsage invalidates cached retrievals (same query+asOf reflects new signals)") {
+    val alma = freshAlma()
+    for (v <- Seq("alpha", "beta"); i <- 1 to 3) {
+      alma.learn("helena", "deploy", s"deploy service $v", success = true,
+        strategyUsed = s"$v strategy", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val at = ts("2024-02-01 00:00:00")
+    val before = alma.retrieve("deploy service", "helena", at, topK = 2)
+    val Seq(top, bottom) = before.heuristics.map(_.id)
+    // Usage signals through recordUsage (not recordFeedback): the leader
+    // ignored repeatedly, the runner-up used — the IDENTICAL retrieve
+    // call must see the flip, not a stale cache hit.
+    (1 to 4).foreach { i =>
+      alma.recordUsage(Seq(top, bottom), usedIds = Set(bottom),
+        MemoryType.Heuristics, "helena", ts(s"2024-02-01 0$i:00:00"))
+    }
+    val after = alma.retrieve("deploy service", "helena", at, topK = 2)
+    assert(after.heuristics.map(_.id) == Seq(bottom, top),
+      s"stale cache: ${after.heuristics.map(_.id)} (expected flip to $bottom first)")
+  }
+
   test("recorded feedback signals re-rank retrieval per the 0.15 blend") {
     val alma = freshAlma()
     for (v <- Seq("alpha", "beta"); i <- 1 to 3) {

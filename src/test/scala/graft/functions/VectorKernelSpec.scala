@@ -20,6 +20,27 @@ class VectorKernelSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("zero-norm vectors score 0.0, never NaN, in kernel and HOF alike") {
+    import spark.implicits._
+    // An all-zero embedding (empty/OOV text through any encoder) must
+    // not produce NaN: Spark sorts NaN ABOVE every double, so one NaN
+    // row would outrank every genuine match in a descending sim sort.
+    val rows = Seq(
+      (1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, 3f))).toDF("id", "v")
+    val q = Array(0.6f, 0.8f, 0f)
+    val out = rows.select(col("id"),
+        VectorFunctions.cosineConst(col("v"), q).as("k"),
+        VectorFunctions.cosineHof(col("v"), lit(q)).as("h"))
+      .orderBy(col("k").desc).collect()
+    assert(!out.exists(r => r.getDouble(1).isNaN || r.getDouble(2).isNaN))
+    assert(out.head.getLong(0) == 2L, "zero vector outranked a real match")
+    assert(out.last.getDouble(1) == 0.0 && out.last.getDouble(2) == 0.0)
+    // l2normalize keeps a zero vector zero.
+    val norm = rows.filter(col("id") === 1L)
+      .select(VectorFunctions.l2normalize(col("v"))).head().getSeq[Double](0)
+    assert(norm.forall(_ == 0.0))
+  }
+
   test("kernel cosine == HOF cosine bit-exactly on real embeddings") {
     val diff = emb.as("a").crossJoin(emb.as("b")).limit(500)
       .select(

@@ -70,6 +70,20 @@ class WorkflowFacadeSpec extends SparkSpec {
     assert(merged("owner") == "y")
   }
 
+  test("min/max reducers compare numerically, not lexicographically") {
+    val alma = freshAlma()
+    // Lexicographic string max would keep "9"; the reference's reducers
+    // are numeric-only (reducers.py:145-190) and non-numeric values are
+    // ignored, never compared.
+    val merged = alma.mergeStates(
+      Seq(Map("retries" -> "9", "cost" -> "10.5", "note" -> "n/a"),
+        Map("retries" -> "10", "cost" -> "2.5", "note" -> "n/a")),
+      reducerConfig = Map("retries" -> "max", "cost" -> "min", "note" -> "max"))
+    assert(merged("retries") == "10.0", s"lexicographic max: ${merged("retries")}")
+    assert(merged("cost") == "2.5")
+    assert(merged("note") == null, "non-numeric values must be ignored by max")
+  }
+
   test("recordUsage marks used vs ignored and feeds the feedback summary") {
     val alma = freshAlma()
     val ids = alma.recordUsage(
