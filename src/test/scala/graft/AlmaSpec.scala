@@ -303,6 +303,26 @@ class AlmaSpec extends SparkSpec {
       s"stale cache: ${after.heuristics.map(_.id)} (expected flip to $bottom first)")
   }
 
+  test("a writer's knowledge write invalidates inheriting readers' caches") {
+    val dir = Files.createTempDirectory("alma-test").toString
+    val scopes = Map(
+      "writer" -> MemoryScope("writer"),
+      "reader" -> MemoryScope("reader", inheritFrom = Set("writer")))
+    val alma = Alma(spark, dir, projectId = "proj1", scopes)
+    val at = ts("2024-02-01 00:00:00")
+    alma.addDomainKnowledge("writer", "deploy", "canary rollouts reduce risk",
+      "runbook", 0.9, ts("2024-01-01 10:00:00"))
+    val before = alma.retrieve("canary rollout risk", "reader", at, topK = 5)
+    assert(before.knowledge.nonEmpty, "reader does not see inherited knowledge")
+    // A second write by the WRITER must invalidate the READER's cached
+    // slice — the reader's scan includes the writer's rows.
+    alma.addDomainKnowledge("writer", "deploy", "canary rollout needs a rollback plan",
+      "runbook", 0.9, ts("2024-01-02 10:00:00"))
+    val after = alma.retrieve("canary rollout risk", "reader", at, topK = 5)
+    assert(after.knowledge.size == before.knowledge.size + 1,
+      s"stale reader cache: ${after.knowledge.map(_.fact)}")
+  }
+
   test("recorded feedback signals re-rank retrieval per the 0.15 blend") {
     val alma = freshAlma()
     for (v <- Seq("alpha", "beta"); i <- 1 to 3) {

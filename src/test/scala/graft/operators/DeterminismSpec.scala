@@ -17,7 +17,10 @@ class DeterminismSpec extends SparkSpec {
     "q_compress_topthird", "q_token_budget",
     "q_entity_detect", "q_graph_paths", "q_crossencoder_rerank",
     // Contract queries with ties, windows, or driver-side greedy loops.
-    "q_prompt_projection", "q_cross_verify", "q_per_type_scores")
+    "q_prompt_projection", "q_cross_verify", "q_per_type_scores",
+    // Round-5 additions: in-query BPE training (vocab job + driver
+    // merge loop) and the mapPartitions image-decode path.
+    "q_token_budget_bpe", "q_multimodal_decode")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {

@@ -118,4 +118,11 @@ object ScoringProps extends Properties("scoring") {
     Prop.forAll(textGen) { text =>
       PostProcess.estimatorFor(Nil)(text) == PostProcess.estimateTokens(text)
     }
+
+  property("BPE training is independent of vocabulary order") =
+    Prop.forAll(corpusGen, Gen.choose(1, 10)) { (corpus, n) =>
+      val freqs = corpus.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      graft.functions.Bpe.trainMerges(freqs.sortBy(_._1), n) ==
+        graft.functions.Bpe.trainMerges(freqs.sortBy(_._1).reverse, n)
+    }
 }
