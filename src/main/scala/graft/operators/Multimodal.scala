@@ -173,6 +173,20 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a PCM-silence WAV container — the generator half of the
+    * audio round-trip (runs on executors; also used by MultimodalSpec's
+    * golden tests).
+    */
+  def wavBytes(sampleRate: Float, channels: Int, frames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Binary column → typed audio metadata rows (null metadata for
     * non-audio payloads): the same per-partition, no-driver-round-trip
     * plumbing as `decodeQuery`, with the audio schema.
@@ -221,6 +235,39 @@ object Multimodal {
   private def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     decodeQuery(s, dir)
 
+  // Audio round-trip: WAV containers are SYNTHESIZED on the executors
+  // from event-derived parameters, then parsed back by the JDK header
+  // decoder; the oracle recomputes the parameters directly from events,
+  // so any write/parse infidelity in the container path breaks the
+  // hash. (duration_ms is kept out of the query output — it is a float
+  // ratio whose rounding is not portable; the three integers pin the
+  // parse exactly.)
+  private def audioRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.events(s, dir)
+      .filter(col("event_id") < 200)
+      .select(col("event_id"),
+        (lit(8000) + (col("event_id") % 4) * 4000).cast("int").as("rate"),
+        (lit(1) + col("event_id") % 2).cast("int").as("ch"),
+        (lit(100) + (col("event_id") % 50) * 10).cast("int").as("frames"))
+    val withWav = params.as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, rate, ch, frames) =>
+        (id, wavBytes(rate.toFloat, ch, frames))
+      })
+      .toDF("event_id", "payload")
+    audioMeta(withWav, "event_id", "payload")
+      .select(col("event_id"), col("sample_rate_hz").cast("long").as("sample_rate_hz"),
+        col("channels"), col("frames"))
+      .orderBy("event_id")
+  }
+
+  private val audioRoundtripSql =
+    """SELECT event_id,
+      |  (8000 + (event_id % 4) * 4000)::BIGINT AS sample_rate_hz,
+      |  (1 + event_id % 2)::INT AS channels,
+      |  (100 + (event_id % 50) * 10)::BIGINT AS frames
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+
   // The fallback-branch oracle: checksum is the same 31-multiplier fold
   // over byte values (pure-ASCII corpus → char codes ARE the UTF-8
   // bytes, verified for all testdata SFs), the mean is exact integer
@@ -264,5 +311,6 @@ object Multimodal {
   val all: Seq[Q] = Seq(
     Q("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Q("q_multimodal_decode", multimodalDecode, Some(multimodalDecodeSql)),
+    Q("q_audio_roundtrip", audioRoundtrip, Some(audioRoundtripSql)),
     Q("q_crossencoder_rerank", crossencoderRerank, Some(crossencoderRerankSql)))
 }

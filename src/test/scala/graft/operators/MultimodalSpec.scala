@@ -83,15 +83,8 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) == 42L && r.getLong(3) == 0L && r.getInt(4) == 1))
   }
 
-  private def wavBytes(sampleRate: Float, channels: Int, frames: Int): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
-    val pcm = new Array[Byte](frames * fmt.getFrameSize)
-    val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
-    val out = new ByteArrayOutputStream()
-    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
-  }
+  private def wavBytes(sampleRate: Float, channels: Int, frames: Int): Array[Byte] =
+    Multimodal.wavBytes(sampleRate, channels, frames)
 
   test("audio decoder golden: real WAV bytes parse to exact format metadata") {
     val wav = wavBytes(44100f, 2, 4410) // 100 ms of silence, stereo

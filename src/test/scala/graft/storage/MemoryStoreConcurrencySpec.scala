@@ -101,6 +101,36 @@ class MemoryStoreConcurrencySpec extends SparkSpec {
       .collect().toSet == Set("a"), "fallback picked the half-written dir")
   }
 
+  test("readers during concurrent rewrites always see a complete snapshot") {
+    val dir = Files.createTempDirectory("store-rw").toString
+    val store = new MemoryStore(spark, dir)
+    store.saveHeuristics(Seq(h("seed")))
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      try (1 to 6).foreach(i => store.upsertHeuristics(Seq(h(s"w-$i"))))
+      finally writerDone.set(true)
+    })
+    writer.start()
+    var reads = 0
+    val valid = ("seed" +: (1 to 6).map(i => s"w-$i")).toSet
+    try {
+      while (!writerDone.get() && reads < 50) {
+        // Every read must resolve a COMPLETE snapshot: the seed row is
+        // in every committed state, and no id outside the known write
+        // set can ever appear (a half-visible merge would drop or
+        // duplicate rows).
+        val ids = store.heuristics().toDF().select("id").as[String](Encoders.STRING)
+          .collect().toSet
+        assert(ids.contains("seed"), s"read a snapshot without the seed: $ids")
+        assert(ids.subsetOf(valid), s"read unknown rows: ${ids -- valid}")
+        reads += 1
+      }
+    } finally writer.join()
+    assert(reads >= 2, s"writer finished before the reader sampled ($reads reads)")
+    assert(store.heuristics().toDF().select("id").as[String](Encoders.STRING)
+      .collect().toSet == valid)
+  }
+
   test("two concurrent rewriters: table never lost, marker always names a full snapshot") {
     val dir = Files.createTempDirectory("store-conc").toString
     val store = new MemoryStore(spark, dir)
