@@ -304,10 +304,19 @@ final class Alma(
       maxOutcomesPerAgent: Int = 1000): Map[String, Long] = {
     val pruned = forget(asOf, agent, olderThanDays, belowConfidence)
     val archived = enforceQuota(maxOutcomesPerAgent, asOf)
-    // Side tables included: the feedback log and checkpoint table are
-    // the highest-append tables in the system (and feedbackSummary is
-    // scanned on every retrieve), so they fragment fastest.
-    val compacted = MemoryType.AllStored.map(t => store.compact(t)).sum
+    // Side tables included: the feedback log is the highest-append
+    // table in the system (and feedbackSummary is scanned on every
+    // retrieve), so it fragments fastest. Checkpoints are EXCLUDED from
+    // compaction: live workflow runs append them between maintenance's
+    // read and swap, and a rewrite would drop a just-written
+    // crash-recovery point (last-writer-wins); their natural compaction
+    // point is cleanupCheckpoints, which already rewrites the table
+    // when a run completes. vacuum below stays safe for every table —
+    // it only deletes unreferenced snapshot dirs, never the current
+    // one appends land in.
+    val compacted = MemoryType.AllStored
+      .filterNot(_ == MemoryType.Checkpoints)
+      .map(t => store.compact(t)).sum
     // Reclaim snapshots left by losing concurrent committers and
     // aborted writes — maintenance is the documented quiet point where
     // no reader is pinned to an old snapshot.
@@ -337,7 +346,7 @@ final class Alma(
       durationSeconds = durationSeconds, nodeCount = nodeCount,
       errorMessage = errorMessage, createdAt = now(asOf), metadata = Map.empty)
     store.saveWorkflowOutcomes(Seq(w))
-    cache.invalidateWhere(_.startsWith(cache.nsPrefix(cacheNamespace(agent))))
+    invalidateCacheFor(agent)
     w
   }
 

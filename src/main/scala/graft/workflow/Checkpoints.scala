@@ -72,7 +72,13 @@ object Checkpoints {
     val NumRe = "^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$"
     def rendered(reducer: String): Column = reducer match {
       case "append" | "union" => array_join(Reducers(reducer, col("value"), col("seq")), ",")
-      case r @ ("sum" | "max" | "min") =>
+      case "sum" =>
+        // Reference SumReducer starts its accumulator at 0, so an
+        // all-non-numeric key sums to 0 — not null like max/min.
+        coalesce(
+          Reducers("sum", when(col("value").rlike(NumRe), col("value").cast("double")), col("seq")),
+          lit(0.0)).cast("string")
+      case r @ ("max" | "min") =>
         Reducers(r, when(col("value").rlike(NumRe), col("value").cast("double")), col("seq"))
           .cast("string")
       case r => Reducers(r, col("value"), col("seq")).cast("string")

@@ -19,8 +19,9 @@ class DeterminismSpec extends SparkSpec {
     // Contract queries with ties, windows, or driver-side greedy loops.
     "q_prompt_projection", "q_cross_verify", "q_per_type_scores",
     // Round-5 additions: in-query BPE training (vocab job + driver
-    // merge loop) and the mapPartitions image-decode path.
-    "q_token_budget_bpe", "q_multimodal_decode")
+    // merge loop) and the mapPartitions media paths (image decode,
+    // WAV synthesize + header parse).
+    "q_token_budget_bpe", "q_multimodal_decode", "q_audio_roundtrip")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {

@@ -76,12 +76,15 @@ class WorkflowFacadeSpec extends SparkSpec {
     // are numeric-only (reducers.py:145-190) and non-numeric values are
     // ignored, never compared.
     val merged = alma.mergeStates(
-      Seq(Map("retries" -> "9", "cost" -> "10.5", "note" -> "n/a"),
-        Map("retries" -> "10", "cost" -> "2.5", "note" -> "n/a")),
-      reducerConfig = Map("retries" -> "max", "cost" -> "min", "note" -> "max"))
+      Seq(Map("retries" -> "9", "cost" -> "10.5", "note" -> "n/a", "tag" -> "x"),
+        Map("retries" -> "10", "cost" -> "2.5", "note" -> "n/a", "tag" -> "y")),
+      reducerConfig = Map("retries" -> "max", "cost" -> "min",
+        "note" -> "max", "tag" -> "sum"))
     assert(merged("retries") == "10.0", s"lexicographic max: ${merged("retries")}")
     assert(merged("cost") == "2.5")
     assert(merged("note") == null, "non-numeric values must be ignored by max")
+    // Reference SumReducer starts at 0: all-non-numeric sums to 0, not null.
+    assert(merged("tag") == "0.0", s"sum of non-numeric: ${merged("tag")}")
   }
 
   test("recordUsage marks used vs ignored and feeds the feedback summary") {
