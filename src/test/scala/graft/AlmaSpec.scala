@@ -303,6 +303,24 @@ class AlmaSpec extends SparkSpec {
       s"stale cache: ${after.heuristics.map(_.id)} (expected flip to $bottom first)")
   }
 
+  test("two mode configs sharing a preset name never share a cache entry") {
+    val alma = freshAlma()
+    (1 to 3).foreach { i =>
+      alma.learn("helena", "deploy", s"deploy v$i", success = true,
+        strategyUsed = "canary rollout", asOf = ts(s"2024-01-0$i 10:00:00"))
+    }
+    val at = ts("2024-02-01 00:00:00")
+    val loose = graft.retrieval.Modes.Broad
+    val strict = loose.copy(minScore = 0.999) // same name, different threshold
+    val before = alma.retrieve("deploy", "helena", at, topK = 5, mode = loose)
+    assert(before.heuristics.nonEmpty)
+    // The stricter config must re-score, not hit the loose config's
+    // cached slice (the key carries the full normalized config).
+    val after = alma.retrieve("deploy", "helena", at, topK = 5, mode = strict)
+    assert(after.heuristics.isEmpty,
+      s"cache collision across configs: ${after.heuristics.map(_.id)}")
+  }
+
   test("a writer's knowledge write invalidates inheriting readers' caches") {
     val dir = Files.createTempDirectory("alma-test").toString
     val scopes = Map(
