@@ -306,14 +306,15 @@ final class Alma(
     val archived = enforceQuota(maxOutcomesPerAgent, asOf)
     // Side tables included: the feedback log is the highest-append
     // table in the system (and feedbackSummary is scanned on every
-    // retrieve), so it fragments fastest. Checkpoints are EXCLUDED from
-    // compaction: live workflow runs append them between maintenance's
-    // read and swap, and a rewrite would drop a just-written
-    // crash-recovery point (last-writer-wins); their natural compaction
-    // point is cleanupCheckpoints, which already rewrites the table
-    // when a run completes. vacuum below stays safe for every table —
-    // it only deletes unreferenced snapshot dirs, never the current
-    // one appends land in.
+    // retrieve), so it fragments fastest. An append racing the rewrite
+    // (a concurrent recordUsage) is covered by the overwrite rescue —
+    // files landing in the superseded snapshot after the rewrite's
+    // read are moved into the committed one, not silently dropped.
+    // Checkpoints stay EXCLUDED anyway: their natural compaction point
+    // is cleanupCheckpoints, which already rewrites the table when a
+    // run completes, so maintenance never touches live-run state at
+    // all. vacuum below stays safe for every table — it only deletes
+    // unreferenced snapshot dirs, never the current one appends land in.
     val compacted = MemoryType.AllStored
       .filterNot(_ == MemoryType.Checkpoints)
       .map(t => store.compact(t)).sum

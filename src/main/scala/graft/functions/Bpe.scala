@@ -53,7 +53,8 @@ object Bpe {
   }
 
   private def symbols(wrapped: String): Array[String] =
-    wrapped.substring(1, wrapped.length - 1)
+    if (wrapped.isEmpty) Array.empty // wrap("") — an empty word has no symbols
+    else wrapped.substring(1, wrapped.length - 1)
       .split(java.util.regex.Pattern.quote("||"), -1)
 
   /** Learn `numMerges` merges from a word-frequency table: each round
@@ -63,7 +64,10 @@ object Bpe {
     * everywhere. Deterministic for a given vocabulary.
     */
   def trainMerges(wordFreqs: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
-    var words = wordFreqs.map { case (w, f) => (wrap(w), f) }
+    // An empty word has no symbols and no pairs — drop it rather than
+    // let it poison the pair scan (the distributed vocabulary pass never
+    // produces one, but this is a public seam).
+    var words = wordFreqs.collect { case (w, f) if w.nonEmpty => (wrap(w), f) }
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var exhausted = false
@@ -117,8 +121,11 @@ object Bpe {
   }
 
   /** Subword count of one string under a trained merge list — the
-    * plain-Scala twin of `countSubwordsCol`, for the driver-side
-    * budget/prompt paths. Floors at 1 like the chars/4 estimator.
+    * EXACT plain-Scala twin of `countSubwordsCol`: pretoken-free text
+    * (empty, whitespace-only, pipe-only) counts 0 in both, matching the
+    * reference's count_tokens (tokenizer.py:297-298 returns 0 for empty
+    * text). The budget path's floor-at-1 lives in
+    * `PostProcess.estimatorFor`, not here.
     */
   def countSubwords(text: String, merges: Seq[(String, String)]): Int = {
     val m = java.util.regex.Pattern.compile(PretokenRe).matcher(text)
@@ -128,7 +135,7 @@ object Bpe {
       merges.foreach { case (a, b) => s = s.replace(s"|$a||$b|", s"|$a$b|") }
       n += (s.length - s.replace("|", "").length) / 2
     }
-    math.max(1, n)
+    n
   }
 
   /** Per-row subword count as a pure built-in column expression:

@@ -13,10 +13,20 @@ import java.time.Duration
   * endpoint and returns the response body.
   *
   * Retry policy: 429 and 5xx responses, connect failures, and timeouts
-  * retry with exponential backoff (base × 2^attempt) up to
+  * retry with exponential backoff (base × 2^attempt, shift clamped so
+  * large `maxRetries` cannot overflow the multiplier) up to
   * `maxRetries`; other 4xx are permanent and fail immediately. The
   * sleeper is injectable so specs prove the backoff schedule without
   * real waits.
+  *
+  * Delivery contract: AT-LEAST-ONCE. A timed-out or reset request may
+  * already have been processed (and billed) server-side before the
+  * retry fires, so a completion can execute more than once. Each
+  * attempt sends an `Idempotency-Key` header — identical across the
+  * retries of one `complete()` call, distinct across calls — so
+  * endpoints that honor idempotency keys (most LLM billing APIs)
+  * deduplicate; against endpoints that ignore the header, callers
+  * needing exactly-once must deduplicate downstream.
   *
   * Distribution: instances are Serializable task closures; the
   * underlying HttpClient is `@transient lazy`, so each executor JVM
@@ -37,13 +47,18 @@ final class HttpCompleter(
       .build()
 
   def complete(prompt: String): String = {
+    val idempotencyKey = java.util.UUID.randomUUID().toString
     var attempt = 0
     var lastError = ""
     while (attempt <= maxRetries) {
-      if (attempt > 0) sleeper(baseBackoffMillis << (attempt - 1))
+      // Shift clamped at 2^20: a 64-bit left shift of 63+ is undefined
+      // in spirit (Java masks the shift count), so a large maxRetries
+      // would wrap the backoff negative and Thread.sleep would throw.
+      if (attempt > 0) sleeper(baseBackoffMillis << math.min(attempt - 1, 20))
       val req = HttpRequest.newBuilder(URI.create(endpoint))
         .timeout(Duration.ofMillis(timeoutMillis))
         .header("Content-Type", "text/plain; charset=utf-8")
+        .header("Idempotency-Key", idempotencyKey)
         .POST(HttpRequest.BodyPublishers.ofString(prompt))
         .build()
       // Timeouts, refusals, and resets are all transient (retry); a

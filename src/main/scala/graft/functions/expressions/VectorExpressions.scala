@@ -54,18 +54,28 @@ case class DotProductF32(left: Expression, right: Expression) extends FloatVecto
     dot
   }
 
+  // Every generated local goes through ctx.freshName: two kernels fused
+  // into ONE whole-stage-codegen region (e.g. a projection computing a
+  // dot and a cosine, or two cosines against different query vectors)
+  // would otherwise both declare `int i` in the same Java scope, Janino
+  // throws "Redefinition of local variable", and Spark silently falls
+  // back to interpreted execution for the whole stage — defeating the
+  // kernel exactly in the multi-similarity plans it exists for.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $a.numElements();
-         |  double dot = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    dot += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = dot;
+         |  ${ev.value} = $dot;
          |}
        """.stripMargin
     })
@@ -105,23 +115,33 @@ case class CosineSimF32(left: Expression, right: Expression) extends FloatVector
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  // ctx.freshName on every local — see DotProductF32.doGenCode for why
+  // (fused multi-kernel stages must not redeclare the same Java locals).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $a.numElements();
-         |  double dot = 0.0, nx = 0.0, ny = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double xi = (double) $a.getFloat(i);
-         |    double yi = (double) $b.getFloat(i);
-         |    dot += xi * yi;
-         |    nx += xi * xi;
-         |    ny += yi * yi;
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $nx += $xi * $xi;
+         |    $ny += $yi * $yi;
          |  }
-         |  double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |  ${ev.value} = denom == 0.0 ? 0.0 : dot / denom;
+         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  ${ev.value} = $denom == 0.0 ? 0.0 : $dot / $denom;
          |}
        """.stripMargin
     })

@@ -4,7 +4,7 @@ import graft.Q
 import graft.io.Tables
 import graft.functions.VectorFunctions
 import graft.sources.Ingestion
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -397,6 +397,102 @@ object Lifecycle {
       |WHERE cum_tokens <= 2000 ORDER BY cum_tokens""".stripMargin
 
   // -------------------------------------------------------------------
+  // R15/A12 per-model context budgets (reference
+  // alma/utils/tokenizer.py:58-175 DEFAULT_TOKEN_BUDGETS + :195-205
+  // TOKENS_PER_CHAR_RATIOS + :52-54 effective_memory_budget): a small
+  // model→budget dimension broadcast against ONE top-N candidate cut,
+  // then a per-model greedy knapsack as a single window partitioned by
+  // model. effective_budget = int(memory_budget * (1 - safety_margin));
+  // the table's budgets are all divisible by 10 and the margin is 0.1,
+  // so integer memory_budget*9 div 10 is exact in both engines. The
+  // per-model token estimate is the reference's family-ratio fallback
+  // (count_tokens, tokenizer.py:307-309): int(n_chars * ratio).
+  // (model, family, context_window, memory_budget, response_reserve)
+  private val ModelBudgetRows = Seq(
+    ("gpt-4", "gpt4", 8192L, 2000L, 2048L),
+    ("gpt-4-32k", "gpt4", 32768L, 4000L, 4096L),
+    ("gpt-4-turbo", "gpt4", 128000L, 8000L, 4096L),
+    ("gpt-4o", "gpt4", 128000L, 8000L, 4096L),
+    ("gpt-4o-mini", "gpt4", 128000L, 8000L, 4096L),
+    ("gpt-3.5-turbo", "gpt35", 16385L, 2000L, 2048L),
+    ("gpt-3.5-turbo-16k", "gpt35", 16385L, 4000L, 4096L),
+    ("claude-3-opus", "claude", 200000L, 10000L, 4096L),
+    ("claude-3-sonnet", "claude", 200000L, 8000L, 4096L),
+    ("claude-3-haiku", "claude", 200000L, 6000L, 4096L),
+    ("claude-3.5-sonnet", "claude", 200000L, 8000L, 4096L),
+    ("claude-3.5-haiku", "claude", 200000L, 6000L, 4096L),
+    ("gemini-pro", "gemini", 32768L, 4000L, 4096L),
+    ("gemini-1.5-pro", "gemini", 1000000L, 10000L, 8192L),
+    ("gemini-1.5-flash", "gemini", 1000000L, 8000L, 8192L),
+    ("llama-2-7b", "llama", 4096L, 1000L, 1024L),
+    ("llama-2-70b", "llama", 4096L, 1000L, 1024L),
+    ("llama-3-8b", "llama", 8192L, 2000L, 2048L),
+    ("llama-3-70b", "llama", 8192L, 2000L, 2048L),
+    ("mistral-7b", "mistral", 8192L, 2000L, 2048L),
+    ("mixtral-8x7b", "mistral", 32768L, 4000L, 4096L),
+    ("default", "unknown", 8192L, 2000L, 2048L))
+
+  // Family ratios forced through DOUBLE in BOTH engines (the oracle
+  // casts ::DOUBLE) so floor(n_chars * ratio) sees identical IEEE
+  // arithmetic — DuckDB would otherwise parse 0.28 as exact DECIMAL.
+  private def familyRatio(family: Column): Column =
+    when(family === "claude", 0.28)
+      .when(family === "llama" || family === "mistral", 0.27)
+      .otherwise(0.25)
+
+  private def tokenBudgetModels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = ModelBudgetRows
+      .toDF("model", "family", "context_window", "memory_budget", "response_reserve")
+      .withColumn("ratio", familyRatio(col("family")))
+      .withColumn("effective_budget", expr("memory_budget * 9 div 10").cast("long"))
+      .select("model", "context_window", "effective_budget", "ratio")
+    val cand = Tables.documents(s, dir)
+      .select("doc_id", "n_chars")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(BudgetCandidates)
+    // One 22-row broadcast against a 200-row bounded cut (nested-loop,
+    // never a shuffled cartesian), then a single window pass computes
+    // all per-model knapsacks at once.
+    val w = Window.partitionBy("model")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand.crossJoin(broadcast(dim))
+      .withColumn("est_tokens", floor(col("n_chars") * col("ratio")).cast("long"))
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("effective_budget"))
+      .select("model", "context_window", "effective_budget",
+        "doc_id", "est_tokens", "cum_tokens")
+      .orderBy("model", "cum_tokens", "doc_id")
+  }
+
+  private val tokenBudgetModelsSql: String = {
+    val dimRows = ModelBudgetRows.map { case (m, f, cw, mb, rr) =>
+      s"('$m', '$f', $cw, $mb, $rr)"
+    }.mkString(",\n    ")
+    s"""WITH dim AS (
+       |  SELECT model, context_window::BIGINT AS context_window,
+       |    (memory_budget * 9 // 10)::BIGINT AS effective_budget,
+       |    (CASE WHEN family = 'claude' THEN 0.28
+       |          WHEN family IN ('llama', 'mistral') THEN 0.27
+       |          ELSE 0.25 END)::DOUBLE AS ratio
+       |  FROM (VALUES
+       |    $dimRows) AS t(model, family, context_window, memory_budget, response_reserve)),
+       |cand AS (
+       |  SELECT doc_id, n_chars FROM documents
+       |  ORDER BY n_chars DESC, doc_id LIMIT $BudgetCandidates)
+       |SELECT model, context_window, effective_budget, doc_id, est_tokens, cum_tokens
+       |FROM (
+       |  SELECT d.model, d.context_window, d.effective_budget, c.doc_id,
+       |    floor(c.n_chars * d.ratio)::BIGINT AS est_tokens,
+       |    sum(floor(c.n_chars * d.ratio)::BIGINT) OVER (
+       |      PARTITION BY d.model ORDER BY c.n_chars DESC, c.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+       |  FROM cand c, dim d) t
+       |WHERE cum_tokens <= effective_budget
+       |ORDER BY model, cum_tokens, doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // R15/A12 tokenizer-primary budget: the same running-sum knapsack as
   // q_token_budget, but costs come from a BPE subword tokenizer TRAINED
   // on the corpus in-query (reference structure: tiktoken-primary,
@@ -651,6 +747,7 @@ object Lifecycle {
     Q("q_chunk_text", chunkText, Some(chunkTextSql)),
     Q("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Q("q_token_budget_bpe", tokenBudgetBpe, Some(tokenBudgetBpeSql)),
+    Q("q_token_budget_models", tokenBudgetModels, Some(tokenBudgetModelsSql)),
     Q("q_progressive", progressive, Some(progressiveSql)),
     Q("q_mode_boosts", modeBoosts, Some(modeBoostsSql)),
     Q("q_verified_retrieval", verifiedRetrieval, Some(verifiedRetrievalSql)),

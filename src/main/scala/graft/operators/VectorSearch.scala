@@ -114,6 +114,39 @@ object VectorSearch {
       |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // V1 fused multi-similarity kNN: TWO broadcast query vectors scored
+  // in ONE projection (hybrid/multi-query retrieval — the plan shape
+  // the codegen kernel exists for: both CosineSimF32 calls compile
+  // into the same whole-stage-codegen region, which requires the
+  // freshName'd locals; under spark.sql.codegen.fallback=false the
+  // suite proves the fused stage actually compiles). The blend is
+  // computed from the ROUNDED sims so cross-engine double drift in the
+  // 16th decimal can't flip the blended ranking.
+  private def knnDual(s: SparkSession, dir: String): DataFrame = {
+    val q1 = queryVec(s, dir, 0L)
+    val q2 = queryVec(s, dir, 1L)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        round(cosineConst(col("embedding"), q1), 4).as("sim_a"),
+        round(cosineConst(col("embedding"), q2), 4).as("sim_b"))
+      .withColumn("blend", round(col("sim_a") * 0.6 + col("sim_b") * 0.4, 4))
+      .orderBy(col("blend").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val knnDualSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q1 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |q2 AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+      |s AS (
+      |  SELECT vec_id,
+      |    round(list_cosine_similarity(v, (SELECT qv FROM q1)), 4) AS sim_a,
+      |    round(list_cosine_similarity(v, (SELECT qv FROM q2)), 4) AS sim_b
+      |  FROM e)
+      |SELECT vec_id, sim_a, sim_b,
+      |  round(0.6 * sim_a + 0.4 * sim_b, 4) AS blend
+      |FROM s ORDER BY blend DESC, vec_id LIMIT 10""".stripMargin
+
   // J1/O2 filtered kNN: predicates prune the scan BEFORE similarity —
   // in Spark the filter and the similarity are one DataFrame (no
   // candidate-id round-trip like the reference's FAISS→SQL IN-list).
@@ -141,6 +174,7 @@ object VectorSearch {
     Q("q_knn_filtered", knnFiltered, Some(knnFilteredSql)),
     Q("q_knn_cosine", knnCosine, Some(knnCosineSql)),
     Q("q_knn_dot", knnDot, Some(knnDotSql)),
+    Q("q_knn_dual", knnDual, Some(knnDualSql)),
     Q("q_ann_bucket", annBucket, Some(annBucketSql)),
     Q("q_centroids", centroids, Some(centroidsSql)),
     Q("q_vector_norms", vectorNorms, Some(vectorNormsSql)))

@@ -43,11 +43,14 @@ object PostProcess {
   /** Pluggable token estimator, the reference's tokenizer-primary /
     * estimator-fallback structure (alma/utils/tokenizer.py:287-310 vs
     * budget.py:131-152): with a trained BPE merge list, counts true
-    * subwords; with none, falls back to chars/4.
+    * subwords; with none, falls back to chars/4. BOTH paths floor at 1
+    * here — the raw counters return 0 for pretoken-free text (count_tokens
+    * semantics), but a zero-cost candidate would slip through the budget
+    * knapsack for free.
     */
   def estimatorFor(merges: Seq[(String, String)]): String => Int =
     if (merges.isEmpty) estimateTokens _
-    else text => graft.functions.Bpe.countSubwords(text, merges)
+    else text => math.max(1, graft.functions.Bpe.countSubwords(text, merges))
 
   /** Greedy token-budget selection in score order within tier order
     * (reference: alma/retrieval/budget.py:198-472: MUST_SEE tiers first,

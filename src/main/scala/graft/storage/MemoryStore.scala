@@ -30,9 +30,18 @@ import org.apache.spark.sql.functions._
   * merged table to a fresh `snap_<v+1>_<uuid>` directory — the live
   * snapshot is never touched while it is being read — then (2) flips
   * `_CURRENT` by writing a temp marker and renaming it over the old one
-  * (`Options.Rename.OVERWRITE`: atomic on HDFS/POSIX; a single-object
-  * PUT on stores like S3, whose object-level atomicity gives the same
-  * reader guarantee). Concurrent committers race only on the marker:
+  * (`Options.Rename.OVERWRITE`: atomic on HDFS/POSIX). On object stores
+  * the rename is NOT atomic — Hadoop's s3a implements it as copy+delete,
+  * so there is a window with no marker in which a reader's listing
+  * fallback can briefly surface a fully-written-but-uncommitted snapshot
+  * or, between two same-version siblings, the lexicographically-higher
+  * one rather than the committed one (the fallback orders by name, not
+  * commit order). That read is always a COMPLETE snapshot — never a
+  * half state — and heals on the next marker read; deployments needing
+  * strict marker reads on S3 should point the marker at a store with
+  * atomic rename/conditional-put semantics (HDFS, a DB row, S3
+  * conditional writes) — the protocol only needs the one marker object.
+  * Concurrent committers race only on the marker:
   * LAST WRITER WINS — the losing snapshot becomes unreferenced garbage
   * reclaimed once the version advances past the retention window (or by
   * `vacuum`), and no interleaving can lose the table or expose a
@@ -103,15 +112,17 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * concurrent committers produce same-version siblings and the last
     * marker write wins (documented last-writer-wins).
     */
-  private def commitSnapshot(df: DataFrame, memoryType: String, baseVersion: Long): Unit = {
+  private def commitSnapshot(df: DataFrame, memoryType: String, baseVersion: Long): HPath = {
     val version = baseVersion + 1
     val name = f"snap_$version%06d_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}%s"
+    val snap = new HPath(tableDir(memoryType), name)
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionColsOf(df): _*)
-      .parquet(new HPath(tableDir(memoryType), name).toString)
+      .parquet(snap.toString)
     commitMarker(memoryType, name)
     cleanupSnapshots(memoryType, keepFromVersion = version - (retainSnapshots - 1),
       protect = Some(name))
+    snap
   }
 
   /** Flip `_CURRENT` to `name`: write a temp marker, overwrite-rename it
@@ -418,11 +429,74 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * new one is written to a sibling directory, then the marker flips —
     * a failure at any step leaves the old snapshot live (the marker is
     * only written after the new directory is complete).
+    *
+    * Concurrent-append rescue: an append (the feedback log is the
+    * hottest) that lands files in the OLD snapshot between the
+    * rewrite's read and the marker flip would otherwise be silently
+    * superseded and later vacuumed. The rewrite's exact read set is
+    * pinned by Spark's eager file listing (`df.inputFiles`), so after
+    * the flip we re-list the superseded directory and MOVE any data
+    * file the rewrite did not read into the new snapshot, partition
+    * path preserved. One narrow window remains — an append that
+    * resolved the old marker and lands its files after this rescue
+    * pass — which is why maintenance documents itself as the quiet
+    * point; the rescue turns the common race from silent loss into a
+    * no-op.
     */
-  private def overwrite(df: DataFrame, memoryType: String): Unit = {
-    val base = currentSnapshot(memoryType).map(_._1).getOrElse(0L)
-    if (df.isEmpty) dropTable(memoryType)
-    else commitSnapshot(df, memoryType, base)
+  private[storage] def overwrite(df: DataFrame, memoryType: String): Unit = {
+    val cur = currentSnapshot(memoryType)
+    val base = cur.map(_._1).getOrElse(0L)
+    if (df.isEmpty) { dropTable(memoryType); return }
+    // Relative paths of the old-snapshot files the rewrite plan reads.
+    // Empty when the plan's provenance is not file-based (checkpointed
+    // input) or it read some other snapshot — rescue is skipped then:
+    // re-appending files the rewrite DID read would duplicate rows,
+    // so the guard errs toward the documented last-writer-wins.
+    val readSet: Set[String] = cur match {
+      case Some((_, snap)) =>
+        val prefix = fsOf(snap).makeQualified(snap).toUri.getPath
+        df.inputFiles.toSet[String]
+          .map(u => new HPath(new java.net.URI(u)).toUri.getPath)
+          .filter(_.startsWith(prefix + "/"))
+          .map(_.stripPrefix(prefix).stripPrefix("/"))
+      case None => Set.empty
+    }
+    val newSnap = commitSnapshot(df, memoryType, base)
+    if (readSet.nonEmpty) cur.foreach { case (_, oldSnap) =>
+      val fs = fsOf(oldSnap)
+      dataFilesIn(oldSnap).foreach { case (rel, src) =>
+        if (!readSet.contains(rel)) {
+          val dst = new HPath(newSnap, rel)
+          try {
+            if (dst.getParent != null) fs.mkdirs(dst.getParent)
+            fs.rename(src, dst): Unit
+          } catch { case _: java.io.IOException => () }
+        }
+      }
+    }
+  }
+
+  /** Committed data files inside a snapshot dir, keyed by path relative
+    * to it. In-flight write-job internals (`_temporary/...`, hidden
+    * files) are excluded — only landed `part-*.parquet` files count.
+    */
+  private def dataFilesIn(snap: HPath): Map[String, HPath] = {
+    val fs = fsOf(snap)
+    val qSnap = fs.makeQualified(snap)
+    val prefix = qSnap.toUri.getPath
+    val out = Map.newBuilder[String, HPath]
+    try {
+      val it = fs.listFiles(qSnap, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        val rel = p.toUri.getPath.stripPrefix(prefix).stripPrefix("/")
+        val segs = rel.split('/')
+        if (p.getName.endsWith(".parquet") &&
+            !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+          out += rel -> p
+      }
+    } catch { case _: java.io.IOException => () }
+    out.result()
   }
 
   // ---- archive / restore (S10) -----------------------------------------

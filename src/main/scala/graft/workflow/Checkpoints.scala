@@ -70,17 +70,25 @@ object Checkpoints {
     // here, and a string max would otherwise compare lexicographically
     // ("9" > "10").
     val NumRe = "^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$"
+    // Numeric results pass through double internally, but an integral
+    // result renders WITHOUT the trailing ".0" — the reference's
+    // SumReducer/MaxReducer return int 10, not 10.0, for integer
+    // counters, and merged state is compared as strings downstream.
+    // (NaN/±Inf fail the integrality test and render as-is.)
+    def numStr(c: Column): Column =
+      when(c.isNull, lit(null).cast("string"))
+        .when(c === c.cast("long").cast("double"), c.cast("long").cast("string"))
+        .otherwise(c.cast("string"))
     def rendered(reducer: String): Column = reducer match {
       case "append" | "union" => array_join(Reducers(reducer, col("value"), col("seq")), ",")
       case "sum" =>
         // Reference SumReducer starts its accumulator at 0, so an
         // all-non-numeric key sums to 0 — not null like max/min.
-        coalesce(
+        numStr(coalesce(
           Reducers("sum", when(col("value").rlike(NumRe), col("value").cast("double")), col("seq")),
-          lit(0.0)).cast("string")
+          lit(0.0)))
       case r @ ("max" | "min") =>
-        Reducers(r, when(col("value").rlike(NumRe), col("value").cast("double")), col("seq"))
-          .cast("string")
+        numStr(Reducers(r, when(col("value").rlike(NumRe), col("value").cast("double")), col("seq")))
       case r => Reducers(r, col("value"), col("seq")).cast("string")
     }
     val merged = reducerByKey.toSeq.sortBy(_._1).map { case (k, reducer) =>

@@ -19,6 +19,13 @@ object SparkSpec {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // Generated-code compile failures must FAIL tests, not silently
+      // de-codegen the stage: Janino errors (e.g. two fused kernels
+      // redeclaring a local) otherwise downgrade to interpreted
+      // execution with only a log line. CodegenFallback *expressions*
+      // (the HOF formulations) are unaffected — this flag governs
+      // compile errors only.
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

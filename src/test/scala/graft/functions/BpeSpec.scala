@@ -44,6 +44,25 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.countSubwords(text, merges) == 2) // a, bb
   }
 
+  test("pretoken-free text counts 0 in BOTH encoders; empty words don't crash training") {
+    // The scalar and column encoders must agree on degenerate input:
+    // the driver budget/prompt path and the distributed/oracle path
+    // previously disagreed (floor-at-1 vs 0) on empty, whitespace-only,
+    // and pipe-only strings. The floor now lives only in
+    // PostProcess.estimatorFor, the budget call site.
+    val merges = Bpe.trainMerges(Seq(("ab", 2L)), 1)
+    for (text <- Seq("", "   ", "|||", " | | ")) {
+      assert(Bpe.countSubwords(text, merges) == 0, s"scalar on '$text'")
+      val viaCol = spark.range(1).select(
+        Bpe.countSubwordsCol(lit(text), merges).as("n")).head().getLong(0)
+      assert(viaCol == 0L, s"column on '$text'")
+    }
+    assert(graft.retrieval.PostProcess.estimatorFor(merges)("") == 1,
+      "budget estimator keeps the floor")
+    // A vocabulary containing an empty word trains fine (public seam).
+    assert(Bpe.trainMerges(Seq(("", 5L), ("ab", 1L)), 2) == Seq(("a", "b")))
+  }
+
   test("supplementary characters are one symbol in both encoders") {
     val emoji = new String(Character.toChars(0x1F600)) // outside the BMP
     val text = s"ab${emoji}ab"

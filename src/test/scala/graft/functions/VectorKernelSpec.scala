@@ -59,6 +59,41 @@ class VectorKernelSpec extends SparkSpec {
     assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-9)
   }
 
+  test("two kernels fused in ONE projection codegen without colliding (dot + cosine)") {
+    // Regression: fixed Java locals (i, n, dot…) in doGenCode made two
+    // kernels in one whole-stage-codegen region redeclare the same
+    // variable; Janino threw and Spark silently interpreted the stage.
+    // With spark.sql.codegen.fallback=false (SparkSpec session), a
+    // compile failure here is a thrown error, not a log line.
+    val df = emb.select(
+      VectorFunctions.dotD(col("embedding"), col("embedding")).as("d"),
+      VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen span in:\n$plan")
+    val row = df.head()
+    assert(row.getDouble(0) > 0.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("two cosines against different query vectors fuse in one projection") {
+    // Parquet-backed input (a local Seq constant-folds to LocalTableScan
+    // and never exercises codegen). Two distinct broadcast query vectors
+    // plus a blend — the multi-query-kNN plan shape.
+    val probe = emb.select(col("embedding")).head().getSeq[Float](0).toArray
+    val q2 = probe.map(v => -v)
+    val df = emb.select(
+      VectorFunctions.cosineConst(col("embedding"), probe).as("c1"),
+      VectorFunctions.cosineConst(col("embedding"), q2).as("c2"),
+      (VectorFunctions.cosineConst(col("embedding"), probe) +
+        VectorFunctions.cosineConst(col("embedding"), q2)).as("blend"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen span in:\n$plan")
+    val row = df.head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)  // first row IS the probe
+    assert(math.abs(row.getDouble(1) + 1.0) < 1e-9)  // negated probe → -1
+    assert(math.abs(row.getDouble(2) - (row.getDouble(0) + row.getDouble(1))) < 1e-12)
+  }
+
   test("length-mismatched vectors yield NULL, matching the HOF null semantics") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")

@@ -83,11 +83,11 @@ object ScoringProps extends Properties("scoring") {
     graft.functions.Bpe.trainMerges(
       corpus.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq.sortBy(_._1), n)
 
-  property("BPE with zero merges counts pretoken characters") =
+  property("BPE with zero merges counts pretoken characters (0 when none)") =
     Prop.forAll(textGen) { text =>
       val expect = java.util.regex.Pattern.compile(graft.functions.Bpe.PretokenRe)
         .matcher(text).results().mapToInt(_.group().length).sum()
-      graft.functions.Bpe.countSubwords(text, Nil) == math.max(1, expect)
+      graft.functions.Bpe.countSubwords(text, Nil) == expect
     }
 
   property("more BPE merges never increase the subword count") =
@@ -103,7 +103,7 @@ object ScoringProps extends Properties("scoring") {
       val n = graft.functions.Bpe.countSubwords(text, merges)
       val nTok = java.util.regex.Pattern.compile(graft.functions.Bpe.PretokenRe)
         .matcher(text).results().count().toInt
-      n >= math.max(1, nTok) && n <= math.max(1, text.replace(" ", "").length)
+      n >= nTok && n <= text.replace(" ", "").length
     }
 
   property("budget selection under the BPE estimator respects the budget") =

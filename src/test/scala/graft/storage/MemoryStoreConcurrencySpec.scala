@@ -135,6 +135,37 @@ class MemoryStoreConcurrencySpec extends SparkSpec {
       .collect().toSet == valid)
   }
 
+  test("an append landing between a rewrite's read and its marker flip is rescued") {
+    // The maintenance race: compact() reads the feedback snapshot, a
+    // concurrent recordUsage appends a file into that same snapshot,
+    // compact's rewrite commits — without the rescue the appended file
+    // is superseded silently and vacuumed later. Interleave it
+    // deterministically: pin the rewrite's read set (Spark lists files
+    // eagerly at read time), land an append AFTER the pin, then run
+    // the rewrite.
+    val dir = Files.createTempDirectory("store-rescue").toString
+    val store = new MemoryStore(spark, dir)
+    def fb(id: String) = RetrievalFeedback(id, s"m-$id", "heuristic", "a", "p",
+      FeedbackSignal.Used, t0)
+    store.saveFeedback(Seq(fb("before-1"), fb("before-2")))
+
+    val pinned = store.feedback().toDF() // read set = snapshot-1 files, pinned now
+    assert(pinned.inputFiles.nonEmpty)
+    store.saveFeedback(Seq(fb("late"))) // lands in snapshot 1, unseen by `pinned`
+
+    store.overwrite(pinned.repartition(1), MemoryType.Feedback) // the compact shape
+    val ids = store.feedback().toDF().select("id").as[String](Encoders.STRING).collect().toSet
+    assert(ids == Set("before-1", "before-2", "late"),
+      s"concurrent append lost by rewrite: $ids")
+
+    // And the rescued row survives the NEXT full rewrite + vacuum too
+    // (it is a normal data file of the committed snapshot now).
+    store.overwrite(store.feedback().toDF().repartition(1), MemoryType.Feedback)
+    store.vacuum(MemoryType.Feedback)
+    val after = store.feedback().toDF().select("id").as[String](Encoders.STRING).collect().toSet
+    assert(after == Set("before-1", "before-2", "late"))
+  }
+
   test("two concurrent rewriters: table never lost, marker always names a full snapshot") {
     val dir = Files.createTempDirectory("store-conc").toString
     val store = new MemoryStore(spark, dir)

@@ -47,8 +47,24 @@ class CheckpointsSpec extends SparkSpec {
     val merged = Checkpoints.mergeBranchStates(
       states, Map("counter" -> "sum", "last_log" -> "last_value"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(merged("counter") == "12.0")
+    // Integral results render like the reference's int reducers — "12",
+    // never "12.0".
+    assert(merged("counter") == "12")
     assert(merged("last_log") == "second")
     assert(merged("other") == "x")
+  }
+
+  test("numeric reducers render integral results without .0, fractional as-is") {
+    import spark.implicits._
+    val states = Seq(
+      ("b1", "int_max", "10", 1L), ("b2", "int_max", "3", 2L),
+      ("b1", "frac_sum", "1.5", 1L), ("b2", "frac_sum", "2.25", 2L),
+      ("b1", "no_nums", "abc", 1L), ("b2", "no_nums", "def", 2L)).toDF("branch", "key", "value", "seq")
+    val merged = Checkpoints.mergeBranchStates(
+      states, Map("int_max" -> "max", "frac_sum" -> "sum", "no_nums" -> "sum"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged("int_max") == "10") // not "10.0"; numeric compare, not lexicographic
+    assert(merged("frac_sum") == "3.75")
+    assert(merged("no_nums") == "0") // reference SumReducer's int-0 accumulator
   }
 }

@@ -65,7 +65,7 @@ class WorkflowFacadeSpec extends SparkSpec {
       Seq(Map("count" -> "5", "items" -> "a", "owner" -> "x"),
         Map("count" -> "3", "items" -> "b", "owner" -> "y")),
       reducerConfig = Map("count" -> "sum", "items" -> "append"))
-    assert(merged("count") == "8.0") // string state: sum renders as double
+    assert(merged("count") == "8") // integral sum renders like the reference's int, not "8.0"
     assert(merged("items") == "a,b")
     assert(merged("owner") == "y")
   }
@@ -80,11 +80,11 @@ class WorkflowFacadeSpec extends SparkSpec {
         Map("retries" -> "10", "cost" -> "2.5", "note" -> "n/a", "tag" -> "y")),
       reducerConfig = Map("retries" -> "max", "cost" -> "min",
         "note" -> "max", "tag" -> "sum"))
-    assert(merged("retries") == "10.0", s"lexicographic max: ${merged("retries")}")
+    assert(merged("retries") == "10", s"lexicographic max: ${merged("retries")}")
     assert(merged("cost") == "2.5")
     assert(merged("note") == null, "non-numeric values must be ignored by max")
-    // Reference SumReducer starts at 0: all-non-numeric sums to 0, not null.
-    assert(merged("tag") == "0.0", s"sum of non-numeric: ${merged("tag")}")
+    // Reference SumReducer starts at 0: all-non-numeric sums to int 0, not null.
+    assert(merged("tag") == "0", s"sum of non-numeric: ${merged("tag")}")
   }
 
   test("recordUsage marks used vs ignored and feeds the feedback summary") {
