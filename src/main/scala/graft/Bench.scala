@@ -16,9 +16,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to the thread count; scaling-curve runs
+    // override (SPARK_GRAFT_SHUFFLE) the way a cluster job would size
+    // partitions with the data rather than pinning them at 1× scale.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,7 +42,12 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_QUERIES=a,b,c restricts the run (scaling-curve
+    // measurements of one operator family); default is every query.
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
     val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     val warm = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
 

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * quadratic in `factor`, and the scaling curve measures the artifact
   * instead of the operator.
   *
-  * Usage: runMain graft.ScaleData <srcDir> <dstDir> [factor=10]
+  * Usage: runMain graft.ScaleData <srcDir> <dstDir> [factor=10] [tables-csv]
+  * With a tables list, only those fact tables are upsampled; every other
+  * table copies verbatim (the dir stays valid for every query, and a
+  * ×100 run for one operator family doesn't pay to upsample lineitem).
   */
 object ScaleData {
 
@@ -27,17 +30,19 @@ object ScaleData {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only = if (args.length > 3) args(3).split(',').map(_.trim).toSet else Set.empty[String]
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, dst, factor)
+    scale(spark, src, dst, factor, only)
     spark.stop()
   }
 
-  def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def scale(spark: SparkSession, src: String, dst: String, factor: Int,
+      only: Set[String] = Set.empty): Unit = {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
 
@@ -55,7 +60,8 @@ object ScaleData {
 
     def shifted(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = Tables.load(spark, src, name)
-      write((0 until factor).map(i => shift(base, i)).reduce(_.unionByName(_)), name)
+      if (only.nonEmpty && !only.contains(name)) write(base, name)
+      else write((0 until factor).map(i => shift(base, i)).reduce(_.unionByName(_)), name)
     }
     def bump(c: String, off: Long, i: Int): Column = col(c) + lit(off * i)
 
