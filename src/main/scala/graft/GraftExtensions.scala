@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * codegen expressions as SQL functions so `spark.sql` users get them
-  * too (`SELECT cosine_f32(a, b)`, `dot_f32(a, b)`).
+  * too (`SELECT cosine_f32(a, b)`, `dot_f32(a, b)`), and the
+  * probed-cell ANN optimizer rule (`graft.plans.AnnBucketProbe`).
   *
   * Wire with:
   * {{{
@@ -33,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_f32 takes exactly 2 arguments")
         DotProductF32(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => graft.plans.AnnBucketProbe)
   }
 }

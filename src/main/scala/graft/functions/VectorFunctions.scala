@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{CosineSimF32, DotProductF32}
+import graft.functions.expressions.{AnnProbe, CosineSimF32, DotProductF32}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
@@ -31,6 +31,15 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimF32(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Mark a similarity column as ANN-probeable: with
+    * `graft.plans.AnnBucketProbe` installed and a `bucket` column on
+    * the scanned relation, the optimizer restricts the scan to the
+    * query vector's sign-bucket cell (partition pruning on a
+    * bucket-partitioned layout). Without the rule, a pure passthrough.
+    */
+  def annProbe(sim: Column, bits: Int = 8): Column =
+    ExpressionUtils.column(AnnProbe(ExpressionUtils.expression(sim), bits))
 
   /** Dot against a constant query vector. */
   def dotConst(a: Column, q: Array[Float]): Column = dotD(a, lit(q))

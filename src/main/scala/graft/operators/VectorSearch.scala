@@ -87,6 +87,46 @@ object VectorSearch {
        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
   }
 
+  // Probed-cell ANN via the Catalyst rule (SURVEY §4's deferred piece):
+  // the embeddings are laid out PARTITIONED BY their sign-bucket, the
+  // query only declares `ann_probe(cosine(...))` + top-k — and
+  // graft.plans.AnnBucketProbe narrows the scan to the query's cell
+  // directory (PartitionFilters in the plan; AnnProbeRuleSpec asserts
+  // one partition read). Same results as q_ann_bucket, whose probe is
+  // a hand-written runtime filter — here the PLAN does the pruning,
+  // which is the shape that survives 100 TB: k cells read, not the
+  // corpus.
+  private def annPruned(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AnnBucketProbe.install(s)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", signBucket(col("embedding"), 8))
+    val layout = s"${System.getProperty("java.io.tmpdir")}/graft_ann_cells_${math.abs(dir.hashCode)}"
+    e.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(layout)
+    val q = queryVec(s, dir, 0L)
+    s.read.parquet(layout)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        round(annProbe(cosineConst(col("embedding"), q), 8), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  // Oracle = the probe semantics spelled out: restrict to the query's
+  // sign-bucket, exact cosine top-5 inside it (same as q_ann_bucket).
+  private val annPrunedSql = {
+    val bucketExpr = (1 to 8)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, ($bucketExpr)::BIGINT AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0)
+       |SELECT vec_id, bucket,
+       |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS sim
+       |FROM e WHERE bucket = (SELECT qb FROM q)
+       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+  }
+
   // Per-label centroids (IVF coarse-quantizer training shape):
   // posexplode + groupBy(label, dim) — one shuffle keyed by (label, dim).
   private def centroids(s: SparkSession, dir: String): DataFrame =
@@ -176,6 +216,7 @@ object VectorSearch {
     Q("q_knn_dot", knnDot, Some(knnDotSql)),
     Q("q_knn_dual", knnDual, Some(knnDualSql)),
     Q("q_ann_bucket", annBucket, Some(annBucketSql)),
+    Q("q_ann_pruned", annPruned, Some(annPrunedSql)),
     Q("q_centroids", centroids, Some(centroidsSql)),
     Q("q_vector_norms", vectorNorms, Some(vectorNormsSql)))
 }

@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import graft.io.Tables
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** The probed-cell ANN rewrite: the `ann_probe` marker over a
+  * bucket-partitioned layout must become real partition pruning (one
+  * cell directory read), never fire without the marker, and degrade to
+  * a correct full scan when the layout has no bucket column.
+  */
+class AnnProbeRuleSpec extends SparkSpec {
+
+  private lazy val layout: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annrule_spec"
+    Tables.embeddings(spark, Sf)
+      .withColumn("bucket", VectorFunctions.signBucket(col("embedding"), 8))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+    dir
+  }
+
+  private def queryVec: Array[Float] =
+    Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  test("marker + bucket layout prunes the scan to the query's cell") {
+    AnnBucketProbe.install(spark)
+    val q = queryVec
+    val probed = spark.read.parquet(layout)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        round(VectorFunctions.annProbe(VectorFunctions.cosineConst(col("embedding"), q), 8), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[isnotnull\\(bucket#\\d+\\), \\(bucket#\\d+ = \\d+\\)\\]".r
+      .findFirstIn(plan).isDefined, s"no partition-pruning filter in:\n$plan")
+    // The probe and the hand-written runtime-filter ANN (q_ann_bucket
+    // semantics) agree row-for-row — the rule changes WHERE the
+    // narrowing happens, not what is computed. This also pins the
+    // rule's driver-side sign convention to VectorFunctions.signBucket.
+    val byHand = {
+      val e = Tables.embeddings(spark, Sf)
+        .withColumn("bucket", VectorFunctions.signBucket(col("embedding"), 8))
+      val qb = e.filter(col("vec_id") === 0).select("bucket").head().getLong(0)
+      e.filter(col("bucket") === qb)
+        .select(col("vec_id"), col("bucket"),
+          round(VectorFunctions.cosineConst(col("embedding"), q), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    }
+    assert(probed.collect().toSeq == byHand.collect().toSeq)
+  }
+
+  test("no marker, no pruning: an exact top-k never gets narrowed") {
+    AnnBucketProbe.install(spark)
+    val q = queryVec
+    val exact = spark.read.parquet(layout)
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineConst(col("embedding"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: []"), s"unmarked scan was narrowed:\n$plan")
+  }
+
+  test("marker without a bucket column degrades to a correct full scan") {
+    AnnBucketProbe.install(spark)
+    val q = queryVec
+    val marked = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        round(VectorFunctions.annProbe(VectorFunctions.cosineConst(col("embedding"), q), 8), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    val exact = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineConst(col("embedding"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    assert(marked.collect().toSeq == exact.collect().toSeq)
+    assert(!marked.queryExecution.optimizedPlan.toString.contains("ann_probe"),
+      "marker must be stripped even when the rewrite cannot fire")
+  }
+
+  test("install is idempotent") {
+    AnnBucketProbe.install(spark)
+    AnnBucketProbe.install(spark)
+    assert(spark.experimental.extraOptimizations.count(_ == AnnBucketProbe) == 1)
+  }
+}
