@@ -407,30 +407,12 @@ object Lifecycle {
   // so integer memory_budget*9 div 10 is exact in both engines. The
   // per-model token estimate is the reference's family-ratio fallback
   // (count_tokens, tokenizer.py:307-309): int(n_chars * ratio).
-  // (model, family, context_window, memory_budget, response_reserve)
-  private val ModelBudgetRows = Seq(
-    ("gpt-4", "gpt4", 8192L, 2000L, 2048L),
-    ("gpt-4-32k", "gpt4", 32768L, 4000L, 4096L),
-    ("gpt-4-turbo", "gpt4", 128000L, 8000L, 4096L),
-    ("gpt-4o", "gpt4", 128000L, 8000L, 4096L),
-    ("gpt-4o-mini", "gpt4", 128000L, 8000L, 4096L),
-    ("gpt-3.5-turbo", "gpt35", 16385L, 2000L, 2048L),
-    ("gpt-3.5-turbo-16k", "gpt35", 16385L, 4000L, 4096L),
-    ("claude-3-opus", "claude", 200000L, 10000L, 4096L),
-    ("claude-3-sonnet", "claude", 200000L, 8000L, 4096L),
-    ("claude-3-haiku", "claude", 200000L, 6000L, 4096L),
-    ("claude-3.5-sonnet", "claude", 200000L, 8000L, 4096L),
-    ("claude-3.5-haiku", "claude", 200000L, 6000L, 4096L),
-    ("gemini-pro", "gemini", 32768L, 4000L, 4096L),
-    ("gemini-1.5-pro", "gemini", 1000000L, 10000L, 8192L),
-    ("gemini-1.5-flash", "gemini", 1000000L, 8000L, 8192L),
-    ("llama-2-7b", "llama", 4096L, 1000L, 1024L),
-    ("llama-2-70b", "llama", 4096L, 1000L, 1024L),
-    ("llama-3-8b", "llama", 8192L, 2000L, 2048L),
-    ("llama-3-70b", "llama", 8192L, 2000L, 2048L),
-    ("mistral-7b", "mistral", 8192L, 2000L, 2048L),
-    ("mixtral-8x7b", "mistral", 32768L, 4000L, 4096L),
-    ("default", "unknown", 8192L, 2000L, 2048L))
+  // (model, family, context_window, memory_budget, response_reserve) —
+  // single source of truth: graft.retrieval.ModelBudgets.All (which
+  // also backs the driver-side resolve()/remainingBudget() seam).
+  private val ModelBudgetRows =
+    graft.retrieval.ModelBudgets.All.map(b =>
+      (b.model, b.family, b.contextWindow, b.memoryBudget, b.responseReserve))
 
   // Family ratios forced through DOUBLE in BOTH engines (the oracle
   // casts ::DOUBLE) so floor(n_chars * ratio) sees identical IEEE

@@ -98,11 +98,16 @@ object VectorSearch {
   // corpus.
   private def annPruned(s: SparkSession, dir: String): DataFrame = {
     graft.plans.AnnBucketProbe.install(s)
-    val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", signBucket(col("embedding"), 8))
+    // The cell layout is a STORED table in the real design (you write
+    // the corpus partitioned by bucket once, then every probe prunes) —
+    // build it once per corpus dir, not once per query run.
     val layout = s"${System.getProperty("java.io.tmpdir")}/graft_ann_cells_${math.abs(dir.hashCode)}"
-    e.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(layout)
+    val done = new org.apache.hadoop.fs.Path(layout, "_SUCCESS")
+    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+      Tables.embeddings(s, dir)
+        .withColumn("bucket", signBucket(col("embedding"), 8))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(layout)
     val q = queryVec(s, dir, 0L)
     s.read.parquet(layout)
       .select(col("vec_id"), col("bucket").cast("long").as("bucket"),

@@ -147,6 +147,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dual-query kNN fuses both kernels into one codegen'd top-k scan") {
+    val p = plan("q_knn_dual")
+    // Two cosinesimf32 calls in ONE projection; under the session's
+    // codegen.fallback=false this plan proves the freshName'd kernels
+    // compile fused (the multi-similarity shape the kernel exists for).
+    assert("cosinesimf32".r.findAllIn(p).size >= 2, s"expected two fused kernels:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k pushdown:\n$p")
+    assert(!p.contains("Exchange"), s"dual kNN must not shuffle:\n$p")
+  }
+
+  test("per-model budget knapsack broadcasts the dim and windows by model") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q_token_budget_models")(spark, Sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val p = exec.toString
+    // The 22-row dim replicates via broadcast against the bounded
+    // 200-row candidate cut — never a shuffled cartesian.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plans a cartesian:\n$p")
+    // One window pass computes all per-model knapsacks: partitioned by
+    // model, so state is bounded by the candidate cut per model.
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"expected model-partitioned windows only:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     // Candidate-pair generators are the risk surface; all must stay
     // bucket/block-local. (knn_batch and the IVF probe broadcast a
