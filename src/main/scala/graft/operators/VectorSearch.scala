@@ -100,8 +100,20 @@ object VectorSearch {
     graft.plans.AnnBucketProbe.install(s)
     // The cell layout is a STORED table in the real design (you write
     // the corpus partitioned by bucket once, then every probe prunes) —
-    // build it once per corpus dir, not once per query run.
-    val layout = s"${System.getProperty("java.io.tmpdir")}/graft_ann_cells_${math.abs(dir.hashCode)}"
+    // build it once per corpus, not once per query run. The cache key
+    // fingerprints the source files (path + length + mtime), so a
+    // regenerated corpus at the same path rebuilds instead of serving
+    // stale cells.
+    val layout = {
+      val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fp = fs.listStatus(src).toSeq.sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString("|")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|$fp".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      s"${System.getProperty("java.io.tmpdir")}/graft_ann_cells_$h"
+    }
     val done = new org.apache.hadoop.fs.Path(layout, "_SUCCESS")
     if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
       Tables.embeddings(s, dir)
