@@ -138,15 +138,25 @@ object Bpe {
     n
   }
 
-  /** Per-row subword count as a pure built-in column expression:
-    * pretokenize, wrap each token's chars, fold the merge list as
-    * chained literal replaces, count pipes/2, sum. The higher-order
-    * functions (transform/aggregate) evaluate interpreted (they are
-    * CodegenFallback), but the stage remains a single narrow
-    * projection — one corpus pass, no shuffle, no UDF serialization;
-    * rows with no pretokens count 0.
+  /** Per-row subword count — the distributed counting path. Backed by
+    * the codegen'd `BpeCountSubwords` expression (a tight per-row call
+    * inside whole-stage codegen); rows with no pretokens count 0. The
+    * higher-order-function formulation below documents the same
+    * semantics as built-ins and pins the expression in BpeSpec.
     */
-  def countSubwordsCol(textCol: Column, merges: Seq[(String, String)]): Column = {
+  def countSubwordsCol(textCol: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.BpeCountSubwords(
+        org.apache.spark.sql.graft.ColumnBridge.expression(textCol), merges))
+
+  /** The same count as pure built-in column expressions: pretokenize,
+    * wrap each token's chars, fold the merge list as chained literal
+    * replaces, count pipes/2, sum. The higher-order functions
+    * (transform/aggregate) evaluate interpreted (CodegenFallback) —
+    * kept as the ANSI-shaped parity twin the oracle SQL mirrors, and
+    * as the cross-check for `countSubwordsCol`'s codegen path.
+    */
+  def countSubwordsHofCol(textCol: Column, merges: Seq[(String, String)]): Column = {
     val toks = regexp_extract_all(textCol, lit(PretokenRe), lit(0))
     val counted = transform(toks, { t =>
       val wrapped = regexp_replace(t, "(?s)(.)", "|$1|")

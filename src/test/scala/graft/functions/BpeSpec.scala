@@ -74,18 +74,33 @@ class BpeSpec extends SparkSpec {
     assert(viaCol == 5L, s"column encoder counted $viaCol")
   }
 
-  test("column encoder agrees with the Scala encoder on the real corpus") {
+  test("all three encoders agree on the real corpus (codegen, HOF, scalar)") {
     val docs = Tables.documents(spark, Sf)
     val merges = Bpe.trainMergesFrom(docs, "text", 8)
     assert(merges.size == 8)
-    val viaCol = docs
+    val rows = docs
       .select(col("doc_id"), col("text"),
-        Bpe.countSubwordsCol(col("text"), merges).as("n"))
+        Bpe.countSubwordsCol(col("text"), merges).as("n_fast"),
+        Bpe.countSubwordsHofCol(col("text"), merges).as("n_hof"))
       .orderBy("doc_id").limit(25).collect()
-    viaCol.foreach { r =>
-      assert(r.getLong(2) == Bpe.countSubwords(r.getString(1), merges).toLong,
-        s"doc ${r.getLong(0)}: col=${r.getLong(2)} scala=${Bpe.countSubwords(r.getString(1), merges)}")
+    rows.foreach { r =>
+      val scalar = Bpe.countSubwords(r.getString(1), merges).toLong
+      assert(r.getLong(2) == scalar && r.getLong(3) == scalar,
+        s"doc ${r.getLong(0)}: fast=${r.getLong(2)} hof=${r.getLong(3)} scala=$scalar")
     }
+  }
+
+  test("the codegen counter runs inside a whole-stage-codegen projection") {
+    // Under the session's codegen.fallback=false a compile failure would
+    // throw; the plan assert proves the expression doesn't force the
+    // stage interpreted the way the HOF formulation does.
+    val merges = Bpe.trainMerges(Seq(("ab", 2L)), 1)
+    val df = Tables.documents(spark, Sf)
+      .select(Bpe.countSubwordsCol(col("text"), merges).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [bpe_count_subwords"),
+      s"expected codegen span in:\n$plan")
+    assert(df.head().getLong(0) > 0L)
   }
 
   test("q_token_budget_bpe: rows kept, cumulative sum monotone under the cap") {
