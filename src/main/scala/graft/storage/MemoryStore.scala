@@ -435,9 +435,12 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * rewrite's read and the marker flip would otherwise be silently
     * superseded and later vacuumed. The rewrite's exact read set is
     * pinned by Spark's eager file listing (`df.inputFiles`), so after
-    * the flip we re-list the superseded directory and MOVE any data
+    * the flip we re-list the superseded directory and COPY any data
     * file the rewrite did not read into the new snapshot, partition
-    * path preserved. One narrow window remains — an append that
+    * path preserved. A copy, not a move: in-flight readers pinned to
+    * the superseded snapshot listed it eagerly and must keep finding
+    * every file until retention reclaims the directory — the retention
+    * guarantee above. One narrow window remains — an append that
     * resolved the old marker and lands its files after this rescue
     * pass — which is why maintenance documents itself as the quiet
     * point; the rescue turns the common race from silent loss into a
@@ -469,7 +472,9 @@ final class MemoryStore(val spark: SparkSession, val root: String,
           val dst = new HPath(newSnap, rel)
           try {
             if (dst.getParent != null) fs.mkdirs(dst.getParent)
-            fs.rename(src, dst): Unit
+            org.apache.hadoop.fs.FileUtil.copy(
+              fs, src, fs, dst, /*deleteSource=*/ false, /*overwrite=*/ false,
+              hadoopConf): Unit
           } catch { case _: java.io.IOException => () }
         }
       }

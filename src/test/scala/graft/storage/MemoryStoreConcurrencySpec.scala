@@ -152,11 +152,18 @@ class MemoryStoreConcurrencySpec extends SparkSpec {
     val pinned = store.feedback().toDF() // read set = snapshot-1 files, pinned now
     assert(pinned.inputFiles.nonEmpty)
     store.saveFeedback(Seq(fb("late"))) // lands in snapshot 1, unseen by `pinned`
+    // A reader pinned to snapshot 1 AFTER the late append: its eager
+    // listing includes the late file, so the rescue must COPY (never
+    // move) — this reader keeps working until retention reclaims.
+    val stale = store.feedback().toDF()
 
     store.overwrite(pinned.repartition(1), MemoryType.Feedback) // the compact shape
     val ids = store.feedback().toDF().select("id").as[String](Encoders.STRING).collect().toSet
     assert(ids == Set("before-1", "before-2", "late"),
       s"concurrent append lost by rewrite: $ids")
+    assert(stale.select("id").as[String](Encoders.STRING).collect().toSet
+      == Set("before-1", "before-2", "late"),
+      "in-flight reader of the superseded snapshot lost files to the rescue")
 
     // And the rescued row survives the NEXT full rewrite + vacuum too
     // (it is a normal data file of the committed snapshot now).
