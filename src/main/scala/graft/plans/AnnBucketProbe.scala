@@ -48,8 +48,8 @@ object AnnBucketProbe extends Rule[LogicalPlan] {
     b
   }
 
-  private def markerIn(e: Expression): Option[(ArrayData, Int)] =
-    e.collectFirst {
+  private def markersIn(e: Expression): Seq[(ArrayData, Int)] =
+    e.collect {
       case AnnProbe(CosineSimF32(_, Literal(v: ArrayData, ArrayType(FloatType, _))), bits) => (v, bits)
       case AnnProbe(DotProductF32(_, Literal(v: ArrayData, ArrayType(FloatType, _))), bits) => (v, bits)
     }
@@ -65,12 +65,18 @@ object AnnBucketProbe extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Project(projList, child) if projList.exists(markerIn(_).isDefined) =>
+    case Project(projList, child) if projList.exists(markersIn(_).nonEmpty) =>
       val stripped = projList.map(strip)
+      // Every marker in the projection must name the SAME cell —
+      // narrowing two different query vectors to the first one's bucket
+      // would silently skew the second similarity's candidate set. A
+      // disagreeing (or unresolvable) marker set degrades to the full
+      // scan, like every other unexpected shape here.
+      val cells = projList.flatMap(markersIn(_)).map { case (v, b) => bucketOf(v, b) }.distinct
       val narrowed = (for {
-        (vec, bits) <- projList.flatMap(markerIn(_)).headOption
+        cell <- if (cells.size == 1) cells.headOption else None
         bucketAttr <- child.output.find(_.name == "bucket")
-        cond <- cellFilter(bucketAttr, bucketOf(vec, bits))
+        cond <- cellFilter(bucketAttr, cell)
       } yield Filter(cond, child)).getOrElse(child)
       Project(stripped, narrowed)
   }

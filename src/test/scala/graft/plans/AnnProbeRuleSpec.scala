@@ -78,6 +78,26 @@ class AnnProbeRuleSpec extends SparkSpec {
       "marker must be stripped even when the rewrite cannot fire")
   }
 
+  test("two markers naming DIFFERENT cells degrade to a full scan") {
+    AnnBucketProbe.install(spark)
+    val q1 = queryVec
+    val q2 = q1.map(v => -v) // negated probe lives in the complement bucket
+    val df = spark.read.parquet(layout)
+      .select(col("vec_id"),
+        round(VectorFunctions.annProbe(VectorFunctions.cosineConst(col("embedding"), q1), 8), 4).as("s1"),
+        round(VectorFunctions.annProbe(VectorFunctions.cosineConst(col("embedding"), q2), 8), 4).as("s2"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: []"),
+      s"disagreeing markers must not narrow the scan:\n$plan")
+    // Same cell twice still prunes.
+    val same = spark.read.parquet(layout)
+      .select(col("vec_id"),
+        round(VectorFunctions.annProbe(VectorFunctions.cosineConst(col("embedding"), q1), 8), 4).as("s1"),
+        round(VectorFunctions.annProbe(VectorFunctions.dotConst(col("embedding"), q1), 8), 4).as("s2"))
+    assert("PartitionFilters: \\[isnotnull\\(bucket#\\d+\\), \\(bucket#\\d+ = \\d+\\)\\]".r
+      .findFirstIn(same.queryExecution.executedPlan.toString).isDefined)
+  }
+
   test("install is idempotent") {
     AnnBucketProbe.install(spark)
     AnnBucketProbe.install(spark)
