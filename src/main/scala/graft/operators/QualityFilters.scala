@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.io.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data quality filters beyond the reference: PII scrubbing
@@ -101,7 +101,77 @@ object QualityFilters {
       |  (n_distinct::DOUBLE / n_tokens > 0.5 AND top_n::DOUBLE / n_tokens < 0.1) AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Stratified (domain-mix) sampling: per-language keep rates applied
+  // via deterministic key-hash buckets — the way a pretraining mixture
+  // downsamples over-represented domains. No RNG state: the same doc
+  // keeps or drops on every run, machine count, and retry (hash
+  // sampling is the only reproducible sample at 100 TB — Spark's
+  // sample() changes membership with partitioning). Pure projection +
+  // filter: one scan, no shuffle but the final sort.
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 100")
+    val rate = when(col("lang") === "en", 40L)
+      .when(col("lang") === "zh", 60L)
+      .when(col("lang") === "es", 80L)
+      .otherwise(100L)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .orderBy("doc_id")
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT doc_id, lang, bucket, rate FROM (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+      |    (CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 60
+      |          WHEN lang = 'es' THEN 80 ELSE 100 END)::BIGINT AS rate
+      |  FROM documents) t
+      |WHERE bucket < rate ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Benchmark decontamination: flag training docs sharing any word
+  // 5-gram with a heldout eval split (every 13th doc stands in for the
+  // benchmark). The canonical pretraining hygiene pass: explode grams,
+  // distinct the (small) benchmark side, one shuffle equi-join keyed on
+  // the gram, per-doc hit aggregate — the same bucket-local join shape
+  // as MinHash-LSH, linear in corpus size, never an all-pairs compare.
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def grams(c: Column): Column = {
+      val toks = split(c, " ")
+      val idx = when(size(toks) >= 5, sequence(lit(1), size(toks) - 4))
+        .otherwise(array().cast("array<int>"))
+      transform(idx, i => concat_ws(" ", slice(toks, i, lit(5))))
+    }
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select(explode(grams(col("text"))).as("gram")).distinct()
+    docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
+      .join(bench, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("gram").as("first_hit"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+      |      i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      |  FROM t),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0)
+      |SELECT g.doc_id, count(*)::BIGINT AS n_hits, min(g.gram) AS first_hit
+      |FROM g JOIN bench USING (gram)
+      |WHERE g.doc_id % 13 <> 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
-    Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)))
+    Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
+    Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("q_decontaminate", decontaminate, Some(decontaminateSql)))
 }
