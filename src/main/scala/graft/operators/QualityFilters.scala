@@ -138,9 +138,11 @@ object QualityFilters {
   // Benchmark decontamination: flag training docs sharing any word
   // 5-gram with a heldout eval split (every 13th doc stands in for the
   // benchmark). The canonical pretraining hygiene pass: explode grams,
-  // distinct the (small) benchmark side, one shuffle equi-join keyed on
-  // the gram, per-doc hit aggregate — the same bucket-local join shape
-  // as MinHash-LSH, linear in corpus size, never an all-pairs compare.
+  // distinct the benchmark side, broadcast it (a benchmark suite is
+  // small at ANY corpus scale — the hint pins the plan so the exploded
+  // training-gram stream is never shuffled for the join, regardless of
+  // what statistics estimate), per-doc hit aggregate. Linear in corpus
+  // size, never an all-pairs compare.
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     def grams(c: Column): Column = {
@@ -153,7 +155,7 @@ object QualityFilters {
       .select(explode(grams(col("text"))).as("gram")).distinct()
     docs.filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
-      .join(bench, "gram")
+      .join(broadcast(bench), "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), min("gram").as("first_hit"))
       .orderBy("doc_id")

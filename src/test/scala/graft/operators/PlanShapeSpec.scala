@@ -176,6 +176,27 @@ class PlanShapeSpec extends SparkSpec {
       s"expected model-partitioned windows only:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark gram set") {
+    // The exploded training-gram stream is the big side at any corpus
+    // scale; the benchmark suite is bounded. The broadcast hint pins
+    // the plan so the training grams never shuffle for the join.
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"training grams shuffled for the join:\n$p")
+  }
+
+  test("sequence packing windows by language stream (no global window)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q_pack_sequences")(spark, Sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"running-sum window must partition by the stream key:\n$exec")
+  }
+
   test("no query plans a cartesian product") {
     // Candidate-pair generators are the risk surface; all must stay
     // bucket/block-local. (knn_batch and the IVF probe broadcast a
