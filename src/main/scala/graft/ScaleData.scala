@@ -41,8 +41,25 @@ object ScaleData {
     spark.stop()
   }
 
+  /** Fact tables whose shifted FOREIGN keys land in another table's
+    * shifted domain. A partial upsample must include the referenced
+    * parents, or 1−1/factor of the child's keys dangle and every
+    * join-family query against the dir measures a collapsing hit rate
+    * instead of operator scaling. (nation/region FKs never shift;
+    * events' user_id domain is events-local, not a customer key.)
+    */
+  private val FkParents = Map(
+    "orders" -> Set("customer"),
+    "lineitem" -> Set("orders", "part", "supplier"))
+
   def scale(spark: SparkSession, src: String, dst: String, factor: Int,
       only: Set[String] = Set.empty): Unit = {
+    if (only.nonEmpty) {
+      val missing = only.flatMap(t => FkParents.getOrElse(t, Set.empty)) -- only
+      require(missing.isEmpty,
+        s"partial upsample of ${only.mkString(",")} shifts foreign keys into shard " +
+          s"domains with no matching parent rows; include ${missing.mkString(",")} too")
+    }
     def write(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
 

@@ -22,11 +22,14 @@ import java.time.Duration
   * Delivery contract: AT-LEAST-ONCE. A timed-out or reset request may
   * already have been processed (and billed) server-side before the
   * retry fires, so a completion can execute more than once. Each
-  * attempt sends an `Idempotency-Key` header — identical across the
-  * retries of one `complete()` call, distinct across calls — so
-  * endpoints that honor idempotency keys (most LLM billing APIs)
-  * deduplicate; against endpoints that ignore the header, callers
-  * needing exactly-once must deduplicate downstream.
+  * attempt sends an `Idempotency-Key` header derived from the request
+  * CONTENT (endpoint + prompt) — identical across in-call retries AND
+  * across Spark task retries / speculative duplicates re-invoking
+  * `complete()` for the same row, which is the dominant duplication
+  * path in a distributed job — so endpoints that honor idempotency
+  * keys (most LLM billing APIs) deduplicate all of them; against
+  * endpoints that ignore the header, callers needing exactly-once
+  * must deduplicate downstream.
   *
   * Distribution: instances are Serializable task closures; the
   * underlying HttpClient is `@transient lazy`, so each executor JVM
@@ -47,7 +50,20 @@ final class HttpCompleter(
       .build()
 
   def complete(prompt: String): String = {
-    val idempotencyKey = java.util.UUID.randomUUID().toString
+    // Content-derived, not a per-invocation UUID: in a Spark job the
+    // dominant duplicate is a task retry or speculative twin
+    // RE-INVOKING complete() for the same row — a fresh UUID per call
+    // would present those to the server as new requests. Same
+    // (endpoint, prompt) ⇒ same key across in-call retries, task
+    // attempts, and job reruns; callers needing per-call uniqueness
+    // for identical prompts salt the prompt.
+    val idempotencyKey = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.update(endpoint.getBytes("UTF-8"))
+      d.update(0.toByte)
+      d.update(prompt.getBytes("UTF-8"))
+      d.digest().take(16).map("%02x".format(_)).mkString
+    }
     var attempt = 0
     var lastError = ""
     while (attempt <= maxRetries) {

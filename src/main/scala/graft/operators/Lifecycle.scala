@@ -410,23 +410,20 @@ object Lifecycle {
   // (model, family, context_window, memory_budget, response_reserve) —
   // single source of truth: graft.retrieval.ModelBudgets.All (which
   // also backs the driver-side resolve()/remainingBudget() seam).
+  // Ratios come off ModelBudget.tokensPerChar directly — one table, no
+  // re-spelled CASE to drift. Forced through DOUBLE in BOTH engines
+  // (the oracle casts ::DOUBLE) so floor(n_chars * ratio) sees
+  // identical IEEE arithmetic — DuckDB would otherwise parse 0.28 as
+  // exact DECIMAL.
   private val ModelBudgetRows =
     graft.retrieval.ModelBudgets.All.map(b =>
-      (b.model, b.family, b.contextWindow, b.memoryBudget, b.responseReserve))
-
-  // Family ratios forced through DOUBLE in BOTH engines (the oracle
-  // casts ::DOUBLE) so floor(n_chars * ratio) sees identical IEEE
-  // arithmetic — DuckDB would otherwise parse 0.28 as exact DECIMAL.
-  private def familyRatio(family: Column): Column =
-    when(family === "claude", 0.28)
-      .when(family === "llama" || family === "mistral", 0.27)
-      .otherwise(0.25)
+      (b.model, b.family, b.contextWindow, b.memoryBudget, b.responseReserve,
+        b.tokensPerChar))
 
   private def tokenBudgetModels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dim = ModelBudgetRows
-      .toDF("model", "family", "context_window", "memory_budget", "response_reserve")
-      .withColumn("ratio", familyRatio(col("family")))
+      .toDF("model", "family", "context_window", "memory_budget", "response_reserve", "ratio")
       .withColumn("effective_budget", expr("memory_budget * 9 div 10").cast("long"))
       .select("model", "context_window", "effective_budget", "ratio")
     val cand = Tables.documents(s, dir)
@@ -448,17 +445,18 @@ object Lifecycle {
   }
 
   private val tokenBudgetModelsSql: String = {
-    val dimRows = ModelBudgetRows.map { case (m, f, cw, mb, rr) =>
-      s"('$m', '$f', $cw, $mb, $rr)"
+    // The ratio is materialized INTO the VALUES rows from
+    // ModelBudget.tokensPerChar — the oracle re-derives nothing, so a
+    // ratio change in ModelBudgets cannot silently diverge here.
+    val dimRows = ModelBudgetRows.map { case (m, f, cw, mb, rr, ratio) =>
+      s"('$m', '$f', $cw, $mb, $rr, $ratio)"
     }.mkString(",\n    ")
     s"""WITH dim AS (
        |  SELECT model, context_window::BIGINT AS context_window,
        |    (memory_budget * 9 // 10)::BIGINT AS effective_budget,
-       |    (CASE WHEN family = 'claude' THEN 0.28
-       |          WHEN family IN ('llama', 'mistral') THEN 0.27
-       |          ELSE 0.25 END)::DOUBLE AS ratio
+       |    ratio::DOUBLE AS ratio
        |  FROM (VALUES
-       |    $dimRows) AS t(model, family, context_window, memory_budget, response_reserve)),
+       |    $dimRows) AS t(model, family, context_window, memory_budget, response_reserve, ratio)),
        |cand AS (
        |  SELECT doc_id, n_chars FROM documents
        |  ORDER BY n_chars DESC, doc_id LIMIT $BudgetCandidates)

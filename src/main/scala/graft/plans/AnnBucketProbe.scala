@@ -54,6 +54,14 @@ object AnnBucketProbe extends Rule[LogicalPlan] {
       case AnnProbe(DotProductF32(_, Literal(v: ArrayData, ArrayType(FloatType, _))), bits) => (v, bits)
     }
 
+  /** EVERY marker, recognizable or not — a marker whose query vector is
+    * not a float-array literal (a column, a cast, a reversed argument
+    * order) cannot name a cell, and must therefore veto narrowing
+    * rather than be invisible to the same-cell guard.
+    */
+  private def markerCount(e: Expression): Int =
+    e.collect { case m: AnnProbe => m }.size
+
   private def strip(ne: NamedExpression): NamedExpression =
     ne.transform { case AnnProbe(c, _) => c }.asInstanceOf[NamedExpression]
 
@@ -65,16 +73,19 @@ object AnnBucketProbe extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Project(projList, child) if projList.exists(markersIn(_).nonEmpty) =>
+    case Project(projList, child) if projList.exists(markerCount(_) > 0) =>
       val stripped = projList.map(strip)
       // Every marker in the projection must name the SAME cell —
       // narrowing two different query vectors to the first one's bucket
       // would silently skew the second similarity's candidate set. A
-      // disagreeing (or unresolvable) marker set degrades to the full
-      // scan, like every other unexpected shape here.
-      val cells = projList.flatMap(markersIn(_)).map { case (v, b) => bucketOf(v, b) }.distinct
+      // disagreeing marker set, or ANY marker the literal patterns
+      // cannot resolve to a cell (recognized < total), degrades to the
+      // full scan, like every other unexpected shape here.
+      val recognized = projList.flatMap(markersIn(_))
+      val total = projList.map(markerCount).sum
+      val cells = recognized.map { case (v, b) => bucketOf(v, b) }.distinct
       val narrowed = (for {
-        cell <- if (cells.size == 1) cells.headOption else None
+        cell <- if (recognized.size == total && cells.size == 1) cells.headOption else None
         bucketAttr <- child.output.find(_.name == "bucket")
         cond <- cellFilter(bucketAttr, cell)
       } yield Filter(cond, child)).getOrElse(child)

@@ -112,7 +112,8 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * concurrent committers produce same-version siblings and the last
     * marker write wins (documented last-writer-wins).
     */
-  private def commitSnapshot(df: DataFrame, memoryType: String, baseVersion: Long): HPath = {
+  private def commitSnapshot(df: DataFrame, memoryType: String, baseVersion: Long,
+      cleanup: Boolean = true): HPath = {
     val version = baseVersion + 1
     val name = f"snap_$version%06d_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}%s"
     val snap = new HPath(tableDir(memoryType), name)
@@ -120,8 +121,13 @@ final class MemoryStore(val spark: SparkSession, val root: String,
       .partitionBy(partitionColsOf(df): _*)
       .parquet(snap.toString)
     commitMarker(memoryType, name)
-    cleanupSnapshots(memoryType, keepFromVersion = version - (retainSnapshots - 1),
-      protect = Some(name))
+    // `cleanup = false` defers retention to the caller — overwrite()
+    // must rescue concurrent appends out of the superseded snapshot
+    // BEFORE it can be reclaimed (at retainSnapshots = 1 the floor is
+    // this very commit's version).
+    if (cleanup)
+      cleanupSnapshots(memoryType, keepFromVersion = version - (retainSnapshots - 1),
+        protect = Some(name))
     snap
   }
 
@@ -435,21 +441,30 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * rewrite's read and the marker flip would otherwise be silently
     * superseded and later vacuumed. The rewrite's exact read set is
     * pinned by Spark's eager file listing (`df.inputFiles`), so after
-    * the flip we re-list the superseded directory and COPY any data
-    * file the rewrite did not read into the new snapshot, partition
-    * path preserved. A copy, not a move: in-flight readers pinned to
-    * the superseded snapshot listed it eagerly and must keep finding
-    * every file until retention reclaims the directory — the retention
-    * guarantee above. One narrow window remains — an append that
-    * resolved the old marker and lands its files after this rescue
-    * pass — which is why maintenance documents itself as the quiet
-    * point; the rescue turns the common race from silent loss into a
-    * no-op.
+    * the flip we re-list the superseded directory, re-read any data
+    * file the rewrite did not read, and APPEND those rows into the new
+    * snapshot, partition layout preserved. Row-wise, not file-copy:
+    * when the table carries an `id` key, rescued rows whose id the
+    * rewrite also emitted are dropped (anti-join) — an upsert's
+    * id-uniqueness promise must survive the race, and the rewrite's
+    * version of a contested id is the newer write. The superseded
+    * directory itself is never touched: in-flight readers pinned to it
+    * listed it eagerly and must keep finding every file until
+    * retention reclaims the directory — which is also why cleanup runs
+    * only AFTER the rescue (at `retainSnapshots = 1` the commit-time
+    * cleanup would otherwise delete the superseded snapshot before the
+    * rescue could read it). A rescue that fails mid-way logs loudly
+    * instead of silently reverting to data loss. One narrow window
+    * remains — an append that resolved the old marker and lands its
+    * files after this rescue pass — which is why maintenance documents
+    * itself as the quiet point; the rescue turns the common race from
+    * silent loss into a no-op. A rewrite that empties the table takes
+    * the same path: unread files are committed as the next snapshot
+    * (they are the table now); only a truly-empty result drops it.
     */
   private[storage] def overwrite(df: DataFrame, memoryType: String): Unit = {
     val cur = currentSnapshot(memoryType)
     val base = cur.map(_._1).getOrElse(0L)
-    if (df.isEmpty) { dropTable(memoryType); return }
     // Relative paths of the old-snapshot files the rewrite plan reads.
     // Empty when the plan's provenance is not file-based (checkpointed
     // input) or it read some other snapshot — rescue is skipped then:
@@ -464,21 +479,48 @@ final class MemoryStore(val spark: SparkSession, val root: String,
           .map(_.stripPrefix(prefix).stripPrefix("/"))
       case None => Set.empty
     }
-    val newSnap = commitSnapshot(df, memoryType, base)
+    def unreadIn(oldSnap: HPath): Map[String, HPath] =
+      dataFilesIn(oldSnap).filter { case (rel, _) => !readSet.contains(rel) }
+    if (df.isEmpty) {
+      val unread = cur.filter(_ => readSet.nonEmpty)
+        .map { case (_, snap) => unreadIn(snap) }.getOrElse(Map.empty)
+      if (unread.isEmpty) { dropTable(memoryType); return }
+      // The rewrite emptied the table but a racing append landed files
+      // it never read — those rows ARE the table; commit them as the
+      // next snapshot instead of dropping.
+      val rescued = spark.read
+        .option("basePath", fsOf(cur.get._2).makeQualified(cur.get._2).toString)
+        .parquet(unread.values.map(_.toString).toSeq: _*)
+      commitSnapshot(rescued, memoryType, base): Unit
+      return
+    }
+    val newSnap = commitSnapshot(df, memoryType, base, cleanup = false)
     if (readSet.nonEmpty) cur.foreach { case (_, oldSnap) =>
-      val fs = fsOf(oldSnap)
-      dataFilesIn(oldSnap).foreach { case (rel, src) =>
-        if (!readSet.contains(rel)) {
-          val dst = new HPath(newSnap, rel)
-          try {
-            if (dst.getParent != null) fs.mkdirs(dst.getParent)
-            org.apache.hadoop.fs.FileUtil.copy(
-              fs, src, fs, dst, /*deleteSource=*/ false, /*overwrite=*/ false,
-              hadoopConf): Unit
-          } catch { case _: java.io.IOException => () }
+      val unread = unreadIn(oldSnap)
+      if (unread.nonEmpty) {
+        try {
+          val rescued = spark.read
+            .option("basePath", fsOf(oldSnap).makeQualified(oldSnap).toString)
+            .parquet(unread.values.map(_.toString).toSeq: _*)
+          val committed = spark.read
+            .option("basePath", fsOf(newSnap).makeQualified(newSnap).toString)
+            .parquet(newSnap.toString)
+          val survivors =
+            if (rescued.columns.contains("id") && committed.columns.contains("id"))
+              rescued.join(committed.select("id"), Seq("id"), "left_anti")
+            else rescued
+          if (!survivors.isEmpty)
+            survivors.write.mode(SaveMode.Append)
+              .partitionBy(partitionColsOf(survivors): _*)
+              .parquet(newSnap.toString)
+        } catch { case e: java.io.IOException =>
+          System.err.println(s"[graft.MemoryStore] concurrent-append rescue for " +
+            s"$memoryType failed ($e) — rows appended during this rewrite may be lost")
         }
       }
     }
+    cleanupSnapshots(memoryType, keepFromVersion = (base + 1) - (retainSnapshots - 1),
+      protect = Some(newSnap.getName))
   }
 
   /** Committed data files inside a snapshot dir, keyed by path relative
@@ -500,7 +542,11 @@ final class MemoryStore(val spark: SparkSession, val root: String,
             !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
           out += rel -> p
       }
-    } catch { case _: java.io.IOException => () }
+    } catch { case e: java.io.IOException =>
+      // A vanished/unlistable snapshot here means a rescue pass cannot
+      // see racing appends — say so rather than silently losing them.
+      System.err.println(s"[graft.MemoryStore] could not list $snap ($e)")
+    }
     out.result()
   }
 

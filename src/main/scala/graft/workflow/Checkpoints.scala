@@ -70,25 +70,40 @@ object Checkpoints {
     // here, and a string max would otherwise compare lexicographically
     // ("9" > "10").
     val NumRe = "^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$"
-    // Numeric results pass through double internally, but an integral
-    // result renders WITHOUT the trailing ".0" — the reference's
-    // SumReducer/MaxReducer return int 10, not 10.0, for integer
-    // counters, and merged state is compared as strings downstream.
-    // (NaN/±Inf fail the integrality test and render as-is.)
-    def numStr(c: Column): Column =
+    // Numeric results pass through double internally, but rendering is
+    // TYPE-PRESERVING like the reference: Python's int('10') + int('3')
+    // is int 13 → "13", while float('10.0') anywhere in the mix makes
+    // the sum a float → "13.0". Integral-vs-float is decided by the
+    // contributing values' own SYNTAX (a '.' or exponent marks a
+    // float), not just the result's integrality — sum tracks whether
+    // ANY numeric input was float-syntax (int+float=float in Python);
+    // max/min track the WINNING value's syntax (Python max(10, 3.5) is
+    // the int 10 → "10"). (NaN/±Inf fail the integrality test and
+    // render as-is.)
+    val isNum = col("value").rlike(NumRe)
+    val parsed = when(isNum, col("value").cast("double"))
+    val floatSyntax = isNum && col("value").rlike("[.eE]")
+    def numStr(c: Column, renderFloat: Column): Column =
       when(c.isNull, lit(null).cast("string"))
-        .when(c === c.cast("long").cast("double"), c.cast("long").cast("string"))
+        .when(!coalesce(renderFloat, lit(false))
+          && (c === c.cast("long").cast("double")), c.cast("long").cast("string"))
         .otherwise(c.cast("string"))
     def rendered(reducer: String): Column = reducer match {
       case "append" | "union" => array_join(Reducers(reducer, col("value"), col("seq")), ",")
       case "sum" =>
         // Reference SumReducer starts its accumulator at 0, so an
         // all-non-numeric key sums to 0 — not null like max/min.
-        numStr(coalesce(
-          Reducers("sum", when(col("value").rlike(NumRe), col("value").cast("double")), col("seq")),
-          lit(0.0)))
+        numStr(coalesce(Reducers("sum", parsed, col("seq")), lit(0.0)),
+          max(when(floatSyntax, 1L).otherwise(0L)) === 1L)
       case r @ ("max" | "min") =>
-        numStr(Reducers(r, when(col("value").rlike(NumRe), col("value").cast("double")), col("seq")))
+        // The winner among numeric values, ties broken toward the
+        // FIRST arrival (struct ordering: value first, then seq —
+        // negated for max so the smallest seq wins the tie), matching
+        // Python max/min keeping the first maximal/minimal element.
+        val winner =
+          if (r == "max") max_by(col("value"), when(isNum, struct(parsed, -col("seq"))))
+          else min_by(col("value"), when(isNum, struct(parsed, col("seq"))))
+        numStr(Reducers(r, parsed, col("seq")), winner.rlike("[.eE]"))
       case r => Reducers(r, col("value"), col("seq")).cast("string")
     }
     val merged = reducerByKey.toSeq.sortBy(_._1).map { case (k, reducer) =>

@@ -98,6 +98,25 @@ class AnnProbeRuleSpec extends SparkSpec {
       .findFirstIn(same.queryExecution.executedPlan.toString).isDefined)
   }
 
+  test("an unresolvable marker vetoes narrowing for the whole projection") {
+    AnnBucketProbe.install(spark)
+    // One literal-query marker plus one whose query vector is a COLUMN
+    // (no cell computable at plan time): narrowing to the literal's
+    // cell would silently skew the second similarity's candidate set,
+    // so the projection must degrade to the full scan — and both
+    // markers must still be stripped (the similarities stay correct).
+    val df = spark.read.parquet(layout)
+      .select(col("vec_id"),
+        round(VectorFunctions.annProbe(VectorFunctions.cosineConst(col("embedding"), queryVec), 8), 4).as("s1"),
+        round(VectorFunctions.annProbe(VectorFunctions.cosine(col("embedding"), col("embedding")), 8), 4).as("s2"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: []"),
+      s"a non-literal marker must veto narrowing:\n$plan")
+    assert(!plan.toLowerCase.contains("annprobe"), s"markers must still strip:\n$plan")
+    assert(df.collect().forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-6),
+      "self-cosine must survive the veto path intact")
+  }
+
   test("install is idempotent") {
     AnnBucketProbe.install(spark)
     AnnBucketProbe.install(spark)

@@ -67,4 +67,26 @@ class CheckpointsSpec extends SparkSpec {
     assert(merged("frac_sum") == "3.75")
     assert(merged("no_nums") == "0") // reference SumReducer's int-0 accumulator
   }
+
+  test("rendering is type-preserving: float-syntax inputs keep their .0") {
+    import spark.implicits._
+    val states = Seq(
+      // float("10.0") is the max → Python renders "10.0", not "10".
+      ("b1", "float_max", "10.0", 1L), ("b2", "float_max", "3", 2L),
+      // int 10 beats float 3.5 → the WINNER's syntax renders: "10".
+      ("b1", "mixed_max", "10", 1L), ("b2", "mixed_max", "3.5", 2L),
+      // int + float = float in Python, even when the sum is integral.
+      ("b1", "mixed_sum", "1.5", 1L), ("b2", "mixed_sum", "2.5", 2L),
+      // tie between "2" (seq 1) and "2.0" (seq 2): first arrival wins.
+      ("b1", "tie_min", "2", 1L), ("b2", "tie_min", "2.0", 2L)
+    ).toDF("branch", "key", "value", "seq")
+    val merged = Checkpoints.mergeBranchStates(
+      states, Map("float_max" -> "max", "mixed_max" -> "max",
+        "mixed_sum" -> "sum", "tie_min" -> "min"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged("float_max") == "10.0")
+    assert(merged("mixed_max") == "10")
+    assert(merged("mixed_sum") == "4.0")
+    assert(merged("tie_min") == "2")
+  }
 }
