@@ -173,6 +173,71 @@ class MemoryStoreConcurrencySpec extends SparkSpec {
     assert(after == Set("before-1", "before-2", "late"))
   }
 
+  test("an append racing a rewrite that EMPTIES the table becomes the table") {
+    // deleteWhere-matches-everything + concurrent append: before the
+    // empty-rewrite rescue, dropTable deleted every snapshot including
+    // the racing append's file. The unread rows are the table now.
+    val dir = Files.createTempDirectory("store-empty-rescue").toString
+    val store = new MemoryStore(spark, dir)
+    def fb(id: String) = RetrievalFeedback(id, s"m-$id", "heuristic", "a", "p",
+      FeedbackSignal.Used, t0)
+    store.saveFeedback(Seq(fb("doomed-1"), fb("doomed-2")))
+    val pinned = store.feedback().toDF() // read set pinned
+    // The delete-all shape: a runtime predicate that keeps nothing. NOT
+    // filter(lit(false)) — constant folding would collapse the plan to
+    // an empty LocalRelation with no inputFiles, and with no file
+    // provenance the store (correctly) cannot rescue.
+    val emptied = pinned.filter(col("id") === "no-such-id")
+    store.saveFeedback(Seq(fb("late"))) // unseen by the pinned read
+    store.overwrite(emptied, MemoryType.Feedback)
+    val ids = store.feedback().toDF().select("id").as[String](Encoders.STRING).collect().toSet
+    assert(ids == Set("late"), s"racing append lost by empty rewrite: $ids")
+    // And a genuinely-empty result (no racing append) still drops.
+    store.overwrite(
+      store.feedback().toDF().filter(col("id") === "no-such-id"), MemoryType.Feedback)
+    assert(store.feedback().toDF().isEmpty)
+  }
+
+  test("rescue survives retainSnapshots = 1 (cleanup deferred past the rescue)") {
+    // At the minimum retention the commit-time cleanup floor equals the
+    // new version — before the reorder it deleted the superseded
+    // snapshot before the rescue could list it (a silent loss the old
+    // code also swallowed without a log line).
+    val dir = Files.createTempDirectory("store-retain1").toString
+    val store = new MemoryStore(spark, dir, retainSnapshots = 1)
+    def fb(id: String) = RetrievalFeedback(id, s"m-$id", "heuristic", "a", "p",
+      FeedbackSignal.Used, t0)
+    store.saveFeedback(Seq(fb("before")))
+    val pinned = store.feedback().toDF()
+    store.saveFeedback(Seq(fb("late")))
+    store.overwrite(pinned.repartition(1), MemoryType.Feedback)
+    val ids = store.feedback().toDF().select("id").as[String](Encoders.STRING).collect().toSet
+    assert(ids == Set("before", "late"), s"retainSnapshots=1 lost the racing append: $ids")
+  }
+
+  test("a rescued append never resurrects an id the rewrite also emitted") {
+    // saveHeuristics(X') races an upsert whose merged output already
+    // contains id X: file-copy rescue would commit BOTH rows and break
+    // upsert's id-uniqueness promise; the row-wise anti-join keeps the
+    // rewrite's version and rescues only genuinely-new ids.
+    val dir = Files.createTempDirectory("store-idconflict").toString
+    val store = new MemoryStore(spark, dir)
+    store.saveHeuristics(Seq(h("X"), h("Y")))
+    val pinned = store.heuristics().toDF()
+    store.saveHeuristics(Seq(
+      h("X").copy(strategy = "stale-racer"), h("Z"))) // unseen by the pin
+    store.overwrite(
+      pinned.withColumn("strategy", lit("rewritten")), MemoryType.Heuristics)
+    val rows = store.heuristics().toDF()
+      .select("id", "strategy").as[(String, String)](
+        Encoders.tuple(Encoders.STRING, Encoders.STRING)).collect().toMap
+    assert(rows.keySet == Set("X", "Y", "Z"), s"wrong id set: ${rows.keySet}")
+    assert(store.heuristics().toDF().count() == 3,
+      "duplicate ids committed by the rescue")
+    assert(rows("X") == "rewritten", "rescue resurrected a superseded id")
+    assert(rows("Z") == "s", "genuinely-new appended id must survive")
+  }
+
   test("two concurrent rewriters: table never lost, marker always names a full snapshot") {
     val dir = Files.createTempDirectory("store-conc").toString
     val store = new MemoryStore(spark, dir)
