@@ -213,10 +213,70 @@ object QualityFilters {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Cross-document boilerplate removal (the CCNet/RefinedWeb line
+  // pass): a line appearing in ≥5% of documents is template chrome
+  // (headers, cookie banners, per-site footers), not content. The word
+  // soup has no line structure, so the query plants it (doc-keyed:
+  // a universal header, an every-other-doc banner, a per-source
+  // footer) and the operator under test strips it back out. Shape at
+  // scale: explode lines → distinct-doc count per line (one map-side-
+  // combined shuffle; the qualifying set is heavy-hitters-small by
+  // definition) → broadcast anti-join → per-doc reassembly (the one
+  // honest corpus shuffle — it IS the rewrite).
+  private def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat_ws("|",
+      lit("copyright example corp all rights reserved"),
+      when(col("doc_id") % 2 === 0, lit("we use cookies accept decline")),
+      col("text"),
+      concat(lit("subscribe to the "), col("source"), lit(" newsletter")))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), planted.as("raw"))
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("raw"), "\\|")).as(Seq("pos", "line")))
+    val totals = docs.agg(count(lit(1)).as("n_total"))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n_docs") >= col("n_total") * 0.05)
+      .select("line")
+    lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("|", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateStripSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    concat_ws('|',
+      |      'copyright example corp all rights reserved',
+      |      CASE WHEN doc_id % 2 = 0 THEN 'we use cookies accept decline' END,
+      |      text,
+      |      'subscribe to the ' || source || ' newsletter') AS raw
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split(raw, '|') AS lst FROM d),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(lst)),
+      |    i -> struct_pack(pos := i, line := lst[i]))) AS e
+      |  FROM t),
+      |lines AS (SELECT doc_id, e.pos AS pos, e.line AS line FROM g),
+      |boiler AS (
+      |  SELECT line FROM lines GROUP BY line
+      |  HAVING count(DISTINCT doc_id) >= (SELECT count(*) FROM d) * 0.05)
+      |SELECT doc_id, count(*)::BIGINT AS n_kept,
+      |  string_agg(line, '|' ORDER BY pos) AS clean_text
+      |FROM lines
+      |WHERE line NOT IN (SELECT line FROM boiler)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
-    Q("q_pack_sequences", packSequences, Some(packSequencesSql)))
+    Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    Q("q_boilerplate_strip", boilerplateStrip, Some(boilerplateStripSql)))
 }

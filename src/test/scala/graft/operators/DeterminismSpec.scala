@@ -25,7 +25,7 @@ class DeterminismSpec extends SparkSpec {
     // Round-6 pipeline-prep additions: gram-join decontamination and
     // windowed sequence packing (hash sampling is partition-invariant
     // by construction, covered in PipelinePrepSpec).
-    "q_decontaminate", "q_pack_sequences")
+    "q_decontaminate", "q_pack_sequences", "q_boilerplate_strip")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {
