@@ -185,6 +185,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"training grams shuffled for the join:\n$p")
   }
 
+  test("boilerplate strip broadcasts the line set; the corpus never sort-merge joins") {
+    val p = plan("q_boilerplate_strip")
+    // The qualifying boilerplate set is heavy-hitters-small by
+    // definition (each line appears in ≥5% of docs, so there are ≤20
+    // distinct such lines per 1 line/doc) — both it and the 1-row
+    // total must replicate via broadcast; the exploded corpus side
+    // shuffles only for the line-count aggregate and the per-doc
+    // reassembly.
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftAnti".r.findFirstIn(p).isDefined,
+      s"boiler set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sequence packing windows by language stream (no global window)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
