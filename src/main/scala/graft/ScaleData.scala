@@ -50,7 +50,13 @@ object ScaleData {
     */
   private val FkParents = Map(
     "orders" -> Set("customer"),
-    "lineitem" -> Set("orders", "part", "supplier"))
+    "lineitem" -> Set("orders", "part", "supplier"),
+    // documents ⋈ embeddings is a cross-domain EQUALITY join
+    // (doc_id = vec_id, Retrieval/VectorSearch) — the two tables must
+    // shift by the SAME offset or every shard's pairs dissolve, so a
+    // partial upsample must take both.
+    "documents" -> Set("embeddings"),
+    "embeddings" -> Set("documents"))
 
   def scale(spark: SparkSession, src: String, dst: String, factor: Int,
       only: Set[String] = Set.empty): Unit = {
@@ -72,8 +78,12 @@ object ScaleData {
     val orderOff = keyDomain("orders", "o_orderkey")
     val eventOff = keyDomain("events", "event_id")
     val userOff = keyDomain("events", "user_id")
-    val docOff = keyDomain("documents", "doc_id")
-    val vecOff = keyDomain("embeddings", "vec_id")
+    // doc_id and vec_id join by EQUALITY (not via an FK column), so
+    // both tables shift by one shared offset — per-domain offsets
+    // would leave shard i's doc k at k + docOff·i looking for vec
+    // k + vecOff·i, and every shard's doc⋈embedding pairs dissolve.
+    val docVecOff = math.max(keyDomain("documents", "doc_id"),
+      keyDomain("embeddings", "vec_id"))
 
     def shifted(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = Tables.load(spark, src, name)
@@ -98,14 +108,14 @@ object ScaleData {
       .withColumn("event_id", bump("event_id", eventOff, i))
       .withColumn("user_id", bump("user_id", userOff, i)))
     shifted("documents")((d, i) => d
-      .withColumn("doc_id", bump("doc_id", docOff, i))
+      .withColumn("doc_id", bump("doc_id", docVecOff, i))
       // Shard 0 is the source verbatim; other shards append a shard tag
       // so duplicate structure per shard matches the source corpus.
       .withColumn("text",
         if (i == 0) col("text") else concat(col("text"), lit(s" shard$i")))
       .withColumn("n_chars", length(col("text")).cast("long")))
     shifted("embeddings")((d, i) => d
-      .withColumn("vec_id", bump("vec_id", vecOff, i))
+      .withColumn("vec_id", bump("vec_id", docVecOff, i))
       // Deterministic per-shard direction nudge (scale-invariant cosine
       // needs a direction change, not a magnitude one). Modulus 97 with
       // a multiplier coprime to it: every component differs between any

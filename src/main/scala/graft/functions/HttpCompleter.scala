@@ -42,7 +42,14 @@ final class HttpCompleter(
     maxRetries: Int = 3,
     baseBackoffMillis: Long = 100L,
     timeoutMillis: Long = 10000L,
-    sleeper: Long => Unit = Thread.sleep) extends ExternalCompleter {
+    sleeper: Long => Unit = Thread.sleep,
+    // Overrides the content-derived Idempotency-Key. The default makes
+    // identical (endpoint, prompt) pairs share a key — retry-safe, and
+    // semantically a cache hit for deterministic completion — but a
+    // caller sampling at temperature > 0 who WANTS independent
+    // completions for repeated prompts must supply a salted key here
+    // (e.g. row id + prompt hash).
+    idempotencyKeyFor: Option[String => String] = None) extends ExternalCompleter {
 
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder()
@@ -57,7 +64,7 @@ final class HttpCompleter(
     // (endpoint, prompt) ⇒ same key across in-call retries, task
     // attempts, and job reruns; callers needing per-call uniqueness
     // for identical prompts salt the prompt.
-    val idempotencyKey = {
+    val idempotencyKey = idempotencyKeyFor.map(_(prompt)).getOrElse {
       val d = java.security.MessageDigest.getInstance("SHA-256")
       d.update(endpoint.getBytes("UTF-8"))
       d.update(0.toByte)

@@ -265,7 +265,11 @@ object QualityFilters {
       |lines AS (SELECT doc_id, e.pos AS pos, e.line AS line FROM g),
       |boiler AS (
       |  SELECT line FROM lines GROUP BY line
-      |  HAVING count(DISTINCT doc_id) >= (SELECT count(*) FROM d) * 0.05)
+      |  -- 0.05::DOUBLE, not DECIMAL: the corpus has 20 sources, so the
+      |  -- per-source footer sits EXACTLY on the 5% boundary — the
+      |  -- threshold product must round identically to Spark's
+      |  -- double(n_total) * double(0.05), not be computed exactly.
+      |  HAVING count(DISTINCT doc_id) >= (SELECT count(*) FROM d) * 0.05::DOUBLE)
       |SELECT doc_id, count(*)::BIGINT AS n_kept,
       |  string_agg(line, '|' ORDER BY pos) AS clean_text
       |FROM lines

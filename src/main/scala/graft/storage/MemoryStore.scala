@@ -487,11 +487,21 @@ final class MemoryStore(val spark: SparkSession, val root: String,
       if (unread.isEmpty) { dropTable(memoryType); return }
       // The rewrite emptied the table but a racing append landed files
       // it never read — those rows ARE the table; commit them as the
-      // next snapshot instead of dropping.
-      val rescued = spark.read
-        .option("basePath", fsOf(cur.get._2).makeQualified(cur.get._2).toString)
-        .parquet(unread.values.map(_.toString).toSeq: _*)
-      commitSnapshot(rescued, memoryType, base): Unit
+      // next snapshot instead of dropping. Best-effort like the main
+      // rescue below: a failure (e.g. a concurrent committer's cleanup
+      // swept the superseded dir mid-read — Spark surfaces that as
+      // SparkException/AnalysisException, not IOException) degrades to
+      // the drop the caller asked for, loudly.
+      try {
+        val rescued = spark.read
+          .option("basePath", fsOf(cur.get._2).makeQualified(cur.get._2).toString)
+          .parquet(unread.values.map(_.toString).toSeq: _*)
+        commitSnapshot(rescued, memoryType, base): Unit
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft.MemoryStore] empty-rewrite rescue for " +
+          s"$memoryType failed ($e) — dropping; rows appended during this rewrite may be lost")
+        dropTable(memoryType)
+      }
       return
     }
     val newSnap = commitSnapshot(df, memoryType, base, cleanup = false)
@@ -509,11 +519,20 @@ final class MemoryStore(val spark: SparkSession, val root: String,
             if (rescued.columns.contains("id") && committed.columns.contains("id"))
               rescued.join(committed.select("id"), Seq("id"), "left_anti")
             else rescued
-          if (!survivors.isEmpty)
-            survivors.write.mode(SaveMode.Append)
-              .partitionBy(partitionColsOf(survivors): _*)
+          // Materialize once: isEmpty would otherwise run the
+          // rescued-read + committed-snapshot anti-join a first time
+          // and the write a second (the localCheckpoint pattern used
+          // by the upsert and archive paths).
+          val pinned = survivors.localCheckpoint(true)
+          if (!pinned.isEmpty)
+            pinned.write.mode(SaveMode.Append)
+              .partitionBy(partitionColsOf(pinned): _*)
               .parquet(newSnap.toString)
-        } catch { case e: java.io.IOException =>
+        } catch { case scala.util.control.NonFatal(e) =>
+          // Spark read/write failures arrive as SparkException /
+          // AnalysisException — a narrower IOException catch would let
+          // them escape AFTER the marker flip, failing a rewrite that
+          // actually committed (and skipping the retention cleanup).
           System.err.println(s"[graft.MemoryStore] concurrent-append rescue for " +
             s"$memoryType failed ($e) — rows appended during this rewrite may be lost")
         }

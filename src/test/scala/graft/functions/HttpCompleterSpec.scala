@@ -61,6 +61,37 @@ class HttpCompleterSpec extends SparkSpec {
     }
   }
 
+  test("Idempotency-Key: content-derived, stable across retries, overridable") {
+    // Default key: the retried POST after a 500 carries the SAME key as
+    // the first attempt — the header exists so a server that processed
+    // the timed-out original can dedup the retry.
+    val keys = ArrayBuffer.empty[String]
+    withServer { ex =>
+      val k = ex.getRequestHeaders.getFirst("Idempotency-Key")
+      keys.synchronized { keys += k }
+      if (keys.synchronized(keys.size) < 2) respond(ex, 500, "boom")
+      else respond(ex, 200, "ok")
+    } { url =>
+      val c = new HttpCompleter(url, maxRetries = 2, sleeper = _ => ())
+      assert(c.complete("p") == "ok")
+      assert(keys.size == 2 && keys.head != null && keys.head.nonEmpty)
+      assert(keys.toSet.size == 1, s"retry changed the key: $keys")
+    }
+    // Override seam: a caller sampling at temperature > 0 salts the key
+    // so identical prompts become independent requests server-side.
+    val salted = ArrayBuffer.empty[String]
+    withServer { ex =>
+      salted.synchronized { salted += ex.getRequestHeaders.getFirst("Idempotency-Key") }
+      respond(ex, 200, "ok")
+    } { url =>
+      var n = 0
+      val c = new HttpCompleter(url,
+        idempotencyKeyFor = Some(p => { n += 1; s"$p#$n" }))
+      c.complete("p"); c.complete("p")
+      assert(salted.toSeq == Seq("p#1", "p#2"))
+    }
+  }
+
   test("gives up after maxRetries on persistent 503") {
     val calls = new AtomicInteger(0)
     withServer { ex => calls.incrementAndGet(); respond(ex, 503, "nope") } { url =>
