@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
 /** Training-data pipeline pack beyond the reference: PII scrubbing,
   * repetition filters (the C4/Gopher-style rules a 100 TB pretraining
   * pipeline applies before anything else), deterministic stratified
-  * sampling, benchmark decontamination, and sequence packing. The
+  * sampling, benchmark decontamination, sequence packing, target-weight
+  * mixture resampling, and hash-assigned train/val/test splitting. The
   * filters are pure projections / per-doc aggregates; decontamination
-  * is one gram-keyed equi-join; packing is one windowed running sum —
-  * nothing here compares documents all-pairs.
+  * is one gram-keyed equi-join; packing is one windowed running sum;
+  * resampling and splitting are broadcast-dim projections — nothing
+  * here compares documents all-pairs.
   */
 object QualityFilters {
 
@@ -276,11 +278,110 @@ object QualityFilters {
       |WHERE line NOT IN (SELECT line FROM boiler)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Mixture resampling toward target domain weights — the data-mixing
+  // step behind every pretraining corpus (over-represented domains
+  // downsample, under-represented ones repeat whole epochs plus a
+  // hash-selected fraction). All arithmetic is INTEGER-exact:
+  // desired_g = (N · w_pm) div 1000, rate_pct = (desired · 100) div
+  // n_g, copies = rate_pct div 100, plus one more when the doc's
+  // salted hash bucket falls under rate_pct mod 100 — so Spark and the
+  // oracle cannot disagree by a rounding ulp, and a doc's copy count
+  // is a pure function of its id (stable across runs, retries, and
+  // physical partitioning). Shape at scale: per-lang counts are a
+  // handful of groups (one map-side-combined agg) broadcast back onto
+  // the scan; the corpus stream itself never shuffles — projection +
+  // explode only.
+  private def mixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val weightPm = when(col("lang") === "en", 300L)
+      .when(col("lang") === "zh", 250L)
+      .when(col("lang") === "es", 200L)
+      .when(col("lang") === "de", 150L)
+      .otherwise(100L)
+    // Salted ('mix') so the fractional-copy choice is independent of
+    // the stratified-sample bucket over the same ids.
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(concat('mix', cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint) % 100")
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(total))
+      .withColumn("w_pm", weightPm)
+      .withColumn("rate_pct", expr("(((n_total * w_pm) div 1000) * 100) div n_lang"))
+      .withColumn("bucket", bucket)
+      .withColumn("n_copies",
+        expr("rate_pct div 100 + (case when bucket < rate_pct % 100 then 1L else 0L end)"))
+      .withColumn("copy_no",
+        explode(when(col("n_copies") >= 1L, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))))
+      .select("doc_id", "lang", "rate_pct", "copy_no")
+      .orderBy("doc_id", "copy_no")
+  }
+
+  private val mixtureResampleSql =
+    """WITH c AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang),
+      |t AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+      |r AS (
+      |  SELECT d.doc_id, d.lang,
+      |    ((((t.n_total * (CASE WHEN d.lang = 'en' THEN 300 WHEN d.lang = 'zh' THEN 250
+      |        WHEN d.lang = 'es' THEN 200 WHEN d.lang = 'de' THEN 150
+      |        ELSE 100 END)::BIGINT) // 1000) * 100) // c.n_lang)::BIGINT AS rate_pct,
+      |    (('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 100) AS bucket
+      |  FROM documents d JOIN c USING (lang) CROSS JOIN t),
+      |x AS (
+      |  SELECT doc_id, lang, rate_pct,
+      |    (rate_pct // 100
+      |      + CASE WHEN bucket < rate_pct % 100 THEN 1 ELSE 0 END)::BIGINT AS n_copies
+      |  FROM r)
+      |SELECT doc_id, lang, rate_pct,
+      |  unnest(generate_series(1, n_copies))::BIGINT AS copy_no
+      |FROM x ORDER BY doc_id, copy_no""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Deterministic train/val/test split: a salted hash bucket per
+  // doc_id assigns 90/5/5 — membership is a pure function of the id
+  // (no RNG, no partition sensitivity, survives corpus growth: an
+  // existing doc never switches split when new docs arrive, which
+  // sample() cannot promise). Reported as per-(split, lang) counts and
+  // token mass — the table a mixture audit actually reads. One scan +
+  // one small agg.
+  private def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(concat('split', cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint) % 1000")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("split", "lang")
+  }
+
+  private val trainSplitSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS toks,
+      |    (('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000) AS bucket
+      |  FROM documents)
+      |SELECT
+      |  (CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val'
+      |        ELSE 'test' END) AS split,
+      |  lang, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
-    Q("q_boilerplate_strip", boilerplateStrip, Some(boilerplateStripSql)))
+    Q("q_boilerplate_strip", boilerplateStrip, Some(boilerplateStripSql)),
+    Q("q_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
+    Q("q_train_split", trainSplit, Some(trainSplitSql)))
 }

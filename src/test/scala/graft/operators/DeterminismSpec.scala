@@ -25,7 +25,10 @@ class DeterminismSpec extends SparkSpec {
     // Round-6 pipeline-prep additions: gram-join decontamination and
     // windowed sequence packing (hash sampling is partition-invariant
     // by construction, covered in PipelinePrepSpec).
-    "q_decontaminate", "q_pack_sequences", "q_boilerplate_strip")
+    "q_decontaminate", "q_pack_sequences", "q_boilerplate_strip",
+    // Mixture resampling explodes hash-fractional copies; the split
+    // assignment is pure-hash (both must re-run bit-identical).
+    "q_mixture_resample", "q_train_split")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {

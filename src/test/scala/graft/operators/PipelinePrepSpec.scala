@@ -28,6 +28,56 @@ class PipelinePrepSpec extends SparkSpec {
     assert(kept > 0 && kept < docs.count())
   }
 
+  test("mixture resample: copy counts bounded by the integer rate, direction correct") {
+    val docs = Tables.documents(spark, Sf)
+    val langN = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = SparkEntry.queries("q_mixture_resample")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("lang")),
+        r.getLong(r.fieldIndex("rate_pct"))))
+    val copies = out.groupBy(_._2).map { case (l, rs) => l -> rs.length.toLong }
+    val rate = out.groupBy(_._2).map { case (l, rs) => l -> rs.head._3 }
+    rate.foreach { case (lang, pct) =>
+      val n = langN(lang)
+      // Whole epochs are exact; the fractional epoch is hash-selected,
+      // so per-lang output sits between floor and ceil of rate·n.
+      val lo = (pct / 100) * n
+      val hi = lo + (if (pct % 100 == 0) 0L else n)
+      assert(copies(lang) >= lo && copies(lang) <= hi,
+        s"$lang: ${copies(lang)} copies outside [$lo,$hi] at rate $pct%")
+    }
+    // The mixture moves the right direction: en (over-represented vs
+    // its 30% target) sheds rows; no doc appears more often than its
+    // lang's ceil(rate) epochs.
+    assert(copies("en") < langN("en"), "en was not downsampled")
+    val perDoc = out.groupBy(_._1).map(_._2.length)
+    assert(perDoc.max <= rate.values.map(p => p / 100 + 1).max.toInt)
+  }
+
+  test("train split is stable under corpus growth and partitions exactly") {
+    val docs = Tables.documents(spark, Sf)
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] = df
+      .select(col("doc_id"), expr(
+        "cast(conv(substring(md5(cast(concat('split', cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint) % 1000").as("b"))
+      .withColumn("split", when(col("b") < 900, "train")
+        .when(col("b") < 950, "val").otherwise("test"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = assign(docs)
+    // Growth-stability: assigning over HALF the corpus gives every
+    // surviving doc the same split — membership is a function of the
+    // id alone, never of what else is in the table.
+    val half = assign(docs.filter(col("doc_id") % 2 === 0))
+    half.foreach { case (id, s) => assert(full(id) == s, s"doc $id switched split") }
+    // Exact partition: per-(split, lang) doc counts in the query's
+    // output sum back to the corpus with no overlap or loss.
+    val out = SparkEntry.queries("q_train_split")(spark, Sf).collect()
+    val total = out.map(_.getLong(2)).sum
+    assert(total == docs.count(), s"split counts sum to $total")
+    assert(out.map(_.getString(0)).toSet == Set("train", "val", "test"))
+  }
+
   test("sequence packs tile each language stream: no overlap, no token loss") {
     val docs = Tables.documents(spark, Sf)
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))

@@ -211,6 +211,27 @@ class PlanShapeSpec extends SparkSpec {
       s"running-sum window must partition by the stream key:\n$exec")
   }
 
+  test("mixture resample broadcasts the lang-count dim; the corpus never shuffles for it") {
+    // Per-lang counts and the 1-row total are tiny at ANY corpus scale;
+    // both replicate via broadcast so the resample is scan → projection
+    // → explode, with the corpus shuffling only for the output sort.
+    val p = plan("q_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"), s"lang counts not broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"1-row total not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a dim join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("train split is one scan + one partial-aggregated shuffle") {
+    // Split assignment is a projection over the scan; the only shuffle
+    // is the (split, lang) aggregate, which must partial-aggregate
+    // map-side so the exchange carries ≤ |splits|·|langs| rows per task.
+    val p = plan("q_train_split")
+    assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+    assert("HashAggregate.*partial".r.findFirstIn(p).isDefined ||
+      p.contains("partial_count"), s"aggregate not map-side combined:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     // Candidate-pair generators are the risk surface; all must stay
     // bucket/block-local. (knn_batch and the IVF probe broadcast a
