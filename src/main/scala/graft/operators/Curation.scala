@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation pack beyond the reference — the remaining operations
+  * a 100 TB pretraining pipeline runs between raw dedup and training:
+  *
+  *  - n-gram language-model quality scoring (the CCNet/RefinedWeb
+  *    pattern: train a small LM on a trusted slice, score every
+  *    document by cross-entropy, keep the fluent tail). The model is
+  *    bounded by construction (top-64k bigrams) so it broadcasts; the
+  *    scoring pass is one explode + two broadcast joins + one
+  *    map-side-combined aggregate — no shuffle grows with the model.
+  *  - incremental MinHash-LSH dedup: dedupe an incoming batch against
+  *    an already-indexed corpus WITHOUT re-pairing the corpus against
+  *    itself — the only dedup shape that survives continuous ingestion
+  *    at 100 TB (index once, join each new shard against it). The
+  *    batch side is small by definition, so both candidate joins
+  *    broadcast it; the index side streams through map-side hash joins
+  *    and the corpus-vs-corpus pair space is never revisited.
+  *  - int8 scalar-quantized kNN with measured recall: per-vector
+  *    max-abs scaling to [-127, 127]. Quantized products stay exact in
+  *    float32 (|q| ≤ 127 ⇒ products ≤ 16129, integers), so the same
+  *    codegen kernel serves both paths and the quantized similarity is
+  *    bit-identical across engines. At scale this is the 4× memory /
+  *    bandwidth cut that keeps a broadcast ANN index in executor RAM.
+  *  - deterministic seeded global shuffle + shard assignment: training
+  *    order as a pure function of (seed, doc_id) — reproducible across
+  *    runs and engines, one shuffle on the shard key.
+  */
+object Curation {
+
+  // -------------------------------------------------------------------
+  // Shared: guarded adjacent-bigram array ("w1 w2" strings). Documents
+  // with fewer than 2 tokens yield an empty array (Spark's sequence()
+  // counts DOWN for start > stop; the oracle's generate_series is empty).
+  private def bigrams(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val idx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => concat_ws(" ", slice(toks, i, lit(2))))
+  }
+
+  /** Model-vocabulary cap: bigram tables above this size are cut by
+    * (count desc, bigram) — a deterministic total order — so the
+    * broadcast stays bounded no matter the corpus.
+    */
+  private val LmVocabCap = 65536
+
+  // -------------------------------------------------------------------
+  // q_lm_quality — bigram-LM cross-entropy scoring, add-one smoothed:
+  // train on the lang='en' slice, score EVERY document by
+  //   xent = avg over bigrams of -log2( (c(w1 w2)+1) / (c(w1)+V) ).
+  // The trained model (top-64k bigrams + the unigram table + V) is
+  // broadcast; the scorer is a single pass over the corpus.
+  private def lmQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("lang") === "en")
+    val uni = train
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocabSize = uni.agg(count(lit(1)).as("vsz"))
+    val bigc = train
+      .select(explode(bigrams(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("bigram"))
+      .limit(LmVocabCap)
+    docs
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("bigram"))
+      .join(broadcast(bigc), Seq("bigram"), "left")
+      .join(broadcast(uni), substring_index(col("bigram"), " ", 1) === col("w"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("doc_id"),
+        (-log2((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + col("vsz")))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  private val lmQualitySql =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |uni AS (
+       |  SELECT t AS w, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(toks) AS t FROM d WHERE lang = 'en') GROUP BY 1),
+       |v AS (SELECT count(*)::BIGINT AS vsz FROM uni),
+       |bigc AS (
+       |  SELECT bigram, count(*)::BIGINT AS cb
+       |  FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       |        FROM d WHERE lang = 'en')
+       |  GROUP BY 1 ORDER BY cb DESC, bigram LIMIT $LmVocabCap),
+       |db AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       |  FROM d),
+       |scored AS (
+       |  SELECT db.doc_id,
+       |    -log2((coalesce(bc.cb, 0) + 1.0) / (coalesce(u.cu, 0) + v.vsz)) AS nll
+       |  FROM db
+       |  LEFT JOIN bigc bc USING (bigram)
+       |  LEFT JOIN uni u ON u.w = split_part(db.bigram, ' ', 1)
+       |  CROSS JOIN v)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 4) AS xent
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_dedup_incremental — dedupe an incoming batch (doc_id % 5 = 0, the
+  // stand-in for "today's shard") against the already-indexed rest of
+  // the corpus plus itself. Candidates form only inside (band, sig)
+  // buckets, and the corpus-vs-corpus pair space is never revisited:
+  // both joins broadcast the batch signatures against the streamed
+  // index — the index side is never shuffled.
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
+    val batch = sigs.filter(col("doc_id") % 5 === 0)
+    val index = sigs.filter(col("doc_id") % 5 =!= 0)
+    val vsIndex = index
+      .join(broadcast(batch.select(col("band"), col("sig"), col("doc_id").as("doc_new"))),
+        Seq("band", "sig"))
+      .select(col("doc_new"), col("doc_id").as("doc_other"), lit("index").as("origin"))
+    val vsBatch = batch.select(col("band"), col("sig"), col("doc_id").as("doc_other"))
+      .join(broadcast(batch.select(col("band"), col("sig"), col("doc_id").as("doc_new"))),
+        Seq("band", "sig"))
+      .filter(col("doc_other") < col("doc_new"))
+      .select(col("doc_new"), col("doc_other"), lit("batch").as("origin"))
+    vsIndex.unionByName(vsBatch)
+      .groupBy("doc_new", "doc_other", "origin")
+      .agg(count(lit(1)).as("bands_matched"))
+      .orderBy("doc_new", "doc_other", "origin")
+  }
+
+  private val dedupIncrementalSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      |  FROM t),
+      |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
+      |sig AS (
+      |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
+      |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band, unnest([1299721, 7919, 104729, 15485863]) AS a) b
+      |  GROUP BY doc_id, band),
+      |nw AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+      |idx AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+      |cand AS (
+      |  SELECT n.doc_id AS doc_new, i.doc_id AS doc_other, 'index' AS origin
+      |  FROM nw n JOIN idx i ON n.band = i.band AND n.sig = i.sig
+      |  UNION ALL
+      |  SELECT b.doc_id AS doc_new, a.doc_id AS doc_other, 'batch' AS origin
+      |  FROM nw a JOIN nw b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+      |SELECT doc_new, doc_other, origin, count(*)::BIGINT AS bands_matched
+      |FROM cand GROUP BY 1, 2, 3 ORDER BY doc_new, doc_other, origin""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_quantized_knn — int8 scalar quantization: per-vector scale
+  // s = max|x| / 127, q_i = round(x_i / s). Quantized similarities run
+  // through the SAME f32 codegen kernel (products of ints ≤ 127² are
+  // exact in float32; accumulation is double), so sim_q is bit-exact
+  // vs the oracle. Reports per-query recall@10 of the quantized
+  // ranking against the exact ranking plus the mean |sim error| over
+  // the exact top-10.
+  private def quantize(vecCol: Column): Column = {
+    val vd = vecCol.cast("array<double>")
+    val scale = greatest(array_max(transform(vd, x => abs(x))) / lit(127.0), lit(1e-30))
+    transform(vd, x => round(x / scale)).cast("array<float>")
+  }
+
+  private def quantizedKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"), quantize(col("embedding")).as("qv"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("query_v"), col("qv").as("query_qv"))
+    val re = Window.partitionBy("qid").orderBy(col("sim_e").desc, col("vec_id"))
+    val rq = Window.partitionBy("qid").orderBy(col("sim_q").desc, col("vec_id"))
+    e.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosine(col("v"), col("query_v")), 4).as("sim_e"),
+        round(VectorFunctions.cosine(col("qv"), col("query_qv")), 4).as("sim_q"))
+      .withColumn("re", row_number().over(re))
+      .withColumn("rq", row_number().over(rq))
+      .filter(col("re") <= 10 || col("rq") <= 10)
+      .groupBy("qid")
+      .agg(
+        round(count(when(col("re") <= 10 && col("rq") <= 10, lit(1))) / lit(10.0), 2)
+          .as("recall_at_10"),
+        round(avg(when(col("re") <= 10, abs(col("sim_e") - col("sim_q")))), 4)
+          .as("mean_abs_err"))
+      .orderBy("qid")
+  }
+
+  private val quantizedKnnSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, v,
+      |    list_transform(v, x -> round(x / greatest(
+      |      list_aggregate(list_transform(v, y -> abs(y)), 'max') / 127.0, 1e-30))) AS qv
+      |  FROM e),
+      |q AS (SELECT vec_id AS qid, v AS query_v, qv AS query_qv FROM qz WHERE vec_id < 5),
+      |pairs AS (
+      |  SELECT q.qid, z.vec_id,
+      |    round(list_dot_product(z.v, q.query_v)
+      |      / (sqrt(list_dot_product(z.v, z.v)) * sqrt(list_dot_product(q.query_v, q.query_v))), 4) AS sim_e,
+      |    round(list_dot_product(z.qv, q.query_qv)
+      |      / (sqrt(list_dot_product(z.qv, z.qv)) * sqrt(list_dot_product(q.query_qv, q.query_qv))), 4) AS sim_q
+      |  FROM qz z CROSS JOIN q),
+      |ranked AS (
+      |  SELECT qid, vec_id, sim_e, sim_q,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim_e DESC, vec_id) AS re,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim_q DESC, vec_id) AS rq
+      |  FROM pairs)
+      |SELECT qid,
+      |  round(count(CASE WHEN re <= 10 AND rq <= 10 THEN 1 END) / 10.0, 2) AS recall_at_10,
+      |  round(avg(CASE WHEN re <= 10 THEN abs(sim_e - sim_q) END), 4) AS mean_abs_err
+      |FROM ranked WHERE re <= 10 OR rq <= 10
+      |GROUP BY qid ORDER BY qid""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_shard_order — deterministic seeded training order: shard and
+  // in-shard position are pure functions of (seed, doc_id), so two
+  // runs (or two engines) produce the identical order. One shuffle on
+  // the shard key; the per-shard sort is the per-output-file sort a
+  // writer does anyway.
+  private val ShuffleSeed = "graft-shuffle-42"
+  private val NumShards = 8
+
+  private def shardOrder(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit(ShuffleSeed + "|"), col("doc_id").cast("string")).cast("binary"))
+    val shard = expr(s"cast(conv(substring(sort_key, 1, 15), 16, 10) as bigint) % $NumShards")
+    val w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), key.as("sort_key"))
+      .withColumn("shard", shard)
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  private val shardOrderSql =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    md5('$ShuffleSeed|' || doc_id) AS sort_key,
+       |    ('0x' || substr(md5('$ShuffleSeed|' || doc_id), 1, 15))::BIGINT % $NumShards AS shard
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS pos
+       |FROM k ORDER BY shard, pos""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
+    Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    Q("q_quantized_knn", quantizedKnn, Some(quantizedKnnSql)),
+    Q("q_shard_order", shardOrder, Some(shardOrderSql)))
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import graft.io.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants + plan shapes for the corpus-curation pack
+  * (LM quality scoring, incremental dedup, quantized kNN, seeded
+  * shard order). The oracle gate checks values at sf0.01; these tests
+  * pin the SEMANTICS (incremental ≡ restricted full dedup, recall
+  * bounds, contiguous shard positions) and the scale-critical plan
+  * shapes (bounded broadcasts, no corpus-side shuffle joins).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, Sf)
+
+  private def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  // ---------------------------------------------------------- lm quality
+  test("lm_quality scores every document with n_bigrams = tokens - 1") {
+    val out = run("q_lm_quality").collect()
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == docs.size, "every document must be scored")
+    out.foreach { r =>
+      assert(r.getLong(1) == docs(r.getLong(0)),
+        s"doc ${r.getLong(0)}: n_bigrams ${r.getLong(1)} != tokens-1 ${docs(r.getLong(0))}")
+      val xent = r.getDouble(2)
+      assert(xent > 0.0 && xent < 64.0, s"doc ${r.getLong(0)}: xent $xent out of range")
+    }
+  }
+
+  test("lm_quality: per-doc cross-entropy stays under the smoothing ceiling") {
+    // The most expensive bigram is an unseen pair after the most
+    // frequent context word: -log2(1/(max_cu + V)) — every per-doc
+    // average sits at or below that ceiling.
+    val uni = Tables.documents(spark, Sf).filter(col("lang") === "en")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+    val v = uni.count()
+    val maxCu = uni.agg(max("count")).head().getLong(0)
+    val ceiling = math.log((maxCu + v).toDouble) / math.log(2.0)
+    run("q_lm_quality").collect().foreach { r =>
+      assert(r.getDouble(2) <= ceiling + 1e-9,
+        s"doc ${r.getLong(0)}: xent ${r.getDouble(2)} above log2(V)=$ceiling")
+    }
+  }
+
+  // ---------------------------------------------------- incremental dedup
+  test("incremental dedup ≡ full MinHash-LSH restricted to batch-touching pairs") {
+    val inc = run("q_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getLong(3)).toMap
+    val full = run("q_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val expected = full.flatMap { case ((a, b), n) =>
+      (a % 5 == 0, b % 5 == 0) match {
+        case (true, true)   => Some((b, a, "batch") -> n) // newer batch doc vs earlier
+        case (true, false)  => Some((a, b, "index") -> n)
+        case (false, true)  => Some((b, a, "index") -> n)
+        case (false, false) => None // corpus-vs-corpus: not re-examined
+      }
+    }.toMap
+    assert(inc == expected,
+      s"incremental != restricted full: only-inc=${inc.keySet -- expected.keySet} " +
+        s"only-full=${expected.keySet -- inc.keySet}")
+  }
+
+  test("incremental dedup broadcasts the batch side; the index never shuffle-joins") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"index side got shuffle-joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  // ------------------------------------------------------- quantized kNN
+  test("quantized kNN: high recall, small sim error, one row per query") {
+    val rows = run("q_quantized_knn").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val recall = r.getDouble(1)
+      val err = r.getDouble(2)
+      assert(recall >= 0.5 && recall <= 1.0,
+        s"qid ${r.getLong(0)}: int8 recall@10 $recall implausibly low")
+      assert(err >= 0.0 && err < 0.05,
+        s"qid ${r.getLong(0)}: mean |sim error| $err too large for 8-bit")
+    }
+  }
+
+  test("quantized kNN plans the f32 kernel with a bounded broadcast query side") {
+    val p = plan("q_quantized_knn")
+    assert(p.contains("cosinesimf32"), s"kernel missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // Runs under spark.sql.codegen.fallback=false (SparkSpec), so the
+    // two kernels fused into this projection must actually compile.
+    assert(run("q_quantized_knn").collect().nonEmpty)
+  }
+
+  // --------------------------------------------------------- shard order
+  test("shard order covers every doc once with contiguous per-shard positions") {
+    val rows = run("q_shard_order").collect()
+    val total = Tables.documents(spark, Sf).count()
+    assert(rows.length == total)
+    assert(rows.map(_.getLong(0)).distinct.length == total, "each doc exactly once")
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 8, s"shard $shard out of range")
+      val pos = rs.map(_.getLong(2)).sorted
+      assert(pos.sameElements(1L to rs.length), s"shard $shard: positions not contiguous")
+    }
+  }
+
+  test("shard order is a pure function of (seed, doc_id): rerun-identical") {
+    val a = run("q_shard_order").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = run("q_shard_order").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b))
+  }
+
+  test("lm_quality model side is bounded and broadcast") {
+    val p = plan("q_lm_quality")
+    assert(p.contains("TakeOrderedAndProject"), s"bigram model not capped:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle-joined against the model:\n$p")
+  }
+}
