@@ -148,7 +148,7 @@ object Dedup {
 }
 
 /** Shared text helpers used across operator packs. */
-private[operators] object TextAnalysisShared {
+private[graft] object TextAnalysisShared {
   import org.apache.spark.sql.Column
 
   /** 3-token shingles of the whitespace tokenization. Documents with

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.operators.TextAnalysisShared
+import graft.streaming.StreamingLearn.DocEvent
+
+/** Streaming near-duplicate detection — the continuous-ingest form of
+  * `q_dedup_incremental`: every arriving document is MinHash-signed and
+  * checked against the already-indexed corpus, and novel documents join
+  * the index so later arrivals dedupe against them too.
+  *
+  * Two shapes, by state budget:
+  *
+  *  - [[candidatesVsIndex]]: fully STATELESS — signatures are computed
+  *    per row with collection HOFs (no groupBy reaches the stream), then
+  *    a stream-static inner join probes the index. No watermark, no
+  *    state store; the only memory cost is the static side, exactly like
+  *    the batch query's broadcast. Emits raw (band, sig) candidate hits.
+  *  - [[runSelfGrowingDedup]]: foreachBatch loop that keeps only novel
+  *    documents and APPENDS their signatures to the index path, so the
+  *    index is the accumulated corpus — dedup state lives in Parquet
+  *    (unbounded-safe, restart-safe), not in executor memory. This is
+  *    the shape a 100 TB continuous ingest runs: per micro-batch one
+  *    bucket join against the index, the batch side small by definition.
+  */
+object StreamingDedup {
+
+  /** Per-row banded MinHash signatures as an array column — the
+    * STATELESS twin of `TextAnalysisShared.bandedMinhashSigs` (which
+    * needs a groupBy): band mins fold inside one projection via
+    * collection HOFs, so it composes with an unbounded stream. Parity
+    * with the batch form is pinned by StreamingDedupSpec.
+    */
+  def rowSigs(textCol: Column, nBands: Int): Column = {
+    require(nBands <= TextAnalysisShared.MinhashA.size,
+      s"at most ${TextAnalysisShared.MinhashA.size} bands")
+    val p = TextAnalysisShared.MinhashP
+    val hx = transform(TextAnalysisShared.shingles(textCol), sh =>
+      (conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long")) % p)
+    val bandSigs = (0 until nBands).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        array_min(transform(hx, x => (x * TextAnalysisShared.MinhashA(b) + b) % p)).as("sig"))
+    }
+    // Short documents (< 3 tokens) have no shingles → null mins; the
+    // batch groupBy form emits no row for them, so filter null sigs out.
+    filter(array(bandSigs: _*), s => s.getField("sig").isNotNull)
+  }
+
+  /** Stateless stream-static probe: sign each arriving document per row,
+    * explode its (band, sig) pairs, inner-join the static index
+    * signature table. Emits one row per (arriving doc, indexed doc,
+    * band) bucket collision — the streaming candidate feed that a
+    * downstream verifier (Jaccard, embedding cosine) consumes.
+    *
+    * `indexSigs` must have columns (doc_id, band, sig) — the output of
+    * `TextAnalysisShared.bandedMinhashSigs` over the indexed corpus.
+    */
+  def candidatesVsIndex(docs: Dataset[DocEvent], indexSigs: DataFrame): DataFrame =
+    docs.toDF()
+      .select(col("docId"), col("ts"), explode(rowSigs(col("text"), 4)).as("bs"))
+      .select(col("docId"), col("ts"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .join(indexSigs.select(col("doc_id").as("doc_other"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("docId").as("doc_new"), col("doc_other"), col("band"), col("ts"))
+
+  /** Self-growing dedup loop: per micro-batch, sign the batch (batch
+    * data is bounded, so the batch-side groupBy is fine), probe the
+    * Parquet index, keep documents with NO bucket collision, append the
+    * novel docs to `novelPath` and their signatures to `indexPath`.
+    * Batches replayed after a restart overwrite their own batch_id
+    * partition in `novelPath` (idempotent novel output); signature
+    * re-appends for a replayed batch dedupe on re-read because the
+    * signature set per doc is deterministic — `distinct` at probe time
+    * collapses them.
+    */
+  def runSelfGrowingDedup(
+      docs: Dataset[DocEvent],
+      indexPath: String,
+      novelPath: String,
+      checkpointPath: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+          .withColumnRenamed("docId", "doc_id")
+          .select("doc_id", "text", "ts")
+        val sigs = TextAnalysisShared.bandedMinhashSigs(b, 4)
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dup =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) b.limit(0).select("doc_id")
+          else {
+            val idx = spark.read.parquet(indexPath).select("band", "sig").distinct()
+            sigs.join(idx, Seq("band", "sig")).select("doc_id").distinct()
+          }
+        val novel = b.join(dup, Seq("doc_id"), "left_anti")
+        novel.write.mode("overwrite").parquet(s"$novelPath/batch_id=$batchId")
+        val novelSigs = sigs.join(novel.select("doc_id"), Seq("doc_id"))
+        novelSigs.write.mode("append").parquet(indexPath)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.io.Tables
+import graft.operators.TextAnalysisShared
+import graft.streaming.StreamingLearn.DocEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("per-row stateless signatures match the batch groupBy signatures exactly") {
+    val docs = Tables.documents(spark, Sf).limit(100)
+    val batch = TextAnalysisShared.bandedMinhashSigs(docs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val perRow = docs
+      .select(col("doc_id"), explode(StreamingDedup.rowSigs(col("text"), 4)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(perRow == batch,
+      s"stateless sigs diverge: only-row=${perRow -- batch} only-batch=${batch -- perRow}")
+  }
+
+  test("short documents (< 3 tokens) produce no signatures in either form") {
+    import spark.implicits._
+    val tiny = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val rows = tiny.select(col("doc_id"), explode(StreamingDedup.rowSigs(col("text"), 4)))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(rows == Set(2L), "only the 4-token doc signs")
+  }
+
+  test("stream-static probe emits exactly the batch incremental vs-index candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+    // Index = non-batch docs; the "stream" carries the batch docs.
+    val indexSigs = TextAnalysisShared.bandedMinhashSigs(
+      docs.filter(col("doc_id") % 5 =!= 0), 4)
+    val streamDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => DocEvent(r.getLong(0), r.getString(1), ts("2024-01-01 10:00:00")))
+    val input = MemoryStream[DocEvent]
+    val query = StreamingDedup.candidatesVsIndex(input.toDS(), indexSigs)
+      .writeStream.format("memory").queryName("sd_cand").start()
+    try {
+      input.addData(streamDocs.toIndexedSeq)
+      query.processAllAvailable()
+      val got = spark.table("sd_cand")
+        .groupBy("doc_new", "doc_other").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expected = graft.SparkEntry.queries("q_dedup_incremental")(spark, Sf)
+        .filter(col("origin") === "index")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(got == expected,
+        s"stream candidates != batch vs-index: only-stream=${got.keySet -- expected.keySet} " +
+          s"only-batch=${expected.keySet -- got.keySet}")
+    } finally query.stop()
+  }
+
+  test("self-growing dedup drops later near-duplicates and indexes novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    val input = MemoryStream[DocEvent]
+    val query = StreamingDedup.runSelfGrowingDedup(
+      input.toDS(), s"$dir/index", s"$dir/novel", s"$dir/ckpt")
+    val docA = "alpha beta gamma delta epsilon zeta eta theta"
+    val docB = "one two three four five six seven eight nine"
+    val docC = "red orange yellow green blue indigo violet ultraviolet"
+    try {
+      input.addData(DocEvent(1L, docA, ts("2024-01-01 10:00:00")),
+        DocEvent(2L, docB, ts("2024-01-01 10:00:01")))
+      query.processAllAvailable()
+      // Batch 2: doc 3 duplicates doc 1's content (new id), doc 4 novel.
+      input.addData(DocEvent(3L, docA, ts("2024-01-01 10:01:00")),
+        DocEvent(4L, docC, ts("2024-01-01 10:01:01")))
+      query.processAllAvailable()
+      val novel = spark.read.parquet(s"$dir/novel")
+        .select("doc_id").as[Long].collect().toSet
+      assert(novel == Set(1L, 2L, 4L), s"dup doc 3 must be dropped, got $novel")
+      val indexed = spark.read.parquet(s"$dir/index")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(indexed == Set(1L, 2L, 4L), s"index must hold exactly the novel docs, got $indexed")
+    } finally query.stop()
+  }
+}
