@@ -58,7 +58,7 @@ object Curation {
   //   xent = avg over bigrams of -log2( (c(w1 w2)+1) / (c(w1)+V) ).
   // The trained model (top-64k bigrams + the unigram table + V) is
   // broadcast; the scorer is a single pass over the corpus.
-  private def lmQuality(s: SparkSession, dir: String): DataFrame = {
+  private def lmScored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val train = docs.filter(col("lang") === "en")
     val uni = train
@@ -80,10 +80,12 @@ object Curation {
           (coalesce(col("cu"), lit(0L)) + col("vsz")))).as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("xent"))
-      .orderBy("doc_id")
   }
 
-  private val lmQualitySql =
+  private def lmQuality(s: SparkSession, dir: String): DataFrame =
+    lmScored(s, dir).orderBy("doc_id")
+
+  private val lmScoredCte =
     s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
        |uni AS (
        |  SELECT t AS w, count(*)::BIGINT AS cu
@@ -105,9 +107,36 @@ object Curation {
        |  FROM db
        |  LEFT JOIN bigc bc USING (bigram)
        |  LEFT JOIN uni u ON u.w = split_part(db.bigram, ' ', 1)
-       |  CROSS JOIN v)
-       |SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 4) AS xent
-       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |  CROSS JOIN v),
+       |sc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 4) AS xent
+       |  FROM scored GROUP BY 1)""".stripMargin
+
+  private val lmQualitySql =
+    s"""$lmScoredCte
+       |SELECT doc_id, n_bigrams, xent FROM sc ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_lm_filter — the end-to-end quality cut: keep documents at or
+  // below the corpus p75 cross-entropy (the fluent three quarters).
+  // The threshold is ONE double; at cluster scale swap the exact
+  // `percentile` for `approx_percentile` (a mergeable sketch with
+  // map-side partials — exact ranks over 10^10 values don't scale) and
+  // nothing else changes: the cut itself stays a broadcast compare.
+  private def lmFilter(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmScored(s, dir)
+    val thr = scored.agg(expr("percentile(xent, 0.75)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("xent") <= col("thr"))
+      .select(col("doc_id"), col("xent"), round(col("thr"), 4).as("p75"))
+      .orderBy("doc_id")
+  }
+
+  private val lmFilterSql =
+    s"""$lmScoredCte,
+       |t AS (SELECT quantile_cont(xent, 0.75) AS thr FROM sc)
+       |SELECT doc_id, xent, round(t.thr, 4) AS p75
+       |FROM sc, t WHERE sc.xent <= t.thr ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q_dedup_incremental — dedupe an incoming batch (doc_id % 5 = 0, the
@@ -253,6 +282,7 @@ object Curation {
 
   val all: Seq[Q] = Seq(
     Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
+    Q("q_lm_filter", lmFilter, Some(lmFilterSql)),
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("q_quantized_knn", quantizedKnn, Some(quantizedKnnSql)),
     Q("q_shard_order", shardOrder, Some(shardOrderSql)))

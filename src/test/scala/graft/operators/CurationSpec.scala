@@ -51,6 +51,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lm_filter keeps exactly the at-or-below-p75 slice of the scored corpus") {
+    val scored = run("q_lm_quality").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val kept = run("q_lm_filter").collect()
+    val thr = kept.head.getDouble(2)
+    assert(kept.forall(_.getDouble(2) == thr), "one global threshold")
+    val expected = scored.filter { case (_, x) => x <= thr + 5e-5 }
+    assert(kept.length >= (scored.size * 0.70).toInt && kept.length <= (scored.size * 0.80).ceil.toInt,
+      s"p75 cut kept ${kept.length} of ${scored.size}")
+    kept.foreach { r =>
+      assert(r.getDouble(1) <= thr + 5e-5,
+        s"doc ${r.getLong(0)}: xent ${r.getDouble(1)} above threshold $thr")
+      assert(expected.contains(r.getLong(0)))
+    }
+  }
+
   // ---------------------------------------------------- incremental dedup
   test("incremental dedup ≡ full MinHash-LSH restricted to batch-touching pairs") {
     val inc = run("q_dedup_incremental").collect()
