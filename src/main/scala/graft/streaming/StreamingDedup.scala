@@ -86,24 +86,44 @@ object StreamingDedup {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.toDF()
-          .withColumnRenamed("docId", "doc_id")
-          .select("doc_id", "text", "ts")
-        val sigs = TextAnalysisShared.bandedMinhashSigs(b, 4)
-        val fs = new org.apache.hadoop.fs.Path(indexPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val dup =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) b.limit(0).select("doc_id")
-          else {
-            val idx = spark.read.parquet(indexPath).select("band", "sig").distinct()
-            sigs.join(idx, Seq("band", "sig")).select("doc_id").distinct()
-          }
-        val novel = b.join(dup, Seq("doc_id"), "left_anti")
-        novel.write.mode("overwrite").parquet(s"$novelPath/batch_id=$batchId")
-        val novelSigs = sigs.join(novel.select("doc_id"), Seq("doc_id"))
-        novelSigs.write.mode("append").parquet(indexPath)
-        ()
+        processBatch(batch.toDF().withColumnRenamed("docId", "doc_id")
+          .select("doc_id", "text", "ts"), batchId, indexPath, novelPath)
       }
       .start()
+
+  /** One micro-batch of the self-growing loop, exposed for direct reuse
+    * (a batch backfill runs the same code) and for replay testing.
+    * Replay-idempotent: the novel output overwrites its own batch_id
+    * partition, and the probe excludes same-doc_id index rows — a
+    * replayed batch re-encounters its OWN first-run signatures in the
+    * index, and without the exclusion every replayed doc would look
+    * duplicate and the novel partition would rewrite EMPTY (silent data
+    * loss on restart). With it, the replay reproduces the identical
+    * novel set; its signature re-append only adds duplicate rows, which
+    * the probe-side `distinct()` collapses. Requires doc_id unique
+    * across the ingest (the ingest contract).
+    */
+  private[streaming] def processBatch(
+      b: DataFrame, batchId: Long, indexPath: String, novelPath: String): Unit = {
+    val spark = b.sparkSession
+    val sigs = TextAnalysisShared.bandedMinhashSigs(b, 4)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dup =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) b.limit(0).select("doc_id")
+      else {
+        // A replayed batch must not match its own first-run signatures
+        // (every doc would look duplicate and the novel partition would
+        // rewrite empty), so probe only rows indexed by OTHER docs.
+        val idx = spark.read.parquet(indexPath)
+          .select(col("doc_id").as("idx_doc"), col("band"), col("sig")).distinct()
+        sigs.join(idx, Seq("band", "sig"))
+          .filter(col("idx_doc") =!= col("doc_id"))
+          .select("doc_id").distinct()
+      }
+    val novel = b.join(dup, Seq("doc_id"), "left_anti")
+    novel.write.mode("overwrite").parquet(s"$novelPath/batch_id=$batchId")
+    val novelSigs = sigs.join(novel.select("doc_id"), Seq("doc_id"))
+    novelSigs.write.mode("append").parquet(indexPath)
+  }
 }

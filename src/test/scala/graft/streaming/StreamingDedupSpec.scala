@@ -87,4 +87,29 @@ class StreamingDedupSpec extends SparkSpec {
       assert(indexed == Set(1L, 2L, 4L), s"index must hold exactly the novel docs, got $indexed")
     } finally query.stop()
   }
+
+  test("a replayed micro-batch reproduces its novel set instead of rewriting it empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-replay").toString
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta", ts("2024-01-01 10:00:00")),
+      (11L, "one two three four five six seven eight nine", ts("2024-01-01 10:00:01")))
+      .toDF("doc_id", "text", "ts")
+    StreamingDedup.processBatch(batch, 0L, s"$dir/index", s"$dir/novel")
+    val first = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
+    assert(first == Set(10L, 11L))
+    // Crash-after-index-append, restart, replay of the SAME batch: the
+    // docs' own signatures are already indexed, and must not make the
+    // replay classify them as duplicates.
+    StreamingDedup.processBatch(batch, 0L, s"$dir/index", s"$dir/novel")
+    val replayed = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
+    assert(replayed == Set(10L, 11L), s"replay lost novel docs: $replayed")
+    // And a LATER batch still sees them as duplicates (dedup verdicts
+    // unchanged by the doubled signature rows).
+    val later = Seq((12L, "alpha beta gamma delta epsilon zeta eta theta",
+      ts("2024-01-01 10:05:00"))).toDF("doc_id", "text", "ts")
+    StreamingDedup.processBatch(later, 1L, s"$dir/index", s"$dir/novel")
+    val afterLater = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
+    assert(afterLater == Set(10L, 11L), s"near-dup doc 12 must be dropped: $afterLater")
+  }
 }
