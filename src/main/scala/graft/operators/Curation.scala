@@ -187,13 +187,68 @@ object Curation {
       |FROM cand GROUP BY 1, 2, 3 ORDER BY doc_new, doc_other, origin""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_span_dedup — duplicated-substring audit (the cross-document
+  // repeated-span measure behind substring-level dedup): hash every
+  // 8-token span, a span present in ≥ 2 documents is "duplicated",
+  // report each document's duplicated-span fraction. Span text is
+  // hashed to a 60-bit value BEFORE the shuffle, so the exchanges
+  // carry (doc_id, int64) rows, never span strings; the dup-span set
+  // is corpus-wide so the join back stays hash-partitioned (no
+  // broadcast assumption) — the same co-partitioned shape as the
+  // first groupBy.
+  private val SpanTokens = 8
+
+  private def spanHashes(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val idx = when(size(toks) >= SpanTokens, sequence(lit(1), size(toks) - (SpanTokens - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i =>
+      conv(substring(md5(concat_ws(" ", slice(toks, i, lit(SpanTokens))).cast("binary")),
+        1, 15), 16, 10).cast("long"))
+  }
+
+  private def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(spanHashes(col("text"))).as("h"))
+      .distinct() // a span repeated INSIDE one doc counts once
+    val dup = sp.groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    sp.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("ndocs")).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val spanDedupSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sp AS (
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(generate_series(1, len(toks) - ${SpanTokens - 1}),
+       |            i -> array_to_string(toks[i:i+${SpanTokens - 1}], ' '))) AS s
+       |        FROM t)),
+       |d AS (SELECT h, count(*) AS ndocs FROM sp GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT sp.doc_id, count(*)::BIGINT AS n_spans,
+       |  count(d.ndocs)::BIGINT AS n_dup_spans,
+       |  round(count(d.ndocs)::DOUBLE / count(*), 4) AS dup_frac
+       |FROM sp LEFT JOIN d USING (h)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_quantized_knn — int8 scalar quantization: per-vector scale
   // s = max|x| / 127, q_i = round(x_i / s). Quantized similarities run
   // through the SAME f32 codegen kernel (products of ints ≤ 127² are
   // exact in float32; accumulation is double), so sim_q is bit-exact
   // vs the oracle. Reports per-query recall@10 of the quantized
   // ranking against the exact ranking plus the mean |sim error| over
-  // the exact top-10.
+  // the exact top-10. This is the recall AUDIT (per-qid rank windows
+  // sort the corpus slice — run it over a sample at cluster scale);
+  // the production quantized path is the same kernel inside the
+  // TakeOrderedAndProject kNN shape of q_knn_cosine/q_knn_batch.
   private def quantize(vecCol: Column): Column = {
     val vd = vecCol.cast("array<double>")
     val scale = greatest(array_max(transform(vd, x => abs(x))) / lit(127.0), lit(1e-30))
@@ -284,6 +339,7 @@ object Curation {
     Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("q_lm_filter", lmFilter, Some(lmFilterSql)),
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    Q("q_span_dedup", spanDedup, Some(spanDedupSql)),
     Q("q_quantized_knn", quantizedKnn, Some(quantizedKnnSql)),
     Q("q_shard_order", shardOrder, Some(shardOrderSql)))
 }

@@ -92,6 +92,33 @@ class CurationSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("span dedup matches an independent in-memory recomputation") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def spanHash(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val perDoc = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      val spans = if (toks.length < 8) Set.empty[Long]
+        else toks.sliding(8).map(w => spanHash(w.mkString(" "))).toSet
+      id -> spans
+    }.toMap
+    val docCount = perDoc.values.toSeq.flatMap(_.toSeq).groupBy(identity).map { case (h, xs) => h -> xs.size }
+    val out = run("q_span_dedup").collect()
+    assert(out.length == perDoc.count(_._2.nonEmpty))
+    out.foreach { r =>
+      val spans = perDoc(r.getLong(0))
+      val nDup = spans.count(h => docCount(h) >= 2)
+      assert(r.getLong(1) == spans.size, s"doc ${r.getLong(0)}: n_spans")
+      assert(r.getLong(2) == nDup, s"doc ${r.getLong(0)}: n_dup_spans")
+    }
+    // Sharing is symmetric: a duplicated span implicates at least two docs.
+    val withDup = out.count(_.getLong(2) > 0)
+    assert(withDup == 0 || withDup >= 2)
+  }
+
   // ------------------------------------------------------- quantized kNN
   test("quantized kNN: high recall, small sim error, one row per query") {
     val rows = run("q_quantized_knn").collect()
