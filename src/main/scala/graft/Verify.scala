@@ -17,7 +17,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated name filter (same contract as Bench's
     // SPARK_GRAFT_QUERIES) — builder-side iteration aid; the driver
-    // sets nothing and gets every query.
+    // sets nothing and gets every query. Use a FRESH outDir per
+    // filtered run: oracle_sql.json is rewritten with only the subset,
+    // so stale parquet dirs from a previous full run in the same outDir
+    // would no longer have oracle entries.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries

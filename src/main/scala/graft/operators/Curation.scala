@@ -36,15 +36,10 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   // -------------------------------------------------------------------
-  // Shared: guarded adjacent-bigram array ("w1 w2" strings). Documents
-  // with fewer than 2 tokens yield an empty array (Spark's sequence()
-  // counts DOWN for start > stop; the oracle's generate_series is empty).
-  private def bigrams(textCol: Column): Column = {
-    val toks = split(textCol, " ")
-    val idx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
-      .otherwise(array().cast("array<int>"))
-    transform(idx, i => concat_ws(" ", slice(toks, i, lit(2))))
-  }
+  // Shared: guarded adjacent-bigram array ("w1 w2" strings); empty for
+  // documents with fewer than 2 tokens (TextAnalysisShared.ngrams).
+  private def bigrams(textCol: Column): Column =
+    TextAnalysisShared.ngrams(textCol, 2)
 
   /** Model-vocabulary cap: bigram tables above this size are cut by
     * (count desc, bigram) — a deterministic total order — so the
@@ -54,16 +49,25 @@ object Curation {
 
   // -------------------------------------------------------------------
   // q_lm_quality — bigram-LM cross-entropy scoring, add-one smoothed:
-  // train on the lang='en' slice, score EVERY document by
+  // train on the lang='en' slice, score each document with ≥ 1 bigram by
   //   xent = avg over bigrams of -log2( (c(w1 w2)+1) / (c(w1)+V) ).
-  // The trained model (top-64k bigrams + the unigram table + V) is
-  // broadcast; the scorer is a single pass over the corpus.
+  // Sub-bigram documents (0–1 tokens) are OUT OF SCOPE by contract —
+  // an n-gram LM has nothing to condition on; a pipeline routes them to
+  // the length/quality filters (q_quality_score, q_repetition_filter)
+  // upstream of the LM stage. BOTH model tables are capped at the top
+  // 64k entries by (count desc, key) — a total order, so the cut is
+  // deterministic — which is what makes "the model broadcasts" true by
+  // construction at ANY corpus size (a web-scale vocabulary is
+  // unbounded; tokens cut from the table score through the smoothing
+  // floor like any unseen word).
   private def lmScored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val train = docs.filter(col("lang") === "en")
     val uni = train
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
+      .orderBy(col("cu").desc, col("w"))
+      .limit(LmVocabCap)
     val vocabSize = uni.agg(count(lit(1)).as("vsz"))
     val bigc = train
       .select(explode(bigrams(col("text"))).as("bigram"))
@@ -89,7 +93,8 @@ object Curation {
     s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
        |uni AS (
        |  SELECT t AS w, count(*)::BIGINT AS cu
-       |  FROM (SELECT unnest(toks) AS t FROM d WHERE lang = 'en') GROUP BY 1),
+       |  FROM (SELECT unnest(toks) AS t FROM d WHERE lang = 'en')
+       |  GROUP BY 1 ORDER BY cu DESC, w LIMIT $LmVocabCap),
        |v AS (SELECT count(*)::BIGINT AS vsz FROM uni),
        |bigc AS (
        |  SELECT bigram, count(*)::BIGINT AS cb
@@ -119,6 +124,8 @@ object Curation {
   // -------------------------------------------------------------------
   // q_lm_filter — the end-to-end quality cut: keep documents at or
   // below the corpus p75 cross-entropy (the fluent three quarters).
+  // Operates on the scored (≥ 1 bigram) corpus — see lmScored's
+  // contract; sub-bigram fragments never reach the LM stage.
   // The threshold is ONE double; at cluster scale swap the exact
   // `percentile` for `approx_percentile` (a mergeable sketch with
   // map-side partials — exact ranks over 10^10 values don't scale) and
@@ -198,14 +205,9 @@ object Curation {
   // first groupBy.
   private val SpanTokens = 8
 
-  private def spanHashes(textCol: Column): Column = {
-    val toks = split(textCol, " ")
-    val idx = when(size(toks) >= SpanTokens, sequence(lit(1), size(toks) - (SpanTokens - 1)))
-      .otherwise(array().cast("array<int>"))
-    transform(idx, i =>
-      conv(substring(md5(concat_ws(" ", slice(toks, i, lit(SpanTokens))).cast("binary")),
-        1, 15), 16, 10).cast("long"))
-  }
+  private def spanHashes(textCol: Column): Column =
+    transform(TextAnalysisShared.ngrams(textCol, SpanTokens),
+      s => TextAnalysisShared.hash64(s))
 
   private def spanDedup(s: SparkSession, dir: String): DataFrame = {
     val sp = Tables.documents(s, dir)
@@ -315,6 +317,8 @@ object Curation {
 
   private def shardOrder(s: SparkSession, dir: String): DataFrame = {
     val key = md5(concat(lit(ShuffleSeed + "|"), col("doc_id").cast("string")).cast("binary"))
+    // Not hash64(): the md5 hex is ALSO the sort key column, so the
+    // shard derives from the already-computed digest string.
     val shard = expr(s"cast(conv(substring(sort_key, 1, 15), 16, 10) as bigint) % $NumShards")
     val w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
     Tables.documents(s, dir)

@@ -151,17 +151,28 @@ object Dedup {
 private[graft] object TextAnalysisShared {
   import org.apache.spark.sql.Column
 
-  /** 3-token shingles of the whitespace tokenization. Documents with
-    * fewer than 3 tokens yield an empty array (matching the oracle's
-    * generate_series(1, n-2), which is empty for n < 3 — Spark's
+  /** n-token grams of the whitespace tokenization. Documents with fewer
+    * than n tokens yield an empty array (matching the oracles'
+    * generate_series(1, len-n+1), which is empty for len < n — Spark's
     * sequence() would instead count DOWN and make slice() throw).
     */
-  def shingles(textCol: Column): Column = {
+  def ngrams(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
-    val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    transform(idx, i => concat_ws(" ", slice(toks, i, lit(3))))
+    transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
   }
+
+  /** 3-token shingles — the MinHash unit. */
+  def shingles(textCol: Column): Column = ngrams(textCol, 3)
+
+  /** 60-bit hash of a string column: the first 15 hex chars of its md5,
+    * as a non-negative long — the one string→int64 hash every keyed
+    * operator (MinHash mixes, span hashing, shard assignment) derives
+    * from, matching the oracles' ('0x' || substr(md5(x),1,15))::BIGINT.
+    */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** MinHash band-mix universal-hash family: per band b,
     * h_b(x) = (x · A(b) + b) mod P over the 60-bit md5 prefix — the
@@ -183,9 +194,7 @@ private[graft] object TextAnalysisShared {
     require(nBands <= MinhashA.size, s"at most ${MinhashA.size} bands")
     val hashed = Tables.spread(docs)
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .select(col("doc_id"),
-        (expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 15), 16, 10) as bigint)")
-          % MinhashP).as("x"))
+      .select(col("doc_id"), (hash64(col("shingle")) % MinhashP).as("x"))
     val aggs = (0 until nBands)
       .map(b => min((col("x") * MinhashA(b) + b) % MinhashP).as(s"_sig$b"))
     val stacked = (0 until nBands)

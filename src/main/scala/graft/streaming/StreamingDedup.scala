@@ -38,8 +38,8 @@ object StreamingDedup {
     require(nBands <= TextAnalysisShared.MinhashA.size,
       s"at most ${TextAnalysisShared.MinhashA.size} bands")
     val p = TextAnalysisShared.MinhashP
-    val hx = transform(TextAnalysisShared.shingles(textCol), sh =>
-      (conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10).cast("long")) % p)
+    val hx = transform(TextAnalysisShared.shingles(textCol),
+      sh => TextAnalysisShared.hash64(sh) % p)
     val bandSigs = (0 until nBands).map { b =>
       struct(
         lit(b.toLong).as("band"),
@@ -68,14 +68,10 @@ object StreamingDedup {
       .select(col("docId").as("doc_new"), col("doc_other"), col("band"), col("ts"))
 
   /** Self-growing dedup loop: per micro-batch, sign the batch (batch
-    * data is bounded, so the batch-side groupBy is fine), probe the
-    * Parquet index, keep documents with NO bucket collision, append the
-    * novel docs to `novelPath` and their signatures to `indexPath`.
-    * Batches replayed after a restart overwrite their own batch_id
-    * partition in `novelPath` (idempotent novel output); signature
-    * re-appends for a replayed batch dedupe on re-read because the
-    * signature set per doc is deterministic — `distinct` at probe time
-    * collapses them.
+    * data is bounded, so the batch-side groupBy is fine), dedupe it
+    * against ITSELF (greedy by doc_id) and against the Parquet index,
+    * then append the novel docs to `novelPath` and their signatures to
+    * `indexPath`. Replay-idempotent — see [[processBatch]].
     */
   def runSelfGrowingDedup(
       docs: Dataset[DocEvent],
@@ -93,37 +89,53 @@ object StreamingDedup {
 
   /** One micro-batch of the self-growing loop, exposed for direct reuse
     * (a batch backfill runs the same code) and for replay testing.
+    *
+    * A document is duplicate when it bucket-collides with an indexed
+    * doc OTHER than itself, or with a smaller-id doc of its own batch
+    * (greedy within-batch dedup: two copies arriving together keep only
+    * the first — without this leg both would enter the corpus).
+    *
     * Replay-idempotent: the novel output overwrites its own batch_id
-    * partition, and the probe excludes same-doc_id index rows — a
+    * partition, and the index probe excludes same-doc_id rows — a
     * replayed batch re-encounters its OWN first-run signatures in the
     * index, and without the exclusion every replayed doc would look
     * duplicate and the novel partition would rewrite EMPTY (silent data
-    * loss on restart). With it, the replay reproduces the identical
-    * novel set; its signature re-append only adds duplicate rows, which
-    * the probe-side `distinct()` collapses. Requires doc_id unique
-    * across the ingest (the ingest contract).
+    * loss on restart). The within-batch leg is replay-stable on its own:
+    * it compares the batch only against itself, so it reproduces the
+    * first run's verdicts exactly. A replayed append only adds duplicate
+    * signature rows; duplicate rows produce duplicate join matches,
+    * which the verdict-side `distinct()` collapses — the index itself is
+    * deliberately probed WITHOUT dedup so no per-batch shuffle of the
+    * accumulated corpus ever happens. Requires doc_id unique across the
+    * ingest (the ingest contract).
     */
   private[streaming] def processBatch(
       b: DataFrame, batchId: Long, indexPath: String, novelPath: String): Unit = {
     val spark = b.sparkSession
     val sigs = TextAnalysisShared.bandedMinhashSigs(b, 4)
+    val batchDup = sigs
+      .join(broadcast(sigs.select(col("doc_id").as("earlier"), col("band"), col("sig"))),
+        Seq("band", "sig"))
+      .filter(col("earlier") < col("doc_id"))
+      .select("doc_id")
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dup =
+    val idxDup =
       if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) b.limit(0).select("doc_id")
       else {
-        // A replayed batch must not match its own first-run signatures
-        // (every doc would look duplicate and the novel partition would
-        // rewrite empty), so probe only rows indexed by OTHER docs.
         val idx = spark.read.parquet(indexPath)
-          .select(col("doc_id").as("idx_doc"), col("band"), col("sig")).distinct()
+          .select(col("doc_id").as("idx_doc"), col("band"), col("sig"))
         sigs.join(idx, Seq("band", "sig"))
           .filter(col("idx_doc") =!= col("doc_id"))
-          .select("doc_id").distinct()
+          .select("doc_id")
       }
+    val dup = batchDup.unionByName(idxDup).distinct()
     val novel = b.join(dup, Seq("doc_id"), "left_anti")
-    novel.write.mode("overwrite").parquet(s"$novelPath/batch_id=$batchId")
-    val novelSigs = sigs.join(novel.select("doc_id"), Seq("doc_id"))
-    novelSigs.write.mode("append").parquet(indexPath)
+      .persist() // two writes below; don't re-scan the index per write
+    try {
+      novel.write.mode("overwrite").parquet(s"$novelPath/batch_id=$batchId")
+      val novelSigs = sigs.join(novel.select("doc_id"), Seq("doc_id"))
+      novelSigs.write.mode("append").parquet(indexPath)
+    } finally novel.unpersist()
   }
 }

@@ -21,12 +21,15 @@ class CurationSpec extends SparkSpec {
     run(name).queryExecution.executedPlan.toString
 
   // ---------------------------------------------------------- lm quality
-  test("lm_quality scores every document with n_bigrams = tokens - 1") {
+  test("lm_quality scores every >=2-token document with n_bigrams = tokens - 1") {
     val out = run("q_lm_quality").collect()
+    // Contract: documents with at least one bigram are scored;
+    // sub-bigram fragments are the length filters' job, not the LM's.
     val docs = Tables.documents(spark, Sf)
       .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("nb"))
+      .filter(col("nb") >= 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out.length == docs.size, "every document must be scored")
+    assert(out.length == docs.size, "every >=2-token document must be scored")
     out.foreach { r =>
       assert(r.getLong(1) == docs(r.getLong(0)),
         s"doc ${r.getLong(0)}: n_bigrams ${r.getLong(1)} != tokens-1 ${docs(r.getLong(0))}")
@@ -162,9 +165,10 @@ class CurationSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
-  test("lm_quality model side is bounded and broadcast") {
+  test("lm_quality model sides (bigram AND unigram) are bounded and broadcast") {
     val p = plan("q_lm_quality")
-    assert(p.contains("TakeOrderedAndProject"), s"bigram model not capped:\n$p")
+    val caps = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(caps >= 2, s"both model tables must be top-k capped, found $caps:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus shuffle-joined against the model:\n$p")
   }

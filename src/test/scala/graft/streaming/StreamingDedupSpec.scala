@@ -88,22 +88,42 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("two copies arriving in ONE micro-batch keep only the first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-withinbatch").toString
+    val batch = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta", ts("2024-01-01 10:00:00")),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta", ts("2024-01-01 10:00:01")),
+      (22L, "one two three four five six seven eight nine", ts("2024-01-01 10:00:02")))
+      .toDF("doc_id", "text", "ts")
+    StreamingDedup.processBatch(batch, 0L, s"$dir/index", s"$dir/novel")
+    val novel = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
+    assert(novel == Set(20L, 22L), s"within-batch dup 21 must be dropped: $novel")
+    val indexed = spark.read.parquet(s"$dir/index")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(20L, 22L), s"dropped docs must not be indexed: $indexed")
+  }
+
   test("a replayed micro-batch reproduces its novel set instead of rewriting it empty") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-replay").toString
+    // Includes a within-batch duplicate pair (10, 13): on replay, doc
+    // 10's own first-run signatures sit in the index AND collide with
+    // 13 — the verdicts must still come out exactly as in the first run.
     val batch = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta", ts("2024-01-01 10:00:00")),
-      (11L, "one two three four five six seven eight nine", ts("2024-01-01 10:00:01")))
+      (11L, "one two three four five six seven eight nine", ts("2024-01-01 10:00:01")),
+      (13L, "alpha beta gamma delta epsilon zeta eta theta", ts("2024-01-01 10:00:02")))
       .toDF("doc_id", "text", "ts")
     StreamingDedup.processBatch(batch, 0L, s"$dir/index", s"$dir/novel")
     val first = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
-    assert(first == Set(10L, 11L))
+    assert(first == Set(10L, 11L), s"within-batch dup 13 must be dropped: $first")
     // Crash-after-index-append, restart, replay of the SAME batch: the
     // docs' own signatures are already indexed, and must not make the
     // replay classify them as duplicates.
     StreamingDedup.processBatch(batch, 0L, s"$dir/index", s"$dir/novel")
     val replayed = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
-    assert(replayed == Set(10L, 11L), s"replay lost novel docs: $replayed")
+    assert(replayed == Set(10L, 11L), s"replay changed the novel set: $replayed")
     // And a LATER batch still sees them as duplicates (dedup verdicts
     // unchanged by the doubled signature rows).
     val later = Seq((12L, "alpha beta gamma delta epsilon zeta eta theta",
