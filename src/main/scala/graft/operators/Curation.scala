@@ -47,6 +47,15 @@ object Curation {
     */
   private val LmVocabCap = 65536
 
+  /** Deterministic-order/split constants — declared BEFORE any eagerly
+    * initialized SQL string that interpolates them (object vals
+    * initialize in declaration order; a forward reference here would
+    * interpolate null/0 into the oracle SQL).
+    */
+  private val ShuffleSeed = "graft-shuffle-42"
+  private val NumShards = 8
+  private val SplitSalt = "graft-split-42"
+
   // -------------------------------------------------------------------
   // q_lm_quality — bigram-LM cross-entropy scoring, add-one smoothed:
   // train on the lang='en' slice, score each document with ≥ 1 bigram by
@@ -60,8 +69,14 @@ object Curation {
   // construction at ANY corpus size (a web-scale vocabulary is
   // unbounded; tokens cut from the table score through the smoothing
   // floor like any unseen word).
-  private def lmScored(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  private def lmScored(s: SparkSession, dir: String): DataFrame =
+    lmScoredOn(Tables.documents(s, dir))
+
+  /** LM scorer over an arbitrary (doc_id, text, lang) frame — the
+    * pipeline capstone trains on ITS stage-1 survivors, not the raw
+    * table, so the model never sees documents an earlier gate dropped.
+    */
+  private def lmScoredOn(docs: DataFrame): DataFrame = {
     val train = docs.filter(col("lang") === "en")
     val uni = train
       .select(explode(split(col("text"), " ")).as("w"))
@@ -89,8 +104,11 @@ object Curation {
   private def lmQuality(s: SparkSession, dir: String): DataFrame =
     lmScored(s, dir).orderBy("doc_id")
 
-  private val lmScoredCte =
-    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+  /** The LM scoring CTE chain over an arbitrary source relation (must
+    * expose doc_id, text, lang); prepend WITH and append a final SELECT.
+    */
+  private def lmCtes(src: String) =
+    s"""d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM $src),
        |uni AS (
        |  SELECT t AS w, count(*)::BIGINT AS cu
        |  FROM (SELECT unnest(toks) AS t FROM d WHERE lang = 'en')
@@ -116,6 +134,8 @@ object Curation {
        |sc AS (
        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 4) AS xent
        |  FROM scored GROUP BY 1)""".stripMargin
+
+  private val lmScoredCte = s"WITH ${lmCtes("documents")}"
 
   private val lmQualitySql =
     s"""$lmScoredCte
@@ -307,14 +327,82 @@ object Curation {
       |GROUP BY qid ORDER BY qid""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_pipeline_e2e — the curation pipeline CAPSTONE: repetition gate →
+  // LM train+score+p75 cut → exact dedup (keep-first) → split
+  // assignment → seeded shard/position, composed as ONE Spark plan (no
+  // intermediate materialization — Catalyst sees the whole chain, so
+  // column pruning and predicate placement cross stage boundaries).
+  // Emits the final training-corpus manifest. Stage shapes: the gate is
+  // a pure projection; the LM model tables are capped+broadcast and
+  // TRAINED ON THE GATE'S SURVIVORS (a later stage's model never sees
+  // rejected docs); the dedup window partitions by fingerprint; split
+  // and shard are hash projections; positions are per-(split, shard)
+  // rank windows — every partitionSpec non-empty.
+  private def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val gated = Tables.documents(s, dir)
+      .withColumn("dtr",
+        size(array_distinct(toks)).cast("double") / size(toks))
+      .filter(col("dtr") >= 0.2)
+      .select("doc_id", "text", "lang")
+    val scored = lmScoredOn(gated)
+    val thr = scored.agg(expr("percentile(xent, 0.75)").as("thr"))
+    val kept = scored.crossJoin(broadcast(thr))
+      .filter(col("xent") <= col("thr"))
+      .select("doc_id", "xent")
+      .join(gated, Seq("doc_id"))
+    val fpw = Window.partitionBy("fp").orderBy("doc_id")
+    val deduped = kept
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(fpw))
+      .filter(col("rn") === 1)
+    val splitHash = TextAnalysisShared.hash64(
+      concat(lit(SplitSalt + "|"), col("doc_id").cast("string"))) % 1000
+    val orderKey = md5(concat(lit(ShuffleSeed + "|"), col("doc_id").cast("string")).cast("binary"))
+    val posw = Window.partitionBy("split", "shard").orderBy("sort_key", "doc_id")
+    deduped
+      .withColumn("split",
+        when(splitHash < 900, "train").when(splitHash < 950, "val").otherwise("test"))
+      .withColumn("sort_key", orderKey)
+      .withColumn("shard",
+        expr(s"cast(conv(substring(sort_key, 1, 15), 16, 10) as bigint) % $NumShards"))
+      .select(col("doc_id"), col("xent"), col("split"), col("shard"),
+        row_number().over(posw).cast("long").as("pos"))
+      .orderBy("split", "shard", "pos")
+  }
+
+  private val pipelineE2eSql =
+    s"""WITH s1 AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  WHERE len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |        / len(string_split(text, ' ')) >= 0.2),
+       |${lmCtes("s1")},
+       |t AS (SELECT quantile_cont(xent, 0.75) AS thr FROM sc),
+       |kept AS (
+       |  SELECT sc.doc_id, sc.xent, s1.text
+       |  FROM sc JOIN s1 USING (doc_id) CROSS JOIN t WHERE sc.xent <= t.thr),
+       |dd AS (
+       |  SELECT doc_id, xent,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM kept),
+       |manifest AS (
+       |  SELECT doc_id, xent,
+       |    CASE WHEN ('0x' || substr(md5('$SplitSalt|' || doc_id), 1, 15))::BIGINT % 1000 < 900 THEN 'train'
+       |         WHEN ('0x' || substr(md5('$SplitSalt|' || doc_id), 1, 15))::BIGINT % 1000 < 950 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    md5('$ShuffleSeed|' || doc_id) AS sort_key,
+       |    ('0x' || substr(md5('$ShuffleSeed|' || doc_id), 1, 15))::BIGINT % $NumShards AS shard
+       |  FROM dd WHERE rn = 1)
+       |SELECT doc_id, xent, split, shard,
+       |  row_number() OVER (PARTITION BY split, shard ORDER BY sort_key, doc_id) AS pos
+       |FROM manifest ORDER BY split, shard, pos""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_shard_order — deterministic seeded training order: shard and
   // in-shard position are pure functions of (seed, doc_id), so two
   // runs (or two engines) produce the identical order. One shuffle on
   // the shard key; the per-shard sort is the per-output-file sort a
   // writer does anyway.
-  private val ShuffleSeed = "graft-shuffle-42"
-  private val NumShards = 8
-
   private def shardOrder(s: SparkSession, dir: String): DataFrame = {
     val key = md5(concat(lit(ShuffleSeed + "|"), col("doc_id").cast("string")).cast("binary"))
     // Not hash64(): the md5 hex is ALSO the sort key column, so the
@@ -345,5 +433,6 @@ object Curation {
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("q_span_dedup", spanDedup, Some(spanDedupSql)),
     Q("q_quantized_knn", quantizedKnn, Some(quantizedKnnSql)),
-    Q("q_shard_order", shardOrder, Some(shardOrderSql)))
+    Q("q_shard_order", shardOrder, Some(shardOrderSql)),
+    Q("q_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)))
 }

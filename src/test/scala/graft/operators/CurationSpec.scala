@@ -146,6 +146,29 @@ class CurationSpec extends SparkSpec {
     assert(run("q_quantized_knn").collect().nonEmpty)
   }
 
+  // ------------------------------------------------------- e2e capstone
+  test("pipeline capstone emits a consistent deduped manifest") {
+    val rows = run("q_pipeline_e2e").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "each doc at most once")
+    val splits = rows.map(_._3).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    val byShare = rows.groupBy(_._3).view.mapValues(_.length.toDouble / rows.length).toMap
+    assert(byShare.getOrElse("train", 0.0) > 0.8, s"train share: $byShare")
+    rows.groupBy(r => (r._3, r._4)).foreach { case ((split, shard), rs) =>
+      assert(shard >= 0 && shard < 8)
+      val pos = rs.map(_._5).sorted
+      assert(pos.sameElements(1L to rs.length), s"($split,$shard) positions not contiguous")
+    }
+    // The manifest is a subset of the standalone p75 cut's documents on
+    // a corpus where the gate drops nothing and no exact dups exist —
+    // and trained-on-survivors == trained-on-corpus in that case, so
+    // the sets are EQUAL here.
+    val lmKept = run("q_lm_filter").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == lmKept)
+  }
+
   // --------------------------------------------------------- shard order
   test("shard order covers every doc once with contiguous per-shard positions") {
     val rows = run("q_shard_order").collect()
