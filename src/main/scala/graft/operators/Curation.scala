@@ -10,28 +10,36 @@ import org.apache.spark.sql.functions._
 /** Corpus-curation pack beyond the reference — the remaining operations
   * a 100 TB pretraining pipeline runs between raw dedup and training:
   *
-  *  - n-gram language-model quality scoring (the CCNet/RefinedWeb
+  *  - n-gram language-model quality scoring + cut (the CCNet/RefinedWeb
   *    pattern: train a small LM on a trusted slice, score every
-  *    document by cross-entropy, keep the fluent tail). The model is
-  *    bounded by construction (top-64k bigrams) so it broadcasts; the
-  *    scoring pass is one explode + two broadcast joins + one
-  *    map-side-combined aggregate — no shuffle grows with the model.
+  *    document by cross-entropy, keep the fluent three quarters). Both
+  *    model tables are bounded by construction (top-64k) so they
+  *    broadcast; the scoring pass is one explode + broadcast joins +
+  *    one map-side-combined aggregate — no shuffle grows with the model.
   *  - incremental MinHash-LSH dedup: dedupe an incoming batch against
   *    an already-indexed corpus WITHOUT re-pairing the corpus against
   *    itself — the only dedup shape that survives continuous ingestion
   *    at 100 TB (index once, join each new shard against it). The
   *    batch side is small by definition, so both candidate joins
   *    broadcast it; the index side streams through map-side hash joins
-  *    and the corpus-vs-corpus pair space is never revisited.
+  *    and the corpus-vs-corpus pair space is never revisited. (The
+  *    streaming form lives in graft.streaming.StreamingDedup.)
+  *  - duplicated-substring audit: per-document fraction of 8-token
+  *    spans shared with other documents; spans hashed to int64 before
+  *    any shuffle.
   *  - int8 scalar-quantized kNN with measured recall: per-vector
   *    max-abs scaling to [-127, 127]. Quantized products stay exact in
   *    float32 (|q| ≤ 127 ⇒ products ≤ 16129, integers), so the same
   *    codegen kernel serves both paths and the quantized similarity is
   *    bit-identical across engines. At scale this is the 4× memory /
-  *    bandwidth cut that keeps a broadcast ANN index in executor RAM.
+  *    bandwidth cut that keeps a broadcast ANN index in executor RAM —
+  *    and q_quantized_ann composes it with the sign-bucket probe: read
+  *    one cell, score it quantized.
   *  - deterministic seeded global shuffle + shard assignment: training
   *    order as a pure function of (seed, doc_id) — reproducible across
   *    runs and engines, one shuffle on the shard key.
+  *  - the capstone (q_pipeline_e2e): gate → LM score/cut → exact dedup
+  *    → split → shard/pos as ONE composed Catalyst plan.
   */
 object Curation {
 
@@ -327,6 +335,47 @@ object Curation {
       |GROUP BY qid ORDER BY qid""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_quantized_ann — the production memory-efficient ANN shape: prune
+  // the scan to the query's sign-bucket cell (like q_ann_bucket), then
+  // score the cell with int8-QUANTIZED cosine — at scale the index
+  // holds 4×-smaller vectors per cell and the probe reads one cell,
+  // so memory and I/O shrink together. Results rank by the quantized
+  // similarity (bit-exact across engines, see quantize()).
+  private def quantizedAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        VectorFunctions.signBucket(col("embedding"), 8).as("bucket"),
+        quantize(col("embedding")).as("qv"))
+    val qRow = e.filter(col("vec_id") === 0).select("qv", "bucket").head()
+    val q = qRow.getSeq[Float](0).toArray
+    val qb = qRow.getLong(1)
+    e.filter(col("bucket") === qb)
+      .select(col("vec_id"), col("bucket"),
+        round(VectorFunctions.cosineConst(col("qv"), q), 4).as("sim_q"))
+      .orderBy(col("sim_q").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val quantizedAnnSql = {
+    val bucketExpr = (1 to 8)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, ($bucketExpr)::BIGINT AS bucket,
+       |    list_transform(embedding::DOUBLE[], x -> round(x / greatest(
+       |      list_aggregate(list_transform(embedding::DOUBLE[], y -> abs(y)), 'max') / 127.0,
+       |      1e-30))) AS qv
+       |  FROM embeddings),
+       |q AS (SELECT qv AS qqv, bucket AS qb FROM e WHERE vec_id = 0)
+       |SELECT vec_id, bucket,
+       |  round(list_dot_product(qv, (SELECT qqv FROM q))
+       |    / (sqrt(list_dot_product(qv, qv))
+       |       * sqrt(list_dot_product((SELECT qqv FROM q), (SELECT qqv FROM q)))), 4) AS sim_q
+       |FROM e WHERE bucket = (SELECT qb FROM q)
+       |ORDER BY sim_q DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q_pipeline_e2e — the curation pipeline CAPSTONE: repetition gate →
   // LM train+score+p75 cut → exact dedup (keep-first) → split
   // assignment → seeded shard/position, composed as ONE Spark plan (no
@@ -433,6 +482,7 @@ object Curation {
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("q_span_dedup", spanDedup, Some(spanDedupSql)),
     Q("q_quantized_knn", quantizedKnn, Some(quantizedKnnSql)),
+    Q("q_quantized_ann", quantizedAnn, Some(quantizedAnnSql)),
     Q("q_shard_order", shardOrder, Some(shardOrderSql)),
     Q("q_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)))
 }

@@ -146,6 +146,16 @@ class CurationSpec extends SparkSpec {
     assert(run("q_quantized_knn").collect().nonEmpty)
   }
 
+  test("quantized ANN probes exactly the exact-ANN cell and ranks the query first") {
+    val qa = run("q_quantized_ann").collect()
+    val exact = run("q_ann_bucket").collect()
+    assert(qa.map(_.getLong(1)).toSet == exact.map(_.getLong(1)).toSet,
+      "same single probed bucket")
+    assert(qa.map(_.getLong(0)).toSet == exact.map(_.getLong(0)).toSet,
+      "same cell membership (both are cell-scans + top-5)")
+    assert(qa.head.getLong(0) == 0L, "the query vector ranks itself first")
+  }
+
   // ------------------------------------------------------- e2e capstone
   test("pipeline capstone emits a consistent deduped manifest") {
     val rows = run("q_pipeline_e2e").collect()
