@@ -279,7 +279,7 @@ object Curation {
   // sort the corpus slice — run it over a sample at cluster scale);
   // the production quantized path is the same kernel inside the
   // TakeOrderedAndProject kNN shape of q_knn_cosine/q_knn_batch.
-  private def quantize(vecCol: Column): Column = {
+  private[operators] def quantize(vecCol: Column): Column = {
     val vd = vecCol.cast("array<double>")
     val scale = greatest(array_max(transform(vd, x => abs(x))) / lit(127.0), lit(1e-30))
     transform(vd, x => round(x / scale)).cast("array<float>")

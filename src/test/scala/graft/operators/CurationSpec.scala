@@ -146,6 +146,26 @@ class CurationSpec extends SparkSpec {
     assert(run("q_quantized_knn").collect().nonEmpty)
   }
 
+  test("int8 quantization: cosine error bounded over a seeded random sweep") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // 200 random 64-dim pairs, fixed seed. Per-component quantization
+    // error ≤ scale/2 = max|x|/254; the induced cosine error is
+    // O(sqrt(d)/127) — assert a conservative 0.08 envelope plus a much
+    // tighter mean, so a quantizer regression (wrong scale, truncation
+    // instead of rounding) fails loudly.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def vec() = Array.fill(dim)((rnd.nextDouble() * 20 - 10).toFloat)
+    val pairs = Seq.fill(200)((vec(), vec())).toDF("a", "b")
+    val errs = pairs
+      .select((VectorFunctions.cosine(Curation.quantize(col("a")), Curation.quantize(col("b")))
+        - VectorFunctions.cosine(col("a"), col("b"))).as("err"))
+      .select(abs(col("err")).as("e")).as[Double].collect()
+    assert(errs.max < 0.08, s"worst quantized-cosine error ${errs.max}")
+    assert(errs.sum / errs.length < 0.01, s"mean error ${errs.sum / errs.length}")
+  }
+
   test("quantized ANN probes exactly the exact-ANN cell and ranks the query first") {
     val qa = run("q_quantized_ann").collect()
     val exact = run("q_ann_bucket").collect()
