@@ -476,6 +476,24 @@ object Curation {
        |  row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS pos
        |FROM k ORDER BY shard, pos""".stripMargin
 
+  /** Materialize the capstone manifest as the training-ready layout:
+    * one directory per (split, shard), rows inside each file in
+    * training order. `repartition(split, shard)` makes each output
+    * directory a single task's write, and `sortWithinPartitions(pos)`
+    * makes file order = training order, so a reader streams a shard
+    * sequentially with NO shuffle or sort at training time — the write
+    * pays the ordering cost once. Returns the manifest row count.
+    */
+  def exportManifest(s: SparkSession, dir: String, outPath: String): Long = {
+    val manifest = pipelineE2e(s, dir)
+    manifest.repartition(col("split"), col("shard"))
+      .sortWithinPartitions("pos")
+      .write.mode("overwrite")
+      .partitionBy("split", "shard")
+      .parquet(outPath)
+    s.read.parquet(outPath).count()
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("q_lm_filter", lmFilter, Some(lmFilterSql)),

@@ -199,6 +199,26 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._1).toSet == lmKept)
   }
 
+  test("manifest export lays out (split, shard) directories with in-file training order") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("manifest").toString + "/corpus"
+    val n = Curation.exportManifest(spark, Sf, out)
+    val manifest = run("q_pipeline_e2e").collect()
+    assert(n == manifest.length)
+    val splits = manifest.map(_.getString(2)).distinct
+    splits.foreach { split =>
+      val shards = manifest.filter(_.getString(2) == split).map(_.getLong(3)).distinct
+      shards.foreach { shard =>
+        val dir = s"$out/split=$split/shard=$shard"
+        assert(new java.io.File(dir).isDirectory, s"missing partition dir $dir")
+        // File order must equal training order: read WITHOUT sorting.
+        val pos = spark.read.parquet(dir).select("pos").as[Long].collect()
+        assert(pos.sameElements(pos.sorted), s"$dir not in training order")
+        assert(pos.head == 1L && pos.last == pos.length.toLong)
+      }
+    }
+  }
+
   // --------------------------------------------------------- shard order
   test("shard order covers every doc once with contiguous per-shard positions") {
     val rows = run("q_shard_order").collect()
