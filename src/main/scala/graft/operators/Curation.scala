@@ -279,6 +279,14 @@ object Curation {
   // sort the corpus slice — run it over a sample at cluster scale);
   // the production quantized path is the same kernel inside the
   // TakeOrderedAndProject kNN shape of q_knn_cosine/q_knn_batch.
+  /** int8 quantization as oracle SQL over a DOUBLE[] expression — the
+    * DuckDB twin of quantize(); one definition so the formula cannot
+    * diverge per-oracle from the Spark side.
+    */
+  private def quantizeExprSql(src: String): String =
+    s"list_transform($src, x -> round(x / greatest(" +
+      s"list_aggregate(list_transform($src, y -> abs(y)), 'max') / 127.0, 1e-30)))"
+
   private[operators] def quantize(vecCol: Column): Column = {
     val vd = vecCol.cast("array<double>")
     val scale = greatest(array_max(transform(vd, x => abs(x))) / lit(127.0), lit(1e-30))
@@ -309,11 +317,10 @@ object Curation {
   }
 
   private val quantizedKnnSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |qz AS (
       |  SELECT vec_id, v,
-      |    list_transform(v, x -> round(x / greatest(
-      |      list_aggregate(list_transform(v, y -> abs(y)), 'max') / 127.0, 1e-30))) AS qv
+      |    ${quantizeExprSql("v")} AS qv
       |  FROM e),
       |q AS (SELECT vec_id AS qid, v AS query_v, qv AS query_qv FROM qz WHERE vec_id < 5),
       |pairs AS (
@@ -357,14 +364,10 @@ object Curation {
   }
 
   private val quantizedAnnSql = {
-    val bucketExpr = (1 to 8)
-      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
-      .mkString(" + ")
+    val bucketExpr = TextAnalysisShared.bucketExprSql(8)
     s"""WITH e AS (
        |  SELECT vec_id, ($bucketExpr)::BIGINT AS bucket,
-       |    list_transform(embedding::DOUBLE[], x -> round(x / greatest(
-       |      list_aggregate(list_transform(embedding::DOUBLE[], y -> abs(y)), 'max') / 127.0,
-       |      1e-30))) AS qv
+       |    ${quantizeExprSql("embedding::DOUBLE[]")} AS qv
        |  FROM embeddings),
        |q AS (SELECT qv AS qqv, bucket AS qb FROM e WHERE vec_id = 0)
        |SELECT vec_id, bucket,
@@ -387,7 +390,15 @@ object Curation {
   // rejected docs); the dedup window partitions by fingerprint; split
   // and shard are hash projections; positions are per-(split, shard)
   // rank windows — every partitionSpec non-empty.
-  private def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+  private def pipelineE2e(s: SparkSession, dir: String): DataFrame =
+    pipelineManifest(s, dir).orderBy("split", "shard", "pos")
+
+  /** The capstone manifest WITHOUT the oracle-facing global sort — the
+    * export path partitions/sorts its own way, so handing it the sorted
+    * frame would pay a full range-shuffle whose order the repartition
+    * immediately discards.
+    */
+  private def pipelineManifest(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val gated = Tables.documents(s, dir)
       .withColumn("dtr",
@@ -417,7 +428,6 @@ object Curation {
         expr(s"cast(conv(substring(sort_key, 1, 15), 16, 10) as bigint) % $NumShards"))
       .select(col("doc_id"), col("xent"), col("split"), col("shard"),
         row_number().over(posw).cast("long").as("pos"))
-      .orderBy("split", "shard", "pos")
   }
 
   private val pipelineE2eSql =
@@ -485,9 +495,13 @@ object Curation {
     * pays the ordering cost once. Returns the manifest row count.
     */
   def exportManifest(s: SparkSession, dir: String, outPath: String): Long = {
-    val manifest = pipelineE2e(s, dir)
+    val manifest = pipelineManifest(s, dir)
     manifest.repartition(col("split"), col("shard"))
-      .sortWithinPartitions("pos")
+      // The partitionBy writer REQUIRES its partition columns to lead
+      // the local ordering; a bare sort("pos") would be replaced by the
+      // writer's own (split, shard) sort and the pos order lost at
+      // scale. Leading with them keeps the pos sort in effect.
+      .sortWithinPartitions("split", "shard", "pos")
       .write.mode("overwrite")
       .partitionBy("split", "shard")
       .parquet(outPath)

@@ -126,9 +126,7 @@ object Dedup {
   }
 
   private val dedupEmbeddingLshSql = {
-    val bucketExpr = (1 to 8)
-      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
-      .mkString(" + ")
+    val bucketExpr = TextAnalysisShared.bucketExprSql(8)
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v, ($bucketExpr)::BIGINT AS bucket
        |  FROM embeddings)
@@ -173,6 +171,16 @@ private[graft] object TextAnalysisShared {
     */
   def hash64(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** The sign-bucket id as oracle SQL — the DuckDB twin of
+    * `VectorFunctions.signBucket`, shared by every oracle that probes
+    * or blocks on the bucket so the formula cannot silently diverge
+    * from the Spark side in one copy.
+    */
+  def bucketExprSql(bits: Int, col: String = "embedding"): String =
+    (1 to bits)
+      .map(i => s"(CASE WHEN $col[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
 
   /** MinHash band-mix universal-hash family: per band b,
     * h_b(x) = (x · A(b) + b) mod P over the 60-bit md5 prefix — the

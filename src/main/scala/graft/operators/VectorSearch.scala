@@ -74,9 +74,7 @@ object VectorSearch {
   }
 
   private val annBucketSql = {
-    val bucketExpr = (1 to 8)
-      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
-      .mkString(" + ")
+    val bucketExpr = TextAnalysisShared.bucketExprSql(8)
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v, ($bucketExpr)::BIGINT AS bucket
        |  FROM embeddings),
@@ -131,9 +129,7 @@ object VectorSearch {
   // Oracle = the probe semantics spelled out: restrict to the query's
   // sign-bucket, exact cosine top-5 inside it (same as q_ann_bucket).
   private val annPrunedSql = {
-    val bucketExpr = (1 to 8)
-      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
-      .mkString(" + ")
+    val bucketExpr = TextAnalysisShared.bucketExprSql(8)
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v, ($bucketExpr)::BIGINT AS bucket
        |  FROM embeddings),

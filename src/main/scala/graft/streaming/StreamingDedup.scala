@@ -112,7 +112,10 @@ object StreamingDedup {
   private[streaming] def processBatch(
       b: DataFrame, batchId: Long, indexPath: String, novelPath: String): Unit = {
     val spark = b.sparkSession
-    val sigs = TextAnalysisShared.bandedMinhashSigs(b, 4)
+    // Referenced by the self-join (both sides), the index probe, and
+    // the novel-signature append — persist so the shingle+minhash pass
+    // runs once per batch, not once per reference.
+    val sigs = TextAnalysisShared.bandedMinhashSigs(b, 4).persist()
     val batchDup = sigs
       .join(broadcast(sigs.select(col("doc_id").as("earlier"), col("band"), col("sig"))),
         Seq("band", "sig"))
@@ -136,6 +139,10 @@ object StreamingDedup {
       novel.write.mode("overwrite").parquet(s"$novelPath/batch_id=$batchId")
       val novelSigs = sigs.join(novel.select("doc_id"), Seq("doc_id"))
       novelSigs.write.mode("append").parquet(indexPath)
-    } finally novel.unpersist()
+    } finally {
+      novel.unpersist()
+      sigs.unpersist()
+      ()
+    }
   }
 }

@@ -191,10 +191,19 @@ class CurationSpec extends SparkSpec {
       val pos = rs.map(_._5).sorted
       assert(pos.sameElements(1L to rs.length), s"($split,$shard) positions not contiguous")
     }
-    // The manifest is a subset of the standalone p75 cut's documents on
-    // a corpus where the gate drops nothing and no exact dups exist —
-    // and trained-on-survivors == trained-on-corpus in that case, so
-    // the sets are EQUAL here.
+    // The manifest equals the standalone p75 cut's documents ONLY when
+    // the gate drops nothing and no exact dups exist (then
+    // trained-on-survivors == trained-on-corpus). Assert those data
+    // preconditions first, so corpus drift fails with its real cause
+    // instead of looking like a pipeline bug.
+    val docs = Tables.documents(spark, Sf)
+    val gateDrops = docs.filter(
+      size(array_distinct(split(col("text"), " "))).cast("double")
+        / size(split(col("text"), " ")) < 0.2).count()
+    assert(gateDrops == 0, s"precondition: gate drops $gateDrops docs on this corpus")
+    val dupTexts = docs.groupBy(md5(col("text").cast("binary"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupTexts == 0, s"precondition: $dupTexts duplicate texts on this corpus")
     val lmKept = run("q_lm_filter").collect().map(_.getLong(0)).toSet
     assert(rows.map(_._1).toSet == lmKept)
   }
