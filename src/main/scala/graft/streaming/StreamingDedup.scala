@@ -95,22 +95,29 @@ object StreamingDedup {
     * (greedy within-batch dedup: two copies arriving together keep only
     * the first — without this leg both would enter the corpus).
     *
+    * The drop criterion is AND-amplified: a doc is duplicate only when
+    * it matches `minBands` (default 2 of 4) DISTINCT bands against ONE
+    * other doc — a single shared band is chance-level for minhash over
+    * a small vocabulary (measured at sf0.1: 40k single-band pairs vs
+    * ~1k pairs at ≥ 2 bands) and would over-drop massively. The count
+    * is `countDistinct(band)` per (doc, other) pair, so
+    * replay-duplicated index rows cannot inflate the evidence.
+    *
     * Replay-idempotent: the novel output overwrites its own batch_id
     * partition, and the index probe excludes same-doc_id rows — a
     * replayed batch re-encounters its OWN first-run signatures in the
     * index, and without the exclusion every replayed doc would look
     * duplicate and the novel partition would rewrite EMPTY (silent data
-    * loss on restart). The within-batch leg is replay-stable on its own:
-    * it compares the batch only against itself, so it reproduces the
-    * first run's verdicts exactly. A replayed append only adds duplicate
-    * signature rows; duplicate rows produce duplicate join matches,
-    * which the verdict-side `distinct()` collapses — the index itself is
-    * deliberately probed WITHOUT dedup so no per-batch shuffle of the
+    * loss on restart). The within-batch leg is replay-stable on its
+    * own: it compares the batch only against itself, so it reproduces
+    * the first run's verdicts exactly. The index is deliberately probed
+    * WITHOUT a pre-dedup pass, so no per-batch shuffle of the
     * accumulated corpus ever happens. Requires doc_id unique across the
     * ingest (the ingest contract).
     */
   private[streaming] def processBatch(
-      b: DataFrame, batchId: Long, indexPath: String, novelPath: String): Unit = {
+      b: DataFrame, batchId: Long, indexPath: String, novelPath: String,
+      minBands: Int = 2): Unit = {
     val spark = b.sparkSession
     // Referenced by the self-join (both sides), the index probe, and
     // the novel-signature append — persist so the shingle+minhash pass
@@ -120,6 +127,9 @@ object StreamingDedup {
       .join(broadcast(sigs.select(col("doc_id").as("earlier"), col("band"), col("sig"))),
         Seq("band", "sig"))
       .filter(col("earlier") < col("doc_id"))
+      .groupBy("doc_id", "earlier")
+      .agg(countDistinct("band").as("nb"))
+      .filter(col("nb") >= minBands)
       .select("doc_id")
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -130,6 +140,9 @@ object StreamingDedup {
           .select(col("doc_id").as("idx_doc"), col("band"), col("sig"))
         sigs.join(idx, Seq("band", "sig"))
           .filter(col("idx_doc") =!= col("doc_id"))
+          .groupBy("doc_id", "idx_doc")
+          .agg(countDistinct("band").as("nb"))
+          .filter(col("nb") >= minBands)
           .select("doc_id")
       }
     val dup = batchDup.unionByName(idxDup).distinct()
