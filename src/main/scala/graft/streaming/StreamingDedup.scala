@@ -25,6 +25,13 @@ import graft.streaming.StreamingLearn.DocEvent
   *    (unbounded-safe, restart-safe), not in executor memory. This is
   *    the shape a 100 TB continuous ingest runs: per micro-batch one
   *    bucket join against the index, the batch side small by definition.
+  *    The index holds one row per (novel doc, band) — it grows with
+  *    NOVEL content, not raw corpus (measured: bench/r06_curation_bench
+  *    .json). Per-batch probe cost is the index scan; once the index
+  *    itself is large, lay it out sorted/bucketed by sig so parquet
+  *    row-group pruning (or an AQE runtime filter built from the small
+  *    batch side) skips non-colliding stripes — the layout change is
+  *    invisible to this code, which only equi-joins on (band, sig).
   */
 object StreamingDedup {
 
