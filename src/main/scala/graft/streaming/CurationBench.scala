@@ -3,15 +3,23 @@ package graft.streaming
 import org.apache.spark.sql.{SparkSession, functions => F}
 
 /** Measured evidence for the two curation surfaces that have no named
-  * oracle query: the self-growing streaming-dedup micro-batch and the
+  * oracle query: the self-growing streaming-dedup loop and the
   * manifest export writer. Prints one JSON line.
   *
-  * The streaming measurement answers the scale question the design doc
-  * raises: a micro-batch probe is a streamed hash join against the
-  * accumulated index, so per-batch cost grows with index SIZE (scan
-  * I/O), not with index×batch — this main pins the curve so the claim
-  * is measured, not asserted. Batch = 10% of the corpus docs; index =
-  * the other 90%, built through the same processBatch code path.
+  * What the streaming numbers DO measure: (a) per-batch cost as the
+  * BATCH grows (signature computation dominates; the index here
+  * saturates at unique-content size because the ScaleData corpora are
+  * ~96% near-dups by construction, so the probe side stays small at
+  * every factor); (b) that saturation itself — the accumulated index
+  * grows with novel content, not raw corpus. What they do NOT measure:
+  * probe cost against a LARGE index of novel content — that cost is
+  * the index scan and is bounded by layout (sorted/bucketed sig,
+  * runtime filters), per the design note in StreamingDedup.
+  *
+  * Index = 90% of corpus docs, built INCREMENTALLY through ten
+  * processBatch calls (each batch's self-join broadcast stays
+  * micro-batch-sized — the shape a real backfill must use); timed
+  * batch = the remaining 10%.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.streaming.CurationBench
   */
@@ -34,10 +42,12 @@ object CurationBench {
     val docs = graft.io.Tables.documents(spark, sfDir)
       .select(F.col("doc_id"), F.col("text"),
         F.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
-    val indexDocs = docs.filter(F.col("doc_id") % 10 =!= 0)
     val batchDocs = docs.filter(F.col("doc_id") % 10 === 0)
     val buildSec = timed {
-      StreamingDedup.processBatch(indexDocs, 0L, s"$work/index", s"$work/novel")
+      (1 to 9).foreach { k =>
+        StreamingDedup.processBatch(docs.filter(F.col("doc_id") % 10 === k),
+          k.toLong, s"$work/index", s"$work/novel")
+      }
     }
     val indexRows = spark.read.parquet(s"$work/index").count()
     val batchSec = timed {

@@ -121,10 +121,19 @@ object StreamingDedup {
     * WITHOUT a pre-dedup pass, so no per-batch shuffle of the
     * accumulated corpus ever happens. Requires doc_id unique across the
     * ingest (the ingest contract).
+    *
+    * The batch's signatures are BROADCAST into the self-join — correct
+    * for micro-batches (bounded by the trigger), wrong for a
+    * corpus-sized backfill: feed a backfill through multiple
+    * processBatch calls (see CurationBench's chunked index build) so
+    * each broadcast stays micro-batch-sized.
     */
   private[streaming] def processBatch(
       b: DataFrame, batchId: Long, indexPath: String, novelPath: String,
       minBands: Int = 2): Unit = {
+    // 4 bands are signed below; a threshold above that can never be
+    // met and would silently disable dedup entirely.
+    require(minBands >= 1 && minBands <= 4, s"minBands $minBands outside 1..4")
     val spark = b.sparkSession
     // Referenced by the self-join (both sides), the index probe, and
     // the novel-signature append — persist so the shingle+minhash pass

@@ -104,6 +104,38 @@ class StreamingDedupSpec extends SparkSpec {
     assert(indexed == Set(20L, 22L), s"dropped docs must not be indexed: $indexed")
   }
 
+  test("AND-amplification: a 1-band collision is kept, a >=2-band collision is dropped") {
+    import spark.implicits._
+    // Pull REAL pairs from the corpus at each evidence level, so the
+    // threshold is exercised against genuine minhash behavior rather
+    // than hand-made exact copies (which trivially match 4/4 bands).
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
+    val pairs = sigs.as("a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy("doc_id", "doc_b").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val oneBand = pairs.find(_._3 == 1).getOrElse(fail("corpus has no 1-band pair"))
+    val multiBand = pairs.find(_._3 >= 2).getOrElse(fail("corpus has no >=2-band pair"))
+    val text = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def verdict(pair: (Long, Long, Long)): Set[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("stream-bands").toString
+      def df(id: Long) = Seq((id, text(id), ts("2024-01-01 10:00:00"))).toDF("doc_id", "text", "ts")
+      StreamingDedup.processBatch(df(pair._1), 0L, s"$dir/index", s"$dir/novel")
+      StreamingDedup.processBatch(df(pair._2), 1L, s"$dir/index", s"$dir/novel")
+      spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
+    }
+    assert(verdict(oneBand) == Set(oneBand._1, oneBand._2),
+      s"1-band pair $oneBand is chance-level evidence and must be KEPT")
+    assert(verdict(multiBand) == Set(multiBand._1),
+      s">=2-band pair $multiBand is a near-dup and the later doc must be dropped")
+    intercept[IllegalArgumentException] {
+      StreamingDedup.processBatch(docs.limit(1).withColumn("ts", lit(ts("2024-01-01 10:00:00"))),
+        9L, "/tmp/never", "/tmp/never2", minBands = 5)
+    }
+  }
+
   test("a replayed micro-batch reproduces its novel set instead of rewriting it empty") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-replay").toString
