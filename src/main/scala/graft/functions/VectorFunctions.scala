@@ -37,6 +37,13 @@ object VectorFunctions {
     * the scanned relation, the optimizer restricts the scan to the
     * query vector's sign-bucket cell (partition pruning on a
     * bucket-partitioned layout). Without the rule, a pure passthrough.
+    *
+    * Layout contract: the scanned `bucket` column must have been
+    * computed by [[signBucket]] with the SAME `bits` as this marker.
+    * Declare the width at layout-write time with
+    * `AnnBucketProbe.recordLayoutBits` — the rule then degrades to a
+    * full scan on any mismatch instead of probing a cell the layout
+    * never wrote. An undeclared layout is trusted to match.
     */
   def annProbe(sim: Column, bits: Int = 8): Column =
     ExpressionUtils.column(AnnProbe(ExpressionUtils.expression(sim), bits))

@@ -174,26 +174,92 @@ object Curation {
        |FROM sc, t WHERE sc.xent <= t.thr ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_lm_filter_approx — the CLUSTER-SCALE form of the cut above, as a
+  // green query rather than a comment: the threshold comes from
+  // `approx_percentile` (a mergeable Greenwald-Khanna sketch with
+  // map-side partials — exact global ranks over 10^10 values don't
+  // scale; the sketch is one tree-reduce). Everything else is
+  // unchanged: the threshold is still ONE double broadcast into a
+  // compare. The sketch returns an ORDER STATISTIC whose rank is
+  // within count/accuracy of ceil(0.75 * count); at this accuracy that
+  // error is < 0.5 ranks for any corpus under ~50k scored docs, so the
+  // result is the exact rank-ceil(0.75 n) element and the oracle can
+  // pin it by selecting that rank directly. CurationSpec asserts the
+  // sketch-vs-exact gap stays inside the documented rank bound.
+  private val LmApproxAccuracy = 100000
+
+  private def lmFilterApprox(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmScored(s, dir)
+    val thr = scored
+      .agg(expr(s"approx_percentile(xent, 0.75, $LmApproxAccuracy)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("xent") <= col("thr"))
+      .select(col("doc_id"), col("xent"), round(col("thr"), 4).as("p75_approx"))
+      .orderBy("doc_id")
+  }
+
+  // The oracle spells out the sketch's rank convention: the value at
+  // 1-based rank ceil(0.75 * n) of the scored corpus.
+  private val lmFilterApproxSql =
+    s"""$lmScoredCte,
+       |t AS (
+       |  SELECT xent AS thr FROM (
+       |    SELECT xent, row_number() OVER (ORDER BY xent) AS r,
+       |           count(*) OVER () AS n FROM sc)
+       |  WHERE r = CAST(ceil(0.75 * n) AS BIGINT))
+       |SELECT doc_id, xent, round(t.thr, 4) AS p75_approx
+       |FROM sc, t WHERE sc.xent <= t.thr ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_dedup_incremental — dedupe an incoming batch (doc_id % 5 = 0, the
   // stand-in for "today's shard") against the already-indexed rest of
   // the corpus plus itself. Candidates form only inside (band, sig)
-  // buckets, and the corpus-vs-corpus pair space is never revisited:
-  // both joins broadcast the batch signatures against the streamed
-  // index — the index side is never shuffled.
-  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
-    val batch = sigs.filter(col("doc_id") % 5 === 0)
-    val index = sigs.filter(col("doc_id") % 5 =!= 0)
-    val vsIndex = index
-      .join(broadcast(batch.select(col("band"), col("sig"), col("doc_id").as("doc_new"))),
+  // buckets, and the corpus-vs-corpus pair space is never revisited.
+
+  /** Broadcast gate for the batch side of [[incrementalCandidates]]:
+    * sig rows (≤ 4 per doc) at or below this broadcast; above it the
+    * hint is withheld. A real ingest micro-batch sits far below the
+    * cap; a backfill "batch" that is a big slice of the corpus (like
+    * this named query's 20 % stand-in at large SF) must NOT be forced
+    * executor-resident — 1M sig rows ≈ tens of MB, the upper edge of a
+    * sane broadcast.
+    */
+  private[operators] val MaxBroadcastSigRows = 1000000L
+
+  /** Candidate near-dup pairs of a batch vs an indexed corpus and vs
+    * itself — the incremental-dedup core. The batch signature table is
+    * counted up front (one cheap job at micro-batch sizes — the price
+    * of an HONEST broadcast decision) and broadcast only when it is
+    * actually micro-batch sized; the index side streams through
+    * map-side hash joins in that regime and is never shuffled. Above
+    * the cap no hint is planted and the join falls back to the
+    * engine's choice (shuffle join, or AQE's runtime broadcast if
+    * stats allow) — a 20 %-of-corpus backfill at 100 TB must not be
+    * forced into executor memory by a hint that was only ever true
+    * for micro-batches.
+    */
+  private[operators] def incrementalCandidates(
+      batchSigs: DataFrame, indexSigs: DataFrame,
+      maxBroadcastSigRows: Long = MaxBroadcastSigRows): DataFrame = {
+    val batchSized = batchSigs.count() <= maxBroadcastSigRows
+    def hinted(df: DataFrame): DataFrame = if (batchSized) broadcast(df) else df
+    val vsIndex = indexSigs
+      .join(hinted(batchSigs.select(col("band"), col("sig"), col("doc_id").as("doc_new"))),
         Seq("band", "sig"))
       .select(col("doc_new"), col("doc_id").as("doc_other"), lit("index").as("origin"))
-    val vsBatch = batch.select(col("band"), col("sig"), col("doc_id").as("doc_other"))
-      .join(broadcast(batch.select(col("band"), col("sig"), col("doc_id").as("doc_new"))),
+    val vsBatch = batchSigs.select(col("band"), col("sig"), col("doc_id").as("doc_other"))
+      .join(hinted(batchSigs.select(col("band"), col("sig"), col("doc_id").as("doc_new"))),
         Seq("band", "sig"))
       .filter(col("doc_other") < col("doc_new"))
       .select(col("doc_new"), col("doc_other"), lit("batch").as("origin"))
     vsIndex.unionByName(vsBatch)
+  }
+
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
+    val batch = sigs.filter(col("doc_id") % 5 === 0)
+    val index = sigs.filter(col("doc_id") % 5 =!= 0)
+    incrementalCandidates(batch, index)
       .groupBy("doc_new", "doc_other", "origin")
       .agg(count(lit(1)).as("bands_matched"))
       .orderBy("doc_new", "doc_other", "origin")
@@ -511,6 +577,7 @@ object Curation {
   val all: Seq[Q] = Seq(
     Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("q_lm_filter", lmFilter, Some(lmFilterSql)),
+    Q("q_lm_filter_approx", lmFilterApprox, Some(lmFilterApproxSql)),
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("q_span_dedup", spanDedup, Some(spanDedupSql)),
     Q("q_quantized_knn", quantizedKnn, Some(quantizedKnnSql)),

@@ -64,18 +64,19 @@ object Dedup {
       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
   // n-gram Jaccard similarity over a linear candidate pair set
-  // (consecutive doc ids) — the verification stage of near-dup.
+  // (consecutive doc ids) — the verification stage of near-dup. The
+  // same token-set Jaccard confirms band-collision candidates in
+  // StreamingDedup's verified-drop mode (TextAnalysisShared.jaccardSets
+  // is the one shared formula).
   private def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val a = docs.select(col("doc_id").as("doc_a"),
-      array_distinct(split(col("text"), " ")).as("ta"))
+      TextAnalysisShared.tokenSet(col("text")).as("ta"))
     val b = docs.select(col("doc_id").as("doc_b"),
-      array_distinct(split(col("text"), " ")).as("tb"))
-    val inter = size(array_intersect(col("ta"), col("tb")))
-    val uni = size(col("ta")) + size(col("tb")) - inter
+      TextAnalysisShared.tokenSet(col("text")).as("tb"))
     a.join(b, col("doc_b") === col("doc_a") + 1)
       .select(col("doc_a"), col("doc_b"),
-        round(inter.cast("double") / uni, 6).as("jaccard"))
+        round(TextAnalysisShared.jaccardSets(col("ta"), col("tb")), 6).as("jaccard"))
       .orderBy("doc_a")
   }
 
@@ -163,6 +164,19 @@ private[graft] object TextAnalysisShared {
 
   /** 3-token shingles — the MinHash unit. */
   def shingles(textCol: Column): Column = ngrams(textCol, 3)
+
+  /** Distinct whitespace tokens — the set under token-set Jaccard. */
+  def tokenSet(textCol: Column): Column = array_distinct(split(textCol, " "))
+
+  /** Token-set Jaccard over two [[tokenSet]] columns — the near-dup
+    * VERIFICATION measure (q_dedup_jaccard_pairs, and the confirm leg
+    * of StreamingDedup's verified-drop mode). Unrounded; callers round
+    * for presentation.
+    */
+  def jaccardSets(ta: Column, tb: Column): Column = {
+    val inter = size(array_intersect(ta, tb))
+    inter.cast("double") / (size(ta) + size(tb) - inter)
+  }
 
   /** 60-bit hash of a string column: the first 15 hex chars of its md5,
     * as a non-negative long — the one string→int64 hash every keyed

@@ -113,11 +113,15 @@ object VectorSearch {
       s"${System.getProperty("java.io.tmpdir")}/graft_ann_cells_$h"
     }
     val done = new org.apache.hadoop.fs.Path(layout, "_SUCCESS")
-    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
       Tables.embeddings(s, dir)
         .withColumn("bucket", signBucket(col("embedding"), 8))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("bucket").parquet(layout)
+      // Declare the layout's bit width so a probe with mismatched bits
+      // full-scans instead of reading a wrong cell.
+      graft.plans.AnnBucketProbe.recordLayoutBits(s, layout, 8)
+    }
     val q = queryVec(s, dir, 0L)
     s.read.parquet(layout)
       .select(col("vec_id"), col("bucket").cast("long").as("bucket"),

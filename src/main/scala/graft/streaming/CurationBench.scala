@@ -50,8 +50,11 @@ object CurationBench {
       }
     }
     val indexRows = spark.read.parquet(s"$work/index").count()
+    // A batch id OUTSIDE the build loop's 1..9: batch writes overwrite
+    // their own batch_id partition (novel AND index), so reusing id 1
+    // here would clobber the build loop's partitions.
     val batchSec = timed {
-      StreamingDedup.processBatch(batchDocs, 1L, s"$work/index", s"$work/novel")
+      StreamingDedup.processBatch(batchDocs, 10L, s"$work/index", s"$work/novel")
     }
     val batchCount = batchDocs.count()
 

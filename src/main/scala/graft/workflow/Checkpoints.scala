@@ -58,6 +58,12 @@ object Checkpoints {
   /** Merge parallel branch states key-wise with named reducers
     * (reducers.py:294-363): state rows are (branch, key, value, seq);
     * the reducer registry (A6) picks the aggregate per key.
+    *
+    * Numeric domain: values flow through double, so integral rendering
+    * is exact only strictly inside ±2^53 (the reference's Python ints
+    * are arbitrary-precision). At or beyond that the integrality test
+    * is unreliable — a magnitude guard routes such results to the
+    * plain double rendering instead of fabricating a wrong long.
     */
   def mergeBranchStates(
       states: DataFrame,
@@ -86,6 +92,11 @@ object Checkpoints {
     def numStr(c: Column, renderFloat: Column): Column =
       when(c.isNull, lit(null).cast("string"))
         .when(!coalesce(renderFloat, lit(false))
+          // At or past 2^53 a double can't certify integrality (2^53
+          // itself is reachable from both 2^53 and 2^53+1; beyond, a
+          // long cast may overflow): render via double instead of a
+          // possibly-wrong long. See the method scaladoc.
+          && abs(c) < lit(9007199254740992.0)
           && (c === c.cast("long").cast("double")), c.cast("long").cast("string"))
         .otherwise(c.cast("string"))
     def rendered(reducer: String): Column = reducer match {

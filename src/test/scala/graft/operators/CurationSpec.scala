@@ -69,6 +69,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("approx LM cut stays within the sketch's documented rank bound of the exact cut") {
+    val xents = run("q_lm_quality").collect().map(_.getDouble(2)).sorted
+    val n = xents.length
+    val out = run("q_lm_filter_approx").collect()
+    val thrA = out.head.getDouble(2)
+    assert(out.forall(_.getDouble(2) == thrA), "one global sketch threshold")
+    // approx_percentile returns an order statistic whose rank is within
+    // n/accuracy of ceil(0.75 n) — at accuracy 100000 that is < 1 rank
+    // for this corpus, but assert the SKETCH'S bound, not exactness.
+    val target = math.ceil(0.75 * n).toInt
+    val tol = math.max(1, math.ceil(n / 100000.0).toInt)
+    // xent values are pre-rounded to 4 decimals, so the sketch result
+    // is literally one of them; ties at the threshold legitimately push
+    // the <=-count past the target rank.
+    val ties = xents.count(_ == thrA)
+    val rank = xents.count(_ <= thrA)
+    assert(rank >= target - tol && rank <= target + tol + (ties - 1),
+      s"sketch threshold $thrA has rank $rank, outside ceil(0.75*$n)=$target ± $tol (+$ties ties)")
+    // The kept set may differ from the exact continuous cut only inside
+    // the rank-error window (plus interpolation picking up one tie).
+    val keptExact = run("q_lm_filter").collect().map(_.getLong(0)).toSet
+    val keptApprox = out.map(_.getLong(0)).toSet
+    val sym = (keptApprox -- keptExact).size + (keptExact -- keptApprox).size
+    assert(sym <= tol + ties,
+      s"approx and exact cuts diverge by $sym docs (bound ${tol + ties})")
+  }
+
   // ---------------------------------------------------- incremental dedup
   test("incremental dedup ≡ full MinHash-LSH restricted to batch-touching pairs") {
     val inc = run("q_dedup_incremental").collect()
@@ -93,6 +120,40 @@ class CurationSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"index side got shuffle-joined:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("incremental broadcast is gated: hinted for a micro-batch, withheld when oversized") {
+    val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(spark, Sf), 4)
+    val batch = sigs.filter(col("doc_id") % 5 === 0)
+    val index = sigs.filter(col("doc_id") % 5 =!= 0)
+    // Disable size-based auto-broadcast (planner AND adaptive) so the
+    // plans below show exactly what the GATE decided, not what tiny
+    // test data would get for free.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val hinted = Curation.incrementalCandidates(batch, index)
+      val hp = hinted.queryExecution.executedPlan.toString
+      assert(hp.contains("BroadcastHashJoin"), s"micro-batch regime must broadcast:\n$hp")
+      assert(!hp.contains("SortMergeJoin"), s"index side shuffle-joined in hinted regime:\n$hp")
+      val unhinted = Curation.incrementalCandidates(batch, index, maxBroadcastSigRows = 0L)
+      val up = unhinted.queryExecution.executedPlan.toString
+      assert(!up.contains("BroadcastHashJoin"),
+        s"oversized batch must NOT be forced executor-resident:\n$up")
+      assert(up.contains("SortMergeJoin") || up.contains("ShuffledHashJoin"),
+        s"oversized regime should shuffle-join:\n$up")
+      // Same answer in both regimes — the gate changes the plan, never
+      // the result.
+      def key(df: DataFrame) = df.groupBy("doc_new", "doc_other", "origin").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getLong(3)).toMap
+      assert(key(hinted) == key(unhinted), "gate changed results between regimes")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAdaptive)
+    }
   }
 
   test("span dedup matches an independent in-memory recomputation") {

@@ -18,6 +18,7 @@ class AnnProbeRuleSpec extends SparkSpec {
     Tables.embeddings(spark, Sf)
       .withColumn("bucket", VectorFunctions.signBucket(col("embedding"), 8))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+    AnnBucketProbe.recordLayoutBits(spark, dir, 8)
     dir
   }
 
@@ -115,6 +116,38 @@ class AnnProbeRuleSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("annprobe"), s"markers must still strip:\n$plan")
     assert(df.collect().forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-6),
       "self-cosine must survive the veto path intact")
+  }
+
+  test("a layout declaring different bits than the marker full-scans instead of probing") {
+    AnnBucketProbe.install(spark)
+    val q = queryVec
+    // A 6-bit layout: its cell ids live in 0..63, so an 8-bit marker's
+    // cell (which sets bits 6-7 for this corpus's query) names a
+    // directory this layout never wrote — probing it would silently
+    // return a wrong (often empty) candidate set.
+    val dir6 = s"${System.getProperty("java.io.tmpdir")}/graft_annrule_spec6"
+    Tables.embeddings(spark, Sf)
+      .withColumn("bucket", VectorFunctions.signBucket(col("embedding"), 6))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir6)
+    AnnBucketProbe.recordLayoutBits(spark, dir6, 6)
+    def probe(bits: Int) = spark.read.parquet(dir6)
+      .select(col("vec_id"),
+        round(VectorFunctions.annProbe(VectorFunctions.cosineConst(col("embedding"), q), bits), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    val mismatched = probe(8)
+    val plan = mismatched.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: []"),
+      s"8-bit marker over a declared 6-bit layout must not narrow:\n$plan")
+    val exact = spark.read.parquet(dir6)
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineConst(col("embedding"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    assert(mismatched.collect().toSeq == exact.collect().toSeq,
+      "the degraded plan must still compute exact similarities")
+    // Matching bits on the same declared layout still prune.
+    assert("PartitionFilters: \\[isnotnull\\(bucket#\\d+\\), \\(bucket#\\d+ = \\d+\\)\\]".r
+      .findFirstIn(probe(6).queryExecution.executedPlan.toString).isDefined,
+      "a matching declaration must keep pruning")
   }
 
   test("install is idempotent") {

@@ -136,6 +136,69 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("verify mode keeps a band-colliding non-duplicate and still drops true duplicates") {
+    import spark.implicits._
+    // Construct a REAL band false positive: a shared 16-token core whose
+    // shingles can win the per-band minima, plus 25-token unique tails
+    // that keep token-set Jaccard at ~16/66 ≈ 0.24 — far below τ = 0.5.
+    // Which pairs collide on ≥ 2 bands depends on the hash draws, so
+    // search 100 constructed pairs in one job and use the first hit.
+    val core = (1 to 16).map(k => s"core$k").mkString(" ")
+    def doc(side: Char, i: Int) =
+      s"$core " + (1 to 25).map(k => s"$side${i}x$k").mkString(" ")
+    val cand = (0 until 100).flatMap(i =>
+      Seq((1000L + i, doc('a', i)), (2000L + i, doc('b', i)))).toDF("doc_id", "text")
+    val sigs = TextAnalysisShared.bandedMinhashSigs(cand, 4)
+    val hits = sigs
+      .join(sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("doc_b") === col("doc_id") + 1000)
+      .groupBy("doc_id").agg(countDistinct("band").as("nb"))
+      .filter(col("nb") >= 2)
+      .select("doc_id").as[Long].collect()
+    assert(hits.nonEmpty, "no constructed 2-band collider found; widen the search")
+    val i = (hits.min - 1000).toInt
+    val (aId, aText) = (1000L + i, doc('a', i))
+    val (bId, bText) = (2000L + i, doc('b', i))
+    val jac = {
+      val (sa, sb) = (aText.split(" ").toSet, bText.split(" ").toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(jac < 0.5, s"collider pair must be genuinely dissimilar, jaccard=$jac")
+    def run(verify: Option[Double]): Set[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("stream-verify").toString
+      def df(id: Long, text: String) =
+        Seq((id, text, ts("2024-01-01 10:00:00"))).toDF("doc_id", "text", "ts")
+      StreamingDedup.processBatch(df(aId, aText), 0L, s"$dir/index", s"$dir/novel",
+        verifyJaccard = verify)
+      StreamingDedup.processBatch(df(bId, bText), 1L, s"$dir/index", s"$dir/novel",
+        verifyJaccard = verify)
+      spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
+    }
+    assert(run(None) == Set(aId),
+      "band-only mode must drop the collider (the false positive this leg exists for)")
+    assert(run(Some(0.5)) == Set(aId, bId),
+      "verify mode must keep the low-Jaccard band collider")
+    // True duplicates still drop in verify mode — both legs: a copy in
+    // the SAME batch (within-batch leg) and a later copy (index leg,
+    // confirmed against text re-read from the novel output).
+    val dir = java.nio.file.Files.createTempDirectory("stream-verify-dup").toString
+    val twin = Seq((50L, aText, ts("2024-01-01 10:00:00")),
+      (51L, aText, ts("2024-01-01 10:00:01"))).toDF("doc_id", "text", "ts")
+    StreamingDedup.processBatch(twin, 0L, s"$dir/index", s"$dir/novel",
+      verifyJaccard = Some(0.5))
+    val afterTwin = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
+    assert(afterTwin == Set(50L), s"within-batch true dup must drop in verify mode: $afterTwin")
+    val later = Seq((52L, aText, ts("2024-01-01 10:05:00"))).toDF("doc_id", "text", "ts")
+    StreamingDedup.processBatch(later, 1L, s"$dir/index", s"$dir/novel",
+      verifyJaccard = Some(0.5))
+    val afterLater = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
+    assert(afterLater == Set(50L), s"vs-index true dup must drop in verify mode: $afterLater")
+    intercept[IllegalArgumentException] {
+      StreamingDedup.processBatch(twin, 9L, "/tmp/never3", "/tmp/never4",
+        verifyJaccard = Some(1.5))
+    }
+  }
+
   test("a replayed micro-batch reproduces its novel set instead of rewriting it empty") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-replay").toString
@@ -150,12 +213,18 @@ class StreamingDedupSpec extends SparkSpec {
     StreamingDedup.processBatch(batch, 0L, s"$dir/index", s"$dir/novel")
     val first = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
     assert(first == Set(10L, 11L), s"within-batch dup 13 must be dropped: $first")
-    // Crash-after-index-append, restart, replay of the SAME batch: the
+    val firstIndexRows = spark.read.parquet(s"$dir/index").count()
+    // Crash-after-index-write, restart, replay of the SAME batch: the
     // docs' own signatures are already indexed, and must not make the
     // replay classify them as duplicates.
     StreamingDedup.processBatch(batch, 0L, s"$dir/index", s"$dir/novel")
     val replayed = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
     assert(replayed == Set(10L, 11L), s"replay changed the novel set: $replayed")
+    // The signature write overwrites its own batch_id partition, so a
+    // replay must not grow the index either.
+    val replayedIndexRows = spark.read.parquet(s"$dir/index").count()
+    assert(replayedIndexRows == firstIndexRows,
+      s"replay grew the index: $firstIndexRows -> $replayedIndexRows rows")
     // And a LATER batch still sees them as duplicates (dedup verdicts
     // unchanged by the doubled signature rows).
     val later = Seq((12L, "alpha beta gamma delta epsilon zeta eta theta",

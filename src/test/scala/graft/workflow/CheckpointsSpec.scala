@@ -89,4 +89,26 @@ class CheckpointsSpec extends SparkSpec {
     assert(merged("mixed_sum") == "4.0")
     assert(merged("tie_min") == "2")
   }
+
+  test("integral rendering is magnitude-guarded: past 2^53 no long is fabricated") {
+    import spark.implicits._
+    val states = Seq(
+      // 2^53 - 1: the largest integral a double can still certify.
+      ("b1", "in_range", "9007199254740991", 1L),
+      // 2^53 itself is ambiguous (reachable from 2^53 AND 2^53 + 1 —
+      // "9007199254740993" casts to the same double) — the guard routes
+      // to the double rendering instead of printing a long the input
+      // may never have been. The documented domain is (-2^53, 2^53).
+      ("b1", "at_2p53", "9007199254740993", 1L),
+      ("b1", "huge", "123456789012345678901234567890", 1L)
+    ).toDF("branch", "key", "value", "seq")
+    val merged = Checkpoints.mergeBranchStates(
+      states, Map("in_range" -> "max", "at_2p53" -> "max", "huge" -> "max"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged("in_range") == "9007199254740991")
+    // Both out-of-domain results render as the double they became —
+    // visibly lossy (scientific notation), never a silently wrong long.
+    assert(merged("at_2p53") == "9.007199254740992E15")
+    assert(merged("huge") == "1.2345678901234568E29")
+  }
 }
