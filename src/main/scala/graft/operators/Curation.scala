@@ -574,6 +574,24 @@ object Curation {
     s.read.parquet(outPath).count()
   }
 
+  /** Stream one (split, shard) cell of an [[exportManifest]] layout in
+    * training order — the reader half of the writer/reader contract.
+    * Order is assembled from pure file METADATA (lexicographic file
+    * path, then within-file row index): no data column is consulted,
+    * so what this returns is exactly the order a non-Spark sequential
+    * loader gets by reading the cell's files in name order, rows in
+    * byte order — and CurationSpec pins that byte order == ascending
+    * `pos` even across multi-file cells (a cell later compacted or
+    * appended in file-name order keeps the contract). The metadata
+    * sort never consults payload columns and is scoped to the one
+    * cell being read, never the corpus.
+    */
+  def readShard(s: SparkSession, outPath: String, split: String, shard: Long): DataFrame = {
+    val dir = s"$outPath/split=$split/shard=$shard"
+    s.read.parquet(dir)
+      .orderBy(col("_metadata.file_path"), col("_metadata.row_index"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("q_lm_filter", lmFilter, Some(lmFilterSql)),

@@ -289,6 +289,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("shard reader streams a multi-file cell in training order (byte order == pos)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("manifest-read").toString + "/corpus"
+    Curation.exportManifest(spark, Sf, out)
+    val manifest = run("q_pipeline_e2e").collect()
+    val (split, shard) = manifest.groupBy(r => (r.getString(2), r.getLong(3)))
+      .maxBy(_._2.length)._1
+    val dir = s"$out/split=$split/shard=$shard"
+    val n = spark.read.parquet(dir).count()
+    // Graft a SECOND file onto the cell, continuing the training order;
+    // its name sorts after the writer's part-00000-* so byte order
+    // (files in name order, rows in file order) extends the sequence.
+    val tmp2 = java.nio.file.Files.createTempDirectory("manifest-extra").toString + "/extra"
+    Seq((900001L, 1.0, n + 1), (900002L, 1.0, n + 2)).toDF("doc_id", "xent", "pos")
+      .coalesce(1).sortWithinPartitions("pos").write.parquet(tmp2)
+    val src = new java.io.File(tmp2).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath,
+      java.nio.file.Paths.get(dir, "part-99999-extra.parquet"))
+    val read = Curation.readShard(spark, out, split, shard)
+    // The contract consults only file metadata — the payload schema
+    // comes back untouched, no metadata or order column leaks.
+    assert(read.columns.toSeq == Seq("doc_id", "xent", "pos"))
+    val pos = read.select("pos").as[Long].collect()
+    assert(pos.sameElements(1L to (n + 2)),
+      s"reader order != training order: ${pos.take(5).mkString(",")}… (${pos.length} rows)")
+  }
+
   // --------------------------------------------------------- shard order
   test("shard order covers every doc once with contiguous per-shard positions") {
     val rows = run("q_shard_order").collect()
