@@ -22,12 +22,22 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      // NANOS files surface ts as a raw long under the legacy conf and
-      // need the micros conversion; self-generated corpora (ScaleData)
-      // carry a normal TIMESTAMP(MICROS) ts already.
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      // The generator has shipped three physical encodings of `ts` across
+      // rounds; normalize all of them to TimestampType (micros) so every
+      // downstream unix_micros()/window sees one type:
+      //  - TIMESTAMP(NANOS): surfaces as a raw long under the legacy conf
+      //  - TIMESTAMP_NTZ (isAdjustedToUTC=false): cast via the session
+      //    time zone — every entrypoint pins spark.sql.session.timeZone
+      //    to UTC, so the wall clock maps 1:1 onto epoch micros exactly
+      //    as DuckDB reads the same naive values
+      //  - TIMESTAMP(MICROS): already what we want
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
