@@ -116,15 +116,18 @@ object Lifecycle {
   // iterative min-label propagation (lineage truncated per round) →
   // per-group merge aggregates. The loop runs to fixpoint — component
   // diameter iterations, each a bucket-local join, never O(n²).
-  private def consolidateMerge(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** Connected-component labels (node → comp, comp = min doc_id of the
+    * component) of the MinHash-LSH candidate graph, over the bipartite
+    * doc ↔ (band, sig) bucket membership graph — connectivity is
+    * identical to the pairwise candidate graph, but CC never
+    * materializes the (quadratic-in-bucket) pair set: each round is two
+    * map-side-combined groupBys. Restricted to buckets with ≥ 2 members
+    * so the node set matches the pair formulation (singleton docs are
+    * not duplicate candidates). Shared by the consolidation merge here
+    * and Selection's canonical-doc pick.
+    */
+  private[operators] def minhashCcLabels(docs: DataFrame): DataFrame = {
     val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
-    // Connected components over the bipartite doc ↔ (band, sig) bucket
-    // membership graph — connectivity is identical to the pairwise
-    // candidate graph, but CC never materializes the (quadratic-in-
-    // bucket) pair set: each round is two map-side-combined groupBys.
-    // Restrict to buckets with ≥ 2 members so the node set matches the
-    // pair formulation (singleton docs are not duplicate candidates).
     val memberships = sigs
       .select(col("doc_id"), concat_ws("|", col("band"), col("sig")).as("bucket"))
     val sharedBuckets = memberships.groupBy("bucket")
@@ -154,7 +157,12 @@ object Lifecycle {
       labels = next
       if (currSum == prevSum) converged = true else prevSum = currSum
     }
-    labels.join(docs, col("node") === col("doc_id"))
+    labels
+  }
+
+  private def consolidateMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    minhashCcLabels(docs).join(docs, col("node") === col("doc_id"))
       .groupBy("comp")
       .agg(count(lit(1)).as("group_size"),
         min("doc_id").as("rep_doc"),
@@ -163,8 +171,13 @@ object Lifecycle {
       .orderBy("comp")
   }
 
-  private val consolidateMergeSql =
-    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** Oracle CTE chain computing the CC labels (`comp(node, comp)`) of
+    * the MinHash-LSH candidate graph — the DuckDB twin of
+    * [[minhashCcLabels]], shared so the label formula exists in one
+    * copy. Prepend `WITH RECURSIVE` and chain further CTEs after it.
+    */
+  private[operators] val minhashCcCteSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (
       |  SELECT doc_id,
       |    unnest(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))) AS shingle
@@ -184,11 +197,14 @@ object Lifecycle {
       |  SELECT src, src FROM edges
       |  UNION
       |  SELECT e.dst, r.minid FROM reach r JOIN edges e ON e.src = r.node),
-      |comp AS (SELECT node, min(minid) AS comp FROM reach GROUP BY node)
-      |SELECT c.comp, count(*)::BIGINT AS group_size, min(d.doc_id) AS rep_doc,
-      |  sum(d.n_chars)::BIGINT AS sum_chars, round(avg(d.n_chars), 4) AS avg_chars
-      |FROM comp c JOIN documents d ON c.node = d.doc_id
-      |GROUP BY c.comp ORDER BY c.comp""".stripMargin
+      |comp AS (SELECT node, min(minid) AS comp FROM reach GROUP BY node)""".stripMargin
+
+  private val consolidateMergeSql =
+    s"""WITH RECURSIVE $minhashCcCteSql
+       |SELECT c.comp, count(*)::BIGINT AS group_size, min(d.doc_id) AS rep_doc,
+       |  sum(d.n_chars)::BIGINT AS sum_chars, round(avg(d.n_chars), 4) AS avg_chars
+       |FROM comp c JOIN documents d ON c.node = d.doc_id
+       |GROUP BY c.comp ORDER BY c.comp""".stripMargin
 
   // -------------------------------------------------------------------
   // A6 state reducers: the reducer registry applied key-wise per user.

@@ -1,0 +1,258 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-selection pack — the "which documents do we train on" operators
+  * that sit between dedup and export in a pretraining pipeline, built
+  * from published recipes (none of this exists in the reference; it is
+  * the 100 TB curation surface the build mandate asks for):
+  *
+  *  - q_dsir_select — DSIR-style importance resampling (Xie et al.,
+  *    "Data Selection for Language Models via Importance Resampling",
+  *    NeurIPS 2023): hashed-unigram bag-of-words models of a target
+  *    slice and of the raw corpus; a document's log importance weight
+  *    is the sum over its tokens of log p_target − log p_raw. BOTH
+  *    models are bounded at `DsirBuckets` rows by construction (the
+  *    feature space is the hash range, not the vocabulary), so they
+  *    broadcast at ANY corpus size — the corpus itself is touched by
+  *    exactly one explode + map-side-combined aggregate.
+  *
+  *  - q_semantic_dedup — SemDeDup-style semantic dedup (Abbas et al.,
+  *    2023): assign every embedding to its nearest codebook centroid,
+  *    then inside each cluster drop all but one of every near-identical
+  *    group (pairwise cosine ≥ τ), keeping the member FARTHEST from the
+  *    centroid (lowest centroid-sim — the paper's diversity-preserving
+  *    choice). The codebook is k rows and broadcasts; pairwise work is
+  *    cluster-local, never corpus-wide — the exact blocking SemDeDup
+  *    uses to make within-cluster O(c²) affordable at web scale.
+  *
+  *  - q_dedup_canonical — canonical-document selection over near-dup
+  *    clusters: the MinHash-LSH connected components (shared with
+  *    q_consolidate_merge) with a per-cluster argmax instead of a
+  *    min-id representative — keep the LONGEST member (the common
+  *    curation heuristic: near-dup groups keep their most complete
+  *    copy, not their first-seen copy).
+  */
+object Selection {
+
+  // -------------------------------------------------------------------
+  // q_dsir_select — hashed n-gram importance weights.
+
+  /** Hashed feature space size. Fixed and small: the model tables are
+    * ≤ this many rows no matter how large the corpus or vocabulary —
+    * that bound (not a top-k cut) is what makes the broadcast safe by
+    * construction.
+    */
+  private val DsirBuckets = 1024L
+
+  /** The "target" distribution: a curated-like source slice standing in
+    * for the high-quality corpus DSIR resamples toward (in the paper:
+    * Wikipedia + books; here: four named sources of the documents
+    * table).
+    */
+  private val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
+
+  private def hashedTokens(docs: DataFrame): DataFrame =
+    Tables.spread(docs)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("source"),
+        (TextAnalysisShared.hash64(col("w")) % DsirBuckets).as("b"))
+
+  private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val tok = hashedTokens(Tables.documents(s, dir))
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    // Bucket-count models. Add-one smoothing over the hash range keeps
+    // unseen buckets finite; totals ride along as 1-row broadcasts.
+    val tgt = tok.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+    val nt = tok.filter(isTarget).agg(count(lit(1)).as("n_t"))
+    val nr = tok.agg(count(lit(1)).as("n_r"))
+    // log importance weight per token occurrence, summed per document.
+    // Weights feed all downstream decisions as the ROUNDED value in
+    // both engines so the selected set cannot flip on last-ulp
+    // sum-order differences.
+    val scored = tok
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("doc_id"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            (col("n_t") + lit(DsirBuckets.toDouble))) -
+          log((coalesce(col("cr"), lit(0L)) + lit(1.0)) /
+            (col("n_r") + lit(DsirBuckets.toDouble)))).as("lw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), round(sum("lw"), 4).as("logw"))
+    // Resample the most-target-like quartile: the selection threshold
+    // is ONE double (the p75 of the weights) broadcast into a compare —
+    // the same shape as q_lm_filter's cut, with the documented
+    // approx_percentile swap at cluster scale.
+    val thr = scored.agg(expr("percentile(logw, 0.75)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("selected", (col("logw") >= col("thr")).cast("int"))
+      .select("doc_id", "n_toks", "logw", "selected")
+      .orderBy("doc_id")
+  }
+
+  private val dsirTargetInSql =
+    DsirTargetSources.map(s0 => s"'$s0'").mkString("(", ", ", ")")
+
+  private val dsirSelectSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)),
+       |tm AS (SELECT b, count(*)::BIGINT AS ct FROM tok
+       |       WHERE source IN $dsirTargetInSql GROUP BY 1),
+       |rm AS (SELECT b, count(*)::BIGINT AS cr FROM tok GROUP BY 1),
+       |nt AS (SELECT count(*)::BIGINT AS n_t FROM tok WHERE source IN $dsirTargetInSql),
+       |nr AS (SELECT count(*)::BIGINT AS n_r FROM tok),
+       |sc AS (
+       |  SELECT tok.doc_id,
+       |    ln((coalesce(tm.ct, 0) + 1.0) / (nt.n_t + $DsirBuckets.0)) -
+       |    ln((coalesce(rm.cr, 0) + 1.0) / (nr.n_r + $DsirBuckets.0)) AS lw
+       |  FROM tok
+       |  LEFT JOIN tm USING (b)
+       |  LEFT JOIN rm USING (b)
+       |  CROSS JOIN nt CROSS JOIN nr),
+       |dw AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_toks, round(sum(lw), 4) AS logw
+       |  FROM sc GROUP BY doc_id),
+       |t AS (SELECT quantile_cont(logw, 0.75) AS thr FROM dw)
+       |SELECT doc_id, n_toks, logw, (logw >= t.thr)::INT AS selected
+       |FROM dw, t ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_semantic_dedup — codebook assign + within-cluster near-dup drop.
+
+  /** Pairwise-cosine threshold above which two same-cluster members are
+    * semantic duplicates (0.3 matches the embedding-dedup family on
+    * this synthetic corpus; SemDeDup's web-scale setting is ~0.95+).
+    */
+  private val SemTau = 0.3
+
+  /** The k-entry codebook: per-label mean vectors. At 100 TB the
+    * codebook is trained on a sample (k-means); its SIZE is k — always
+    * broadcast — regardless of corpus size. Elements are rounded to 6
+    * decimals so both engines assign against bit-identical centroids.
+    */
+  private def codebook(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+      .select(col("label").as("cl"), col("centroid"))
+
+  /** Nearest-centroid assignment: k broadcast rows against the corpus,
+    * argmax by (rounded cosine desc, centroid id) — the IVF coarse
+    * assign, and the clustering step SemDeDup blocks on.
+    */
+  private def assigned(e: DataFrame): DataFrame = {
+    val sim = e.crossJoin(broadcast(codebook(e)))
+      .withColumn("csim",
+        round(VectorFunctions.cosineHof(col("embedding"), col("centroid")), 4))
+    val rank = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cl"))
+    sim.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cl").as("cluster"), col("csim"), col("embedding"))
+  }
+
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val asg = assigned(Tables.embeddings(s, dir))
+    // A member is dropped when a same-cluster near-identical member
+    // (pairwise cosine ≥ τ) exists that is FARTHER from the centroid
+    // (strictly lower csim, id as the tie-break) — so each duplicate
+    // neighborhood keeps exactly its (csim, id)-minimal member, the
+    // diversity-preserving choice. Cluster-local pairs only: the join
+    // key is the cluster id, never a corpus-wide cross.
+    val other = asg.select(col("cluster"), col("vec_id").as("o_id"),
+      col("csim").as("o_csim"), col("embedding").as("o_emb"))
+    val dropped = asg.join(other, Seq("cluster"))
+      .filter(col("o_id") =!= col("vec_id"))
+      .filter(round(VectorFunctions.cosine(col("embedding"), col("o_emb")), 4) >= SemTau)
+      .filter(col("o_csim") < col("csim") ||
+        (col("o_csim") === col("csim") && col("o_id") < col("vec_id")))
+      .select("vec_id").distinct()
+      .withColumn("is_dropped", lit(1))
+    asg.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("csim"),
+        when(col("is_dropped").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  // The oracle pins the corpus contract's 64-dim embeddings (the Spark
+  // side is dimension-agnostic via posexplode).
+  private val semanticDedupSql =
+    s"""WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cen AS (
+       |  SELECT label AS cl, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT label, pos, round(avg(v[pos]), 6) AS c
+       |    FROM el CROSS JOIN
+       |      (SELECT unnest(generate_series(1, 64)) AS pos) g
+       |    GROUP BY label, pos)
+       |  GROUP BY label),
+       |asg AS (
+       |  SELECT vec_id, cl AS cluster, csim, v FROM (
+       |    SELECT el.vec_id, el.v, cen.cl,
+       |      round(list_cosine_similarity(el.v, cen.cv), 4) AS csim,
+       |      row_number() OVER (PARTITION BY el.vec_id
+       |        ORDER BY round(list_cosine_similarity(el.v, cen.cv), 4) DESC, cen.cl) AS rn
+       |    FROM el CROSS JOIN cen)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg b JOIN asg a ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $SemTau
+       |    AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id)))
+       |SELECT asg.vec_id, cluster, csim,
+       |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS kept
+       |FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_dedup_canonical — keep the best member of each near-dup cluster.
+
+  private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labeled = Lifecycle.minhashCcLabels(docs)
+      .join(docs, col("node") === col("doc_id"))
+    // Per-cluster argmax by (n_chars desc, doc_id): the canonical copy
+    // is the longest member, deterministically tie-broken. One
+    // partitioned window over the cluster label — no pair set.
+    val rank = Window.partitionBy("comp")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labeled
+      .withColumn("rn", row_number().over(rank))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("comp")))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("group_size"),
+        col("doc_id").as("canon_doc"), col("n_chars").as("canon_chars"))
+      .orderBy("comp")
+  }
+
+  private val dedupCanonicalSql =
+    s"""WITH RECURSIVE ${Lifecycle.minhashCcCteSql},
+       |sel AS (
+       |  SELECT c.comp, d.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.comp
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY c.comp) AS gs
+       |  FROM comp c JOIN documents d ON c.node = d.doc_id)
+       |SELECT comp, gs::BIGINT AS group_size, doc_id AS canon_doc,
+       |  n_chars AS canon_chars
+       |FROM sel WHERE rn = 1 ORDER BY comp""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
+    Q("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    Q("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)))
+}

@@ -239,7 +239,8 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin — bounded, not O(n²) corpus pairs.)
     Seq("q_dedup_minhash_lsh", "q_dedup_embedding", "q_dedup_embedding_lsh",
       "q_consolidate_merge", "q_strategy_match",
-      "q_dedup_incremental", "q_span_dedup", "q_pipeline_e2e").foreach { name =>
+      "q_dedup_incremental", "q_span_dedup", "q_pipeline_e2e",
+      "q_semantic_dedup", "q_dedup_canonical", "q_dsir_select").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
     }
