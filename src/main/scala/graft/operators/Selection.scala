@@ -219,6 +219,67 @@ object Selection {
        |ORDER BY asg.vec_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_semantic_dedup_blocked — the CLUSTER-SCALE leg of q_semantic_dedup.
+  // At fixed k the within-cluster pair count grows quadratically with
+  // the corpus (measured: 4.7× time at ×100 rows,
+  // bench/r08_scale_selection.json); SemDeDup's production remedy grows
+  // k with the corpus so cluster sizes stay bounded. When re-clustering
+  // is off the table (k is fixed by the codebook you ship), the same
+  // bound comes from sub-blocking each cluster by an 8-bit sign-LSH
+  // bucket: pairs form only inside (cluster, bucket), so a cluster of
+  // c members costs Σ|cell|² ≪ c² while near-identical vectors — whose
+  // hyperplane signs agree — still collide. Same keep-rule; the recall
+  // trade is the standard LSH one (a near-dup pair straddling a
+  // bucket boundary survives blocked mode).
+  private def semanticDedupBlocked(s: SparkSession, dir: String): DataFrame = {
+    val asg = assigned(Tables.embeddings(s, dir))
+      .withColumn("bucket", VectorFunctions.signBucket(col("embedding"), 8))
+    val other = asg.select(col("cluster"), col("bucket"), col("vec_id").as("o_id"),
+      col("csim").as("o_csim"), col("embedding").as("o_emb"))
+    val dropped = asg.join(other, Seq("cluster", "bucket"))
+      .filter(col("o_id") =!= col("vec_id"))
+      .filter(round(VectorFunctions.cosine(col("embedding"), col("o_emb")), 4) >= SemTau)
+      .filter(col("o_csim") < col("csim") ||
+        (col("o_csim") === col("csim") && col("o_id") < col("vec_id")))
+      .select("vec_id").distinct()
+      .withColumn("is_dropped", lit(1))
+    asg.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("bucket"), col("csim"),
+        when(col("is_dropped").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val semanticDedupBlockedSql = {
+    val bucketExpr = TextAnalysisShared.bucketExprSql(8, "v")
+    s"""WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cen AS (
+       |  SELECT label AS cl, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT label, pos, round(avg(v[pos]), 6) AS c
+       |    FROM el CROSS JOIN
+       |      (SELECT unnest(generate_series(1, 64)) AS pos) g
+       |    GROUP BY label, pos)
+       |  GROUP BY label),
+       |asg AS (
+       |  SELECT vec_id, cl AS cluster, ($bucketExpr)::BIGINT AS bucket, csim, v FROM (
+       |    SELECT el.vec_id, el.v, cen.cl,
+       |      round(list_cosine_similarity(el.v, cen.cv), 4) AS csim,
+       |      row_number() OVER (PARTITION BY el.vec_id
+       |        ORDER BY round(list_cosine_similarity(el.v, cen.cv), 4) DESC, cen.cl) AS rn
+       |    FROM el CROSS JOIN cen)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg b JOIN asg a
+       |    ON a.cluster = b.cluster AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $SemTau
+       |    AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id)))
+       |SELECT asg.vec_id, cluster, bucket, csim,
+       |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS kept
+       |FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q_dedup_canonical — keep the best member of each near-dup cluster.
 
   private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
@@ -254,5 +315,6 @@ object Selection {
   val all: Seq[Q] = Seq(
     Q("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
     Q("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    Q("q_semantic_dedup_blocked", semanticDedupBlocked, Some(semanticDedupBlockedSql)),
     Q("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)))
 }

@@ -115,6 +115,20 @@ class SelectionSpec extends SparkSpec {
     assert(dropped == Set(loser), s"expected only $loser dropped, got $dropped")
   }
 
+  test("blocked semantic dedup only ever drops docs the unblocked form drops") {
+    // Sub-blocking narrows the pair space: its drop set must be a
+    // subset of the full cluster-local drop set (the recall trade is
+    // pairs straddling a bucket boundary — never NEW drops).
+    val full = run("q_semantic_dedup")
+      .filter(col("kept") === 0).select("vec_id")
+    val blocked = run("q_semantic_dedup_blocked")
+      .filter(col("kept") === 0).select("vec_id")
+    assert(blocked.except(full).count() == 0,
+      "blocked mode dropped a doc the unblocked form keeps")
+    // And it still does real work on this corpus.
+    assert(blocked.count() > 0, "blocked mode dropped nothing")
+  }
+
   test("canonical pick: same clusters as consolidate-merge, canonical is the longest member") {
     val canon = run("q_dedup_canonical").cache()
     val merge = run("q_consolidate_merge").cache()
