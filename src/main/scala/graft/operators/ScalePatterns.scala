@@ -3,7 +3,7 @@ package graft.operators
 import graft.Q
 import graft.io.Tables
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,8 +153,98 @@ object ScalePatterns {
       |  sum(round(f.value * 100)::BIGINT * d.weight)::BIGINT AS wsum_scaled
       |FROM f JOIN d USING (k) GROUP BY f.k ORDER BY f.k""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_kmeans_train — distributed Lloyd's algorithm, the real "train the
+  // coarse quantizer" step behind IVF (the label-centroid codebooks
+  // elsewhere are the assignment-given shortcut). Two deterministic
+  // iterations from fixed seeds (vec_id < k): each iteration is
+  //   assign:  vectors × k broadcast centroids → rounded argmin
+  //   update:  one map-side-combined (cid, pos) average
+  // — the canonical distributed k-means shape: the corpus never
+  // shuffles for the assign (broadcast), and the update's exchange
+  // carries ≤ k·dim rows regardless of corpus size. Centroid elements
+  // round to 6 decimals each iteration so both engines iterate from
+  // bit-identical codebooks. Output: the final codebook exploded to
+  // (cid, size, pos, c) rows — fully value-pinned by the oracle.
+  private val KmeansK = 10
+  private val KmeansIters = 2
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => pow(x.cast("double") - y, lit(2))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The Lloyd loop itself: returns (final codebook, final assignment).
+    * The assignment keeps its assign-time `dist2` so callers (and the
+    * monotonicity spec) can audit inertia per iteration count.
+    */
+  private[operators] def kmeansFit(s: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    var cent = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+    var asg: DataFrame = e // placeholder; overwritten by the first iteration
+    for (_ <- 1 to iters) {
+      val dist = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          round(sqDist(col("embedding"), col("cvec")), 6).as("dist2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+      asg = dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"), col("dist2"))
+      cent = asg.select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("c"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cvec"))
+    }
+    (cent, asg)
+  }
+
+  private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val (cent, asg) = kmeansFit(s, dir, KmeansIters)
+    val sizes = asg.groupBy("cid").agg(count(lit(1)).as("size"))
+    cent.select(col("cid"), posexplode(col("cvec")))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("pos"), col("col").as("c"))
+      .join(sizes, Seq("cid"))
+      .select("cid", "size", "pos", "c")
+      .orderBy("cid", "pos")
+  }
+
+  private val kmeansTrainSql =
+    s"""WITH el AS (
+       |  SELECT vec_id, r.range AS pos, embedding[r.range]::DOUBLE AS x
+       |  FROM embeddings, range(1, 65) r),
+       |c0 AS (
+       |  SELECT vec_id::BIGINT AS cid, r.range AS pos, embedding[r.range]::DOUBLE AS c
+       |  FROM embeddings, range(1, 65) r WHERE vec_id < $KmeansK),
+       |d1 AS (
+       |  SELECT el.vec_id, c0.cid, round(sum(pow(el.x - c0.c, 2)), 6) AS dist2
+       |  FROM el JOIN c0 USING (pos) GROUP BY 1, 2),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT a1.cid, el.pos, round(avg(el.x), 6) AS c
+       |  FROM a1 JOIN el USING (vec_id) GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT el.vec_id, c1.cid, round(sum(pow(el.x - c1.c, 2)), 6) AS dist2
+       |  FROM el JOIN c1 USING (pos) GROUP BY 1, 2),
+       |a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |c2 AS (
+       |  SELECT a2.cid, el.pos, round(avg(el.x), 6) AS c
+       |  FROM a2 JOIN el USING (vec_id) GROUP BY 1, 2),
+       |sizes AS (SELECT cid, count(*)::BIGINT AS size FROM a2 GROUP BY 1)
+       |SELECT c2.cid, sizes.size, c2.pos::BIGINT AS pos, c2.c
+       |FROM c2 JOIN sizes USING (cid) ORDER BY cid, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_ann_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
+    Q("q_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("q_salted_agg", saltedAgg, Some(saltedAggSql)),
     Q("q_salted_join", saltedJoin, Some(saltedJoinSql)))
 }

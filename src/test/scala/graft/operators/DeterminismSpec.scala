@@ -28,7 +28,12 @@ class DeterminismSpec extends SparkSpec {
     "q_decontaminate", "q_pack_sequences", "q_boilerplate_strip",
     // Mixture resampling explodes hash-fractional copies; the split
     // assignment is pure-hash (both must re-run bit-identical).
-    "q_mixture_resample", "q_train_split")
+    "q_mixture_resample", "q_train_split",
+    // Round-8 additions: iterative Lloyd training (rounded argmin +
+    // rounded centroid updates must re-run bit-identical), the
+    // selection pack's windows/thresholds, and the layout audit.
+    "q_kmeans_train", "q_dsir_select", "q_semantic_dedup",
+    "q_dedup_canonical", "q_zorder_layout")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {

@@ -241,7 +241,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_consolidate_merge", "q_strategy_match",
       "q_dedup_incremental", "q_span_dedup", "q_pipeline_e2e",
       "q_semantic_dedup", "q_semantic_dedup_blocked", "q_dedup_canonical",
-      "q_dsir_select", "q_zorder_layout").foreach { name =>
+      "q_dsir_select", "q_zorder_layout", "q_kmeans_train").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
     }
