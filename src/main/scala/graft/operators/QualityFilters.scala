@@ -375,7 +375,52 @@ object QualityFilters {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_corpus_card — the per-(source, lang) dataset card a curation
+  // pipeline publishes with every corpus release: volume (docs, tokens,
+  // chars) plus the exact-duplicate share, where a doc counts as a
+  // duplicate when its content fingerprint occurs more than once
+  // CORPUS-WIDE (not just within its own source — cross-source
+  // duplication is exactly what a per-source card must expose).
+  // Scale shape: one hash-groupBy on the fingerprint for the dup
+  // counts, one hash-co-partitioned join back (no broadcast of
+  // anything corpus-sized), then one map-side-combined (source, lang)
+  // aggregate whose exchange carries |sources|·|langs| rows.
+  private def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val fpCounts = docs.groupBy("fp").agg(count(lit(1)).as("fp_cnt"))
+    docs.join(fpCounts, Seq("fp"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        sum(when(col("fp_cnt") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_share",
+        round(col("dup_docs").cast("double") / col("n_docs"), 4))
+      .orderBy("source", "lang")
+  }
+
+  private val corpusCardSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, n_chars, md5(text) AS fp,
+      |    len(string_split(text, ' '))::BIGINT AS toks
+      |  FROM documents),
+      |fc AS (SELECT fp, count(*)::BIGINT AS fp_cnt FROM d GROUP BY 1)
+      |SELECT source, lang,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(toks)::BIGINT AS total_tokens,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+      |  round(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_share
+      |FROM d JOIN fc USING (fp)
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_corpus_card", corpusCard, Some(corpusCardSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
