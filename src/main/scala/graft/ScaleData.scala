@@ -34,6 +34,11 @@ object ScaleData {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      // Load-bearing for Tables.load's TIMESTAMP_NTZ normalization: the
+      // NTZ→timestamp cast reads the session zone, so an upsample run
+      // on a non-UTC host would otherwise shift every event instant
+      // relative to the UTC-pinned Bench/Verify sessions.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

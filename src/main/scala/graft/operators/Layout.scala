@@ -87,13 +87,24 @@ object Layout {
         floor(col("z") / lit((ZCells * ZCells) / ZFiles)).as("zfile"),
         col("x").as("xfile"))
     val inBox = col("x").between(BoxLo, BoxHi) && col("y").between(BoxLo, BoxHi)
-    val perLayout = (layout: String, fileCol: String) =>
-      cells.agg(
-        lit(layout).as("layout"),
-        countDistinct(col(fileCol)).as("files_total"),
-        countDistinct(when(inBox, col(fileCol))).as("files_touched"),
-        sum(when(inBox, 1L).otherwise(0L)).as("rows_in_box"))
-    perLayout("xsort", "xfile").unionAll(perLayout("zorder", "zfile"))
+    // ONE corpus pass: a map-side-combined aggregate collapses the scan
+    // to the ≤ 2^(2·ZBits) occupied grid cells, so every distinct-count
+    // (whose multi-distinct plan expands its input 5×) runs over the
+    // bounded grid, never the corpus; the stack() reshapes the single
+    // row into the two-layout form.
+    val grid = cells.groupBy("x", "y", "zfile", "xfile")
+      .agg(count(lit(1)).as("n"))
+    grid.agg(
+      countDistinct(col("xfile")).as("x_total"),
+      countDistinct(when(inBox, col("xfile"))).as("x_touched"),
+      countDistinct(col("zfile")).as("z_total"),
+      countDistinct(when(inBox, col("zfile"))).as("z_touched"),
+      sum(when(inBox, col("n")).otherwise(0L)).as("rows_in_box"))
+      .selectExpr(
+        """stack(2,
+          |  'xsort',  x_total, x_touched, rows_in_box,
+          |  'zorder', z_total, z_touched, rows_in_box
+          |) AS (layout, files_total, files_touched, rows_in_box)""".stripMargin)
       .orderBy("layout")
   }
 

@@ -158,13 +158,15 @@ object ScalePatterns {
   // coarse quantizer" step behind IVF (the label-centroid codebooks
   // elsewhere are the assignment-given shortcut). Two deterministic
   // iterations from fixed seeds (vec_id < k): each iteration is
-  //   assign:  vectors × k broadcast centroids → rounded argmin
-  //   update:  one map-side-combined (cid, pos) average
-  // — the canonical distributed k-means shape: the corpus never
-  // shuffles for the assign (broadcast), and the update's exchange
-  // carries ≤ k·dim rows regardless of corpus size. Centroid elements
-  // round to 6 decimals each iteration so both engines iterate from
-  // bit-identical codebooks. Output: the final codebook exploded to
+  //   assign:  vectors × k broadcast centroids → map-side-combined
+  //            argmin (the exchange carries ONE row per vector — the
+  //            k candidate rows collapse in the partial aggregate)
+  //   update:  one map-side-combined (cid, pos) average whose exchange
+  //            carries ≤ k·dim rows regardless of corpus size
+  // — the canonical distributed k-means shape: the k-inflated candidate
+  // frame never reaches a shuffle. Centroid elements round to 6
+  // decimals each iteration so both engines iterate from bit-identical
+  // codebooks. Output: the final codebook exploded to
   // (cid, size, pos, c) rows — fully value-pinned by the oracle.
   private val KmeansK = 10
   private val KmeansIters = 2
@@ -173,9 +175,31 @@ object ScalePatterns {
     aggregate(zip_with(a, b, (x, y) => pow(x.cast("double") - y, lit(2))),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Per-key mean vectors of a float-embedding frame, elements rounded
+    * to 6 decimals — THE centroid formula, shared by the Lloyd update
+    * here and Selection's SemDeDup codebook so the rounding/ordering
+    * contract both oracles pin exists in one copy.
+    */
+  private[operators] def meanCentroids(df: DataFrame, key: Column,
+      vec: Column, outKey: String): DataFrame =
+    df.select(key.as(outKey), posexplode(vec))
+      .groupBy(col(outKey), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("c"))
+      .groupBy(outKey)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+
   /** The Lloyd loop itself: returns (final codebook, final assignment).
     * The assignment keeps its assign-time `dist2` so callers (and the
     * monotonicity spec) can audit inertia per iteration count.
+    *
+    * The argmin is a map-side-combined `min(struct(dist2, cid, …))` —
+    * partial aggregation collapses the k candidate rows per vector
+    * BEFORE the exchange, so the shuffle carries one row per vector
+    * (a window-rank argmin would instead shuffle all n·k candidate
+    * rows; row_number cannot partial-aggregate). The struct comparison
+    * never reaches the embedding field: (dist2, cid) is unique per
+    * vector by construction.
     */
   private[operators] def kmeansFit(s: SparkSession, dir: String,
       iters: Int): (DataFrame, DataFrame) = {
@@ -186,17 +210,13 @@ object ScalePatterns {
     var asg: DataFrame = e // placeholder; overwritten by the first iteration
     for (_ <- 1 to iters) {
       val dist = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"), col("embedding"),
-          round(sqDist(col("embedding"), col("cvec")), 6).as("dist2"))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
-      asg = dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("embedding"), col("dist2"))
-      cent = asg.select(col("cid"), posexplode(col("embedding")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("col").cast("double")), 6).as("c"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cvec"))
+        .select(col("vec_id"),
+          struct(round(sqDist(col("embedding"), col("cvec")), 6).as("dist2"),
+            col("cid"), col("embedding")).as("cand"))
+      asg = dist.groupBy("vec_id").agg(min("cand").as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.embedding").as("embedding"), col("m.dist2").as("dist2"))
+      cent = meanCentroids(asg, col("cid"), col("embedding"), "cid")
     }
     (cent, asg)
   }

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *    slice and of the raw corpus; a document's log importance weight
   *    is the sum over its tokens of log p_target − log p_raw. BOTH
   *    models are bounded at `DsirBuckets` rows by construction (the
-  *    feature space is the hash range, not the vocabulary), so they
-  *    broadcast at ANY corpus size — the corpus itself is touched by
-  *    exactly one explode + map-side-combined aggregate.
+  *    feature space is the hash range, not the vocabulary) and come out
+  *    of ONE corpus aggregate, with their totals derived from the model
+  *    table itself — so they broadcast at ANY corpus size and the
+  *    corpus is tokenized exactly twice (model build + scoring pass).
   *
   *  - q_semantic_dedup — SemDeDup-style semantic dedup (Abbas et al.,
   *    2023): assign every embedding to its nearest codebook centroid,
@@ -67,20 +68,22 @@ object Selection {
   private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     val tok = hashedTokens(Tables.documents(s, dir))
     val isTarget = col("source").isin(DsirTargetSources: _*)
-    // Bucket-count models. Add-one smoothing over the hash range keeps
-    // unseen buckets finite; totals ride along as 1-row broadcasts.
-    val tgt = tok.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
-    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-    val nt = tok.filter(isTarget).agg(count(lit(1)).as("n_t"))
-    val nr = tok.agg(count(lit(1)).as("n_r"))
+    // BOTH bucket-count models from ONE corpus aggregate (the target
+    // count is a conditional sum inside the same groupBy), and the
+    // totals derive from the ≤1024-row model table instead of two more
+    // corpus scans — the corpus is tokenized twice in all: once for
+    // the models, once for the scoring pass.
+    val models = tok.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"))
+    val totals = models.agg(sum("cr").as("n_r"), sum("ct").as("n_t"))
     // log importance weight per token occurrence, summed per document.
     // Weights feed all downstream decisions as the ROUNDED value in
     // both engines so the selected set cannot flip on last-ulp
     // sum-order differences.
     val scored = tok
-      .join(broadcast(tgt), Seq("b"), "left")
-      .join(broadcast(raw), Seq("b"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .join(broadcast(models), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("doc_id"),
         (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
             (col("n_t") + lit(DsirBuckets.toDouble))) -
@@ -137,34 +140,36 @@ object Selection {
     */
   private val SemTau = 0.3
 
-  /** The k-entry codebook: per-label mean vectors. At 100 TB the
-    * codebook is trained on a sample (k-means); its SIZE is k — always
-    * broadcast — regardless of corpus size. Elements are rounded to 6
-    * decimals so both engines assign against bit-identical centroids.
+  /** The k-entry codebook: per-label mean vectors (the shared
+    * [[ScalePatterns.meanCentroids]] formula, so the 6-decimal
+    * rounding contract both oracles pin lives in one copy). At 100 TB
+    * the codebook is trained on a sample (k-means — `q_kmeans_train`
+    * is the trainer); its SIZE is k — always broadcast — regardless of
+    * corpus size.
     */
   private def codebook(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("col").cast("double")), 6).as("c"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("centroid"))
-      .select(col("label").as("cl"), col("centroid"))
+    ScalePatterns.meanCentroids(e, col("label"), col("embedding"), "cl")
+      .select(col("cl"), col("cvec").as("centroid"))
 
   /** Nearest-centroid assignment: k broadcast rows against the corpus,
     * argmax by (rounded cosine desc, centroid id) — the IVF coarse
-    * assign, and the clustering step SemDeDup blocks on.
+    * assign, and the clustering step SemDeDup blocks on. The argmax is
+    * a map-side-combined `max(struct(csim, -cl, …))` so the k candidate
+    * rows per vector collapse BEFORE any exchange (a window-rank argmax
+    * would shuffle all n·k rows); negating the id turns the (csim desc,
+    * cl asc) order into one lexicographic max, and the comparison never
+    * reaches the embedding field because (csim, cl) is unique per
+    * vector.
     */
-  private def assigned(e: DataFrame): DataFrame = {
-    val sim = e.crossJoin(broadcast(codebook(e)))
-      .withColumn("csim",
-        round(VectorFunctions.cosineHof(col("embedding"), col("centroid")), 4))
-    val rank = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cl"))
-    sim.withColumn("rn", row_number().over(rank))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cl").as("cluster"), col("csim"), col("embedding"))
-  }
+  private def assigned(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(codebook(e)))
+      .select(col("vec_id"),
+        struct(
+          round(VectorFunctions.cosineHof(col("embedding"), col("centroid")), 4).as("csim"),
+          (-col("cl")).as("ncl"), col("embedding")).as("cand"))
+      .groupBy("vec_id").agg(max("cand").as("m"))
+      .select(col("vec_id"), (-col("m.ncl")).as("cluster"),
+        col("m.csim").as("csim"), col("m.embedding").as("embedding"))
 
   private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val asg = assigned(Tables.embeddings(s, dir))
