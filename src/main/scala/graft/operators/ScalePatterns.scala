@@ -231,8 +231,13 @@ object ScalePatterns {
       .orderBy("cid", "pos")
   }
 
-  private val kmeansTrainSql =
-    s"""WITH el AS (
+  /** The 2-iteration Lloyd chain as oracle CTEs (through `a2` = the
+    * final assignment and `c2` = the final codebook) — shared by the
+    * training query and the kmeans-probed ANN so the iteration formula
+    * exists in one copy.
+    */
+  private val kmeansCteSql =
+    s"""el AS (
        |  SELECT vec_id, r.range AS pos, embedding[r.range]::DOUBLE AS x
        |  FROM embeddings, range(1, 65) r),
        |c0 AS (
@@ -258,13 +263,53 @@ object ScalePatterns {
        |c2 AS (
        |  SELECT a2.cid, el.pos, round(avg(el.x), 6) AS c
        |  FROM a2 JOIN el USING (vec_id) GROUP BY 1, 2),
-       |sizes AS (SELECT cid, count(*)::BIGINT AS size FROM a2 GROUP BY 1)
+       |sizes AS (SELECT cid, count(*)::BIGINT AS size FROM a2 GROUP BY 1)""".stripMargin
+
+  private val kmeansTrainSql =
+    s"""WITH $kmeansCteSql
        |SELECT c2.cid, sizes.size, c2.pos::BIGINT AS pos, c2.c
        |FROM c2 JOIN sizes USING (cid) ORDER BY cid, pos""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_ann_ivf_kmeans — the trained-codebook probe closing the IVF loop:
+  // q_kmeans_train is the trainer, this is the consumer. Probe = the
+  // query vector's Lloyd cell only (cell id from the final assignment),
+  // exact cosine top-5 inside it. Same scale shape as q_ann_ivf_probe —
+  // at cluster scale the cell id is the partition key and a probe reads
+  // one partition — but the cells come from the trained codebook, not
+  // the label shortcut.
+  private def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (_, asgRaw) = kmeansFit(s, dir, KmeansIters)
+    // assignment is read twice (query cell + candidate filter)
+    val asg = asgRaw.select("vec_id", "cid").localCheckpoint(true)
+    val q = e.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val qCell = asg.filter(col("vec_id") === 0).select("cid").head().getLong(0)
+    e.join(asg.filter(col("cid") === qCell), Seq("vec_id"))
+      .select(col("vec_id"), col("cid").as("cell"),
+        round(VectorFunctions.cosineConst(col("embedding"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val annIvfKmeansSql =
+    s"""WITH $kmeansCteSql,
+       |q AS (
+       |  SELECT e.embedding::DOUBLE[] AS qv, a.cid AS qcell
+       |  FROM embeddings e JOIN a2 a USING (vec_id)
+       |  WHERE e.vec_id = 0)
+       |SELECT e.vec_id, a.cid AS cell,
+       |  round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qv FROM q)), 4) AS sim
+       |FROM embeddings e
+       |JOIN a2 a USING (vec_id)
+       |WHERE a.cid = (SELECT qcell FROM q)
+       |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("q_ann_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
     Q("q_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
+    Q("q_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql)),
     Q("q_salted_agg", saltedAgg, Some(saltedAggSql)),
     Q("q_salted_join", saltedJoin, Some(saltedJoinSql)))
 }
