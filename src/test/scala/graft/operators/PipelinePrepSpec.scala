@@ -15,6 +15,21 @@ class PipelinePrepSpec extends SparkSpec {
   private val bucketExpr =
     expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 100")
 
+  test("corpus card dup accounting matches the exact-dedup groups") {
+    // The card's dup_docs (docs whose fp occurs > 1 time corpus-wide)
+    // must total exactly the membership of q_dedup_exact's multi-doc
+    // groups — the two queries share the fingerprint definition.
+    val card = graft.SparkEntry.queries("q_corpus_card")(spark, Sf)
+    val dupTotal = card.agg(sum("dup_docs")).head().getLong(0)
+    val nTotal = card.agg(sum("n_docs")).head().getLong(0)
+    val exact = graft.SparkEntry.queries("q_dedup_exact")(spark, Sf)
+    val wantDup = exact.filter(col("cnt") > 1).agg(coalesce(sum("cnt"), lit(0L)))
+      .head().getLong(0)
+    val wantN = exact.agg(sum("cnt")).head().getLong(0)
+    assert(dupTotal == wantDup, s"card dup_docs $dupTotal != exact-dedup $wantDup")
+    assert(nTotal == wantN, s"card n_docs $nTotal != corpus $wantN")
+  }
+
   test("stratified-sample bucket is partition-invariant") {
     val docs = Tables.documents(spark, Sf)
     def buckets(df: org.apache.spark.sql.DataFrame) =
