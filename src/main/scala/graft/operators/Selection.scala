@@ -161,7 +161,7 @@ object Selection {
     * reaches the embedding field because (csim, cl) is unique per
     * vector.
     */
-  private def assigned(e: DataFrame): DataFrame =
+  private[operators] def assigned(e: DataFrame): DataFrame =
     e.crossJoin(broadcast(codebook(e)))
       .select(col("vec_id"),
         struct(
