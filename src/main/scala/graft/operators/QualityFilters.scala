@@ -1,10 +1,12 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.expressions.BloomTestBits
 import graft.io.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 
 /** Training-data pipeline pack beyond the reference: PII scrubbing,
   * repetition filters (the C4/Gopher-style rules a 100 TB pretraining
@@ -145,18 +147,20 @@ object QualityFilters {
   // training-gram stream is never shuffled for the join, regardless of
   // what statistics estimate), per-doc hit aggregate. Linear in corpus
   // size, never an all-pairs compare.
+  /** Word 5-grams of a text column (empty below 5 tokens). */
+  private def grams5(c: Column): Column = {
+    val toks = split(c, " ")
+    val idx = when(size(toks) >= 5, sequence(lit(1), size(toks) - 4))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => concat_ws(" ", slice(toks, i, lit(5))))
+  }
+
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    def grams(c: Column): Column = {
-      val toks = split(c, " ")
-      val idx = when(size(toks) >= 5, sequence(lit(1), size(toks) - 4))
-        .otherwise(array().cast("array<int>"))
-      transform(idx, i => concat_ws(" ", slice(toks, i, lit(5))))
-    }
     val bench = docs.filter(col("doc_id") % 13 === 0)
-      .select(explode(grams(col("text"))).as("gram")).distinct()
+      .select(explode(grams5(col("text"))).as("gram")).distinct()
     docs.filter(col("doc_id") % 13 =!= 0)
-      .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
+      .select(col("doc_id"), explode(grams5(col("text"))).as("gram"))
       .join(broadcast(bench), "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), min("gram").as("first_hit"))
@@ -175,6 +179,139 @@ object QualityFilters {
       |FROM g JOIN bench USING (gram)
       |WHERE g.doc_id % 13 <> 0
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Bloom-prefiltered decontamination: the regime q_decontaminate's
+  // broadcast CANNOT serve — overlap against a held-out side that is
+  // corpus-sized (here every 3rd doc, a full third), where the exact
+  // distinct-gram set is far too big to broadcast at 100 TB. The Bloom
+  // bitmap replaces it: build-side aggregate output is bounded at
+  // m/64 rows NO MATTER the held-out size (map-side combine collapses
+  // the position stream before the exchange), the bitmap ships with
+  // the task binary, and the probe drops non-overlapping grams BEFORE
+  // the confirming shuffle join — so the exchange carries only true
+  // overlaps plus the fp-rate sliver, not the full exploded training
+  // stream. Results are EXACT: Bloom no-false-negatives is by
+  // construction (build and probe share the pmod double-hash formula,
+  // see BloomTestBits), and the equi-join removes false positives.
+  // Sizing: m = 2^18 bits / k = 5 here (fp ≈ 2 % at ~25k grams); at
+  // cluster scale m grows to 2^30+ (128 MiB — still a constant,
+  // versus shuffling the full gram stream).
+  private val BloomM = 1 << 18
+  private val BloomK = 5
+  private val BloomSalt = "graft-bloom-42"
+
+  /** Build the Bloom bitmap of a one-string-column frame. The aggregate
+    * output is bounded at m/64 rows regardless of input size (map-side
+    * combine collapses the position stream before the exchange), so the
+    * collect is a bounded envelope, not a corpus drain.
+    */
+  private[operators] def bloomBitmap(keys: DataFrame, keyCol: String,
+      m: Int = BloomM, k: Int = BloomK): Array[Long] = {
+    val wordsDf = keys
+      .select(xxhash64(col(keyCol)).as("h1"),
+        xxhash64(col(keyCol), lit(BloomSalt)).as("h2"))
+      .select(explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col("h1"), col("h2"))
+      .select(expr(s"pmod(pmod(h1, $m) + i * pmod(h2, $m), $m)").as("pos"))
+      .select(expr("cast(pos div 64 as int)").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+    val words = new Array[Long](m / 64)
+    wordsDf.collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Membership-test column for a key column against [[bloomBitmap]]'s
+    * output — Spark's own codegen'd xxhash64 pair feeding the codegen'd
+    * probe, so the whole test stays inside whole-stage codegen.
+    */
+  private[operators] def bloomProbe(keyCol: Column, words: Array[Long],
+      k: Int = BloomK): Column =
+    ExpressionUtils.column(BloomTestBits(
+      ExpressionUtils.expression(xxhash64(keyCol)),
+      ExpressionUtils.expression(xxhash64(keyCol, lit(BloomSalt))),
+      words, k))
+
+  private def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val held = docs.filter(col("doc_id") % 3 === 0)
+      .select(explode(grams5(col("text"))).as("gram")).distinct()
+    val words = bloomBitmap(held, "gram")
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), explode(grams5(col("text"))).as("gram"))
+      .filter(bloomProbe(col("gram"), words))
+      // Exact confirm — deliberately NOT broadcast: at scale both
+      // sides hash-partition on gram, and the bloom has already cut
+      // the training stream to the overlap sliver.
+      .join(held, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("gram").as("first_hit"))
+      .orderBy("doc_id")
+  }
+
+  // The oracle is the EXACT overlap — the bloom is invisible in the
+  // result, which is precisely the property under test.
+  private val decontaminateBloomSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+      |      i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      |  FROM t),
+      |held AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 = 0)
+      |SELECT g.doc_id, count(*)::BIGINT AS n_hits, min(g.gram) AS first_hit
+      |FROM g JOIN held USING (gram)
+      |WHERE g.doc_id % 3 <> 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Weight-proportional sampling WITHOUT replacement
+  // (Efraimidis–Spirakis, "Weighted random sampling with a reservoir"):
+  // per-item key = -ln(u)/w with u a deterministic hash-uniform in
+  // (0,1); the k smallest keys per stratum ARE a weighted sample
+  // without replacement. No RNG state, no sequential reservoir — the
+  // classic streaming algorithm becomes a pure projection + top-k,
+  // reproducible across runs, machine counts, and retries.
+  // Scale shape: a per-lang stratum is corpus-sized at 100 TB, so a
+  // single per-lang sort is NOT the plan. Two-stage top-k instead:
+  // stage 1 takes the k smallest per (lang, salt) — bounded window
+  // partitions — so the stage-2 per-lang window sees ≤ salts·k rows.
+  // Selecting min-k within every salt cell provably preserves the
+  // global min-k (any global winner is a winner in its own cell).
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    val salts = 16
+    val u = expr("(cast(conv(substring(md5(cast(concat('es', cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint) + 0.5) / 1152921504606846976.0")
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        u.as("u"), expr("ln(1.0 + n_chars)").as("w"))
+      .select(col("doc_id"), col("lang"), expr("-ln(u) / w").as("es_key"),
+        pmod(col("doc_id"), lit(salts)).as("salt"))
+    val w1 = Window.partitionBy("lang", "salt").orderBy(col("es_key"), col("doc_id"))
+    val w2 = Window.partitionBy("lang").orderBy(col("es_key"), col("doc_id"))
+    scored
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), round(col("es_key"), 6).as("es_key"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  // The oracle is the single-stage form — the two-stage plan must
+  // select the identical sample.
+  private val weightedSampleSql =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    -ln((('0x' || substr(md5('es' || doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+      |        / 1152921504606846976.0) / ln(1.0 + n_chars) AS es_key
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, es_key,
+      |    row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rk
+      |  FROM s)
+      |SELECT doc_id, lang, round(es_key, 6) AS es_key, rk::BIGINT AS rk
+      |FROM r WHERE rk <= 25 ORDER BY lang, rk""".stripMargin
 
   // -------------------------------------------------------------------
   // Sequence packing: concat-and-chunk docs into fixed-token-budget
@@ -425,6 +562,8 @@ object QualityFilters {
     Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateBloomSql)),
+    Q("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_boilerplate_strip", boilerplateStrip, Some(boilerplateStripSql)),
     Q("q_mixture_resample", mixtureResample, Some(mixtureResampleSql)),

@@ -132,6 +132,96 @@ object Selection {
        |FROM dw, t ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_quality_classifier — the GPT-3-style quality filter (Brown et
+  // al. 2020, Appendix A): train a classifier with curated corpora as
+  // the positive class and the raw crawl as the negative class, score
+  // every document, keep the ones that look curated. The published
+  // recipe's logistic-regression-over-hashed-features step is here a
+  // multinomial Naive Bayes over a capped real vocabulary — the NB
+  // log-likelihood ratio IS a linear text classifier whose weights are
+  // CLOSED-FORM from one counting aggregate, so training is a single
+  // map-side-combined corpus pass with no iterative optimizer to
+  // distribute. (DSIR above is the hashed-feature sibling; this one
+  // keeps real tokens so the weights are inspectable.)
+  //
+  // Scale shape: model = ONE groupBy(token) aggregate, capped at the
+  // top `NbVocabCap` tokens by a (count desc, token) total order →
+  // broadcasts at ANY corpus size; class totals and vocabulary size
+  // derive from the model table, priors from a two-row doc count;
+  // scoring = explode + broadcast join + per-doc sum. Tokens cut from
+  // the vocab (or never seen) score through the smoothing floor on
+  // both classes — a constant per-token weight, same as an unseen
+  // word.
+
+  private val NbVocabCap = 65536
+
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isPos = col("source").isin(DsirTargetSources: _*)
+    val tok = Tables.spread(docs)
+      .select(col("doc_id"), isPos.as("pos"),
+        explode(split(col("text"), " ")).as("w"))
+    val model = tok.groupBy("w").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(NbVocabCap)
+    // Totals + vocabulary size from the capped model table itself —
+    // no extra corpus scan, and the smoothing denominator matches the
+    // table the scorer actually joins against.
+    val totals = model.agg(
+      sum("cp").as("tp"), sum(col("n") - col("cp")).as("tn"),
+      count(lit(1)).as("v"))
+    val priors = docs.agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("dp"),
+      sum(when(isPos, 0L).otherwise(1L)).as("dn"))
+    tok
+      .join(broadcast(model), Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log((coalesce(col("cp"), lit(0L)) + lit(1.0)) /
+            (col("tp") + col("v") + lit(1.0))) -
+          log((coalesce(col("n") - col("cp"), lit(0L)) + lit(1.0)) /
+            (col("tn") + col("v") + lit(1.0)))).as("lw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("lw").as("sw"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("sw") +
+          log((col("dp") + lit(1.0)) / (col("dn") + lit(1.0))), 4).as("logit"))
+      .withColumn("pred", (col("logit") > 0.0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityClassifierSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source IN $dsirTargetInSql AS pos,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |m AS (
+       |  SELECT w, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp
+       |  FROM tok GROUP BY 1 ORDER BY n DESC, w LIMIT $NbVocabCap),
+       |t AS (SELECT sum(cp)::BIGINT AS tp, sum(n - cp)::BIGINT AS tn,
+       |             count(*)::BIGINT AS v FROM m),
+       |p AS (
+       |  SELECT sum(CASE WHEN source IN $dsirTargetInSql THEN 1 ELSE 0 END)::BIGINT AS dp,
+       |         sum(CASE WHEN source IN $dsirTargetInSql THEN 0 ELSE 1 END)::BIGINT AS dn
+       |  FROM documents),
+       |sc AS (
+       |  SELECT tok.doc_id,
+       |    ln((coalesce(m.cp, 0) + 1.0) / (t.tp + t.v + 1.0)) -
+       |    ln((coalesce(m.n - m.cp, 0) + 1.0) / (t.tn + t.v + 1.0)) AS lw
+       |  FROM tok LEFT JOIN m USING (w) CROSS JOIN t),
+       |dw AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_toks, sum(lw) AS sw
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n_toks,
+       |  round(sw + ln((p.dp + 1.0) / (p.dn + 1.0)), 4) AS logit,
+       |  (round(sw + ln((p.dp + 1.0) / (p.dn + 1.0)), 4) > 0.0)::INT AS pred
+       |FROM dw CROSS JOIN p ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_semantic_dedup — codebook assign + within-cluster near-dup drop.
 
   /** Pairwise-cosine threshold above which two same-cluster members are
@@ -319,6 +409,7 @@ object Selection {
 
   val all: Seq[Q] = Seq(
     Q("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
+    Q("q_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Q("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("q_semantic_dedup_blocked", semanticDedupBlocked, Some(semanticDedupBlockedSql)),
     Q("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)))

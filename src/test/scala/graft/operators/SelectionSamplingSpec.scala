@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: Bloom-prefiltered decontamination, weighted
+  * sampling without replacement, and the NB quality classifier. The
+  * DuckDB oracle pins exact results; these tests pin the properties
+  * the oracle cannot see — the bloom's no-false-negative construction
+  * and useful selectivity, the two-stage top-k's equivalence to the
+  * single-stage form, and the classifier's planted class separation.
+  */
+class SelectionSamplingSpec extends SparkSpec {
+
+  private val Sf01 = "/root/testdata/sf0.01"
+
+  test("bloom probe never false-negatives and actually prunes") {
+    val docs = Tables.documents(spark, Sf01)
+    val keys = docs.select(concat(lit("k"), col("doc_id")).as("k"))
+      .filter(col("doc_id") % 2 === 0)
+    val words = QualityFilters.bloomBitmap(keys, "k")
+    val all = docs.select(concat(lit("k"), col("doc_id")).as("k"),
+        (col("doc_id") % 2 === 0).as("planted"))
+      .withColumn("hit", QualityFilters.bloomProbe(col("k"), words))
+      .collect()
+    val missedPlanted = all.count(r => r.getBoolean(1) && !r.getBoolean(2))
+    assert(missedPlanted == 0, s"$missedPlanted planted keys missed the bloom")
+    val nonPlanted = all.count(r => !r.getBoolean(1))
+    val fp = all.count(r => !r.getBoolean(1) && r.getBoolean(2))
+    // ~250 keys in a 2^18-bit filter: fp rate should be tiny; 20 % is
+    // a loose ceiling that still proves the probe prunes.
+    assert(fp.toDouble / nonPlanted < 0.2,
+      s"bloom passed $fp of $nonPlanted non-planted keys")
+  }
+
+  test("bloom decontamination result is the exact overlap (bloom invisible)") {
+    val docs = Tables.documents(spark, Sf01)
+    def grams(c: org.apache.spark.sql.Column) = {
+      val toks = split(c, " ")
+      val idx = when(size(toks) >= 5, sequence(lit(1), size(toks) - 4))
+        .otherwise(array().cast("array<int>"))
+      transform(idx, i => concat_ws(" ", slice(toks, i, lit(5))))
+    }
+    val held = docs.filter(col("doc_id") % 3 === 0)
+      .select(explode(grams(col("text"))).as("gram")).distinct()
+    val exact = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
+      .join(held, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("gram").as("first_hit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val got = SparkEntry.queries("q_decontaminate_bloom")(spark, Sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == exact, "bloom-prefiltered overlap differs from exact overlap")
+    assert(got.nonEmpty, "degenerate: no overlap at all")
+  }
+
+  test("two-stage weighted sample equals the single-stage top-k") {
+    val u = expr("(cast(conv(substring(md5(cast(concat('es', cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint) + 0.5) / 1152921504606846976.0")
+    val single = Tables.documents(spark, Sf01)
+      .select(col("doc_id"), col("lang"),
+        u.as("u"), expr("ln(1.0 + n_chars)").as("w"))
+      .select(col("doc_id"), col("lang"), expr("-ln(u) / w").as("es_key"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("es_key"), col("doc_id"))))
+      .filter(col("rk") <= 25)
+      .select(col("doc_id"), col("lang"), round(col("es_key"), 6).as("es_key"),
+        col("rk").cast("long").as("rk"))
+      .collect().map(_.toSeq).toSet
+    val got = SparkEntry.queries("q_weighted_sample")(spark, Sf01)
+      .collect().map(_.toSeq).toSet
+    assert(got == single, "salted two-stage top-k changed the selected sample")
+  }
+
+  test("weighted sample is biased toward heavier documents") {
+    val docs = Tables.documents(spark, Sf01)
+    val meanAll = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sel = SparkEntry.queries("q_weighted_sample")(spark, Sf01)
+      .select("doc_id")
+    val meanSel = docs.join(sel, "doc_id").agg(avg("n_chars")).head().getDouble(0)
+    // w = ln(1+n_chars) strictly increases with length, so on this
+    // fixed corpus the deterministic sample must lean heavy.
+    assert(meanSel > meanAll,
+      s"selected mean n_chars $meanSel not above corpus mean $meanAll")
+  }
+
+  test("quality classifier separates the planted curated sources") {
+    val docs = Tables.documents(spark, Sf01)
+    val scored = SparkEntry.queries("q_quality_classifier")(spark, Sf01)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("pos", col("source").isin("src0", "src1", "src2", "src3"))
+    val means = scored.groupBy("pos").agg(avg("logit").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"curated-source mean logit ${means(true)} not above crawl ${means(false)}")
+    // Bayes with a 1:4 crawl-heavy prior on near-identical synthetic
+    // class distributions must stay crawl-dominant — an inverted
+    // balance would mean the prior or the weights flipped sign.
+    val nPos = scored.filter(col("pred") === 1).count()
+    assert(nPos < scored.count() / 2, s"crawl-heavy prior lost: $nPos positive")
+  }
+}
