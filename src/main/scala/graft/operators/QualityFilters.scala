@@ -194,12 +194,28 @@ object QualityFilters {
   // stream. Results are EXACT: Bloom no-false-negatives is by
   // construction (build and probe share the pmod double-hash formula,
   // see BloomTestBits), and the equi-join removes false positives.
-  // Sizing: m = 2^18 bits / k = 5 here (fp ≈ 2 % at ~25k grams); at
-  // cluster scale m grows to 2^30+ (128 MiB — still a constant,
-  // versus shuffling the full gram stream).
-  private val BloomM = 1 << 18
+  // Sizing is ADAPTIVE: ~16 bits per distinct held key (fp ≈ 0.1 % at
+  // k = 5), floor 2^18, next power of two. A fixed m silently
+  // saturates when the held side grows — measured at ×100 corpus the
+  // 2^18 filter hit n·k ≈ 2m, passed nearly everything, and the query
+  // paid bloom cost PLUS the full join (35 s vs 16 s for plain
+  // exact); sized from the held count it prunes again. The count that
+  // sizes the filter is one cheap aggregate over the already-persisted
+  // held frame — the price of knowing m, paid once.
+  private val BloomMinM = 1 << 18
+  private val BloomBitsPerKey = 16L
   private val BloomK = 5
   private val BloomSalt = "graft-bloom-42"
+
+  private def bloomSize(nKeys: Long): Int = {
+    val want = math.max(BloomMinM.toLong, nKeys * BloomBitsPerKey)
+    // Next power of two, capped at 2^28 bits (32 MiB) — past that the
+    // bitmap stays useful but the cap keeps task binaries sane; a
+    // cluster deployment raises it with executor memory.
+    var m = BloomMinM
+    while (m.toLong < want && m < (1 << 28)) m <<= 1
+    m
+  }
 
   /** Build the Bloom bitmap of a one-string-column frame. The aggregate
     * output is bounded at m/64 rows regardless of input size (map-side
@@ -207,7 +223,7 @@ object QualityFilters {
     * collect is a bounded envelope, not a corpus drain.
     */
   private[operators] def bloomBitmap(keys: DataFrame, keyCol: String,
-      m: Int = BloomM, k: Int = BloomK): Array[Long] = {
+      m: Int, k: Int = BloomK): Array[Long] = {
     val wordsDf = keys
       .select(xxhash64(col(keyCol)).as("h1"),
         xxhash64(col(keyCol), lit(BloomSalt)).as("h2"))
@@ -235,9 +251,13 @@ object QualityFilters {
 
   private def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // Persisted: read three times (sizing count, bitmap build, confirm
+    // join) — without the persist the held explode+distinct runs
+    // thrice.
     val held = docs.filter(col("doc_id") % 3 === 0)
       .select(explode(grams5(col("text"))).as("gram")).distinct()
-    val words = bloomBitmap(held, "gram")
+      .persist()
+    val words = bloomBitmap(held, "gram", bloomSize(held.count()))
     docs.filter(col("doc_id") % 3 =!= 0)
       .select(col("doc_id"), explode(grams5(col("text"))).as("gram"))
       .filter(bloomProbe(col("gram"), words))
@@ -556,8 +576,47 @@ object QualityFilters {
       |FROM d JOIN fc USING (fp)
       |GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Cross-source overlap matrix — the corpus card's companion audit:
+  // for every source pair, how many distinct word 5-grams the two
+  // share. This is the "which feeds are re-crawling each other"
+  // signal a multi-source 100 TB ingest needs before assigning mixture
+  // weights (double-counted content silently re-weights the mixture);
+  // span-level overlap catches quotes/syndication that whole-document
+  // fingerprints miss entirely (this corpus has ZERO cross-source
+  // exact dups but 1.2k cross-source shared spans).
+  // Scale shape: distinct (source, gram) pairs self-joined ON gram —
+  // hash-co-partitioned, nothing corpus-sized broadcasts; per-gram
+  // fan-out is bounded at |sources|², and the output aggregate at
+  // |sources|²/2 rows at ANY corpus size. (For truly pathological
+  // universal grams, cap per-gram source sets upstream — documented,
+  // not needed at |sources| = 20.)
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), explode(grams5(col("text"))).as("gram"))
+      .distinct()
+    val other = grams.select(col("gram"), col("source").as("src_b"))
+    grams.join(other, Seq("gram"))
+      .filter(col("source") < col("src_b"))
+      .groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sourceOverlapSql =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+      |      i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      |  FROM t)
+      |SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared_grams
+      |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_card", corpusCard, Some(corpusCardSql)),
+    Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

@@ -20,7 +20,7 @@ class SelectionSamplingSpec extends SparkSpec {
     val docs = Tables.documents(spark, Sf01)
     val keys = docs.select(concat(lit("k"), col("doc_id")).as("k"))
       .filter(col("doc_id") % 2 === 0)
-    val words = QualityFilters.bloomBitmap(keys, "k")
+    val words = QualityFilters.bloomBitmap(keys, "k", 1 << 18)
     val all = docs.select(concat(lit("k"), col("doc_id")).as("k"),
         (col("doc_id") % 2 === 0).as("planted"))
       .withColumn("hit", QualityFilters.bloomProbe(col("k"), words))
@@ -84,6 +84,29 @@ class SelectionSamplingSpec extends SparkSpec {
     // fixed corpus the deterministic sample must lean heavy.
     assert(meanSel > meanAll,
       s"selected mean n_chars $meanSel not above corpus mean $meanAll")
+  }
+
+  test("source overlap matrix is upper-triangular and bounded by gram counts") {
+    val docs = Tables.documents(spark, Sf01)
+    def grams(c: org.apache.spark.sql.Column) = {
+      val toks = split(c, " ")
+      val idx = when(size(toks) >= 5, sequence(lit(1), size(toks) - 4))
+        .otherwise(array().cast("array<int>"))
+      transform(idx, i => concat_ws(" ", slice(toks, i, lit(5))))
+    }
+    val perSource = docs
+      .select(col("source"), explode(grams(col("text"))).as("gram")).distinct()
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = SparkEntry.queries("q_source_overlap")(spark, Sf01).collect()
+    assert(m.nonEmpty, "degenerate: no cross-source span overlap at all")
+    m.foreach { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, s"matrix row not upper-triangular: ($a, $b)")
+      assert(n <= math.min(perSource(a), perSource(b)),
+        s"($a, $b) shares $n grams but the smaller side only has " +
+          s"${math.min(perSource(a), perSource(b))}")
+    }
   }
 
   test("quality classifier separates the planted curated sources") {

@@ -7,42 +7,25 @@ import graft.streaming.StreamingLearn.DocEvent
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-/** The watermark-bounded exact-dedup contract: duplicates inside the
-  * delay window are suppressed (first arrival wins), and a copy
-  * arriving after its fingerprint's state expired is re-admitted —
-  * the price of bounded state, stated as a test instead of a hope.
+/** The bounded-state flip side of `StreamingLearn.dedupDocuments`'s
+  * watermark-bounded exact dedup: suppression-within-the-window is
+  * already pinned by StreamingLearnSpec; this spec pins what bounded
+  * state COSTS — a copy arriving after its fingerprint's state row
+  * expired is re-admitted. Long-range exactness is the batch layer's
+  * job (`q_dedup_exact` over the accumulated corpus, or
+  * `StreamingDedup`'s Parquet-backed index, whose state lives in
+  * storage precisely so it CAN be unbounded).
   */
 class StreamingExactDedupSpec extends SparkSpec {
 
   private def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
 
-  test("within-window duplicates collapse to the first arrival") {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val input = MemoryStream[DocEvent]
-    val query = StreamingExactDedup.dedupedStream(input.toDS())
-      .writeStream.format("memory").queryName("exact_dedup_1")
-      .outputMode(OutputMode.Append()).start()
-    try {
-      input.addData(
-        DocEvent(1L, "alpha beta gamma", ts(0)),
-        DocEvent(2L, "alpha beta gamma", ts(1)), // same batch dup
-        DocEvent(3L, "delta epsilon", ts(0)))
-      query.processAllAvailable()
-      input.addData(DocEvent(4L, "alpha beta gamma", ts(2))) // next-batch dup
-      query.processAllAvailable()
-      val got = spark.table("exact_dedup_1")
-        .select("docId").collect().map(_.getLong(0)).toSet
-      assert(got == Set(1L, 3L), s"expected first arrivals only, got $got")
-    } finally query.stop()
-  }
-
   test("a copy arriving after state expiry is re-admitted") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[DocEvent]
-    val query = StreamingExactDedup.dedupedStream(input.toDS(), "10 minutes")
-      .writeStream.format("memory").queryName("exact_dedup_2")
+    val query = StreamingLearn.dedupDocuments(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("exact_dedup_expiry")
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(DocEvent(1L, "zeta eta theta", ts(0)))
@@ -54,7 +37,7 @@ class StreamingExactDedupSpec extends SparkSpec {
       // ...then the same text arrives again, after the window.
       input.addData(DocEvent(2L, "zeta eta theta", ts(121)))
       query.processAllAvailable()
-      val got = spark.table("exact_dedup_2")
+      val got = spark.table("exact_dedup_expiry")
         .select("docId").collect().map(_.getLong(0)).toSet
       assert(got == Set(1L, 99L, 2L),
         s"post-expiry copy should re-admit (bounded-state contract), got $got")
