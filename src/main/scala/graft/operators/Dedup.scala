@@ -138,9 +138,67 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // MinHash estimator calibration: for every LSH candidate pair, the
+  // band-agreement Jaccard ESTIMATE (bands_matched / 4 — each band
+  // carries one permutation min, so band agreement IS the classic
+  // matched-minima estimator) next to the TRUE shingle-set Jaccard and
+  // the absolute error. This is the query a pipeline runs BEFORE
+  // choosing a drop threshold (StreamingDedup's minBands was
+  // calibrated against exactly this histogram by hand in an earlier
+  // round — now it's a named, oracle-checked pass instead of a
+  // notebook). Scale shape: the pair set comes from the bucket-local
+  // LSH join (never all-pairs); the two text joins that fetch shingle
+  // sets for the TRUE value are hash-co-partitioned on doc id, and
+  // true-Jaccard cost is per CANDIDATE pair — the estimator exists
+  // precisely so that stays a sliver of the corpus.
+  private def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = dedupMinhashLsh(s, dir)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(TextAnalysisShared.shingles(col("text"))).as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("bands_matched"),
+        round(col("bands_matched") / 4.0, 6).as("est_jaccard"),
+        round(TextAnalysisShared.jaccardSets(col("sa"), col("sb")), 6).as("true_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("true_jaccard")), 6))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashEstimateSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      |  FROM t),
+      |ss AS (SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY 1),
+      |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
+      |sig AS (
+      |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
+      |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band, unnest([1299721, 7919, 104729, 15485863]) AS a) b
+      |  GROUP BY doc_id, band),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS bands_matched
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, bands_matched,
+      |  round(bands_matched / 4.0, 6) AS est_jaccard,
+      |  round(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS true_jaccard,
+      |  round(abs(round(bands_matched / 4.0, 6) -
+      |    round(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6)), 6) AS abs_err
+      |FROM pairs
+      |JOIN ss sa ON sa.doc_id = doc_a
+      |JOIN ss sb ON sb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql)),
+    Q("q_minhash_estimate", minhashEstimate, Some(minhashEstimateSql)),
     Q("q_dedup_jaccard_pairs", dedupJaccardPairs, Some(dedupJaccardPairsSql)),
     Q("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("q_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)))

@@ -614,9 +614,76 @@ object QualityFilters {
       |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Per-source distribution divergence — KL(source ‖ corpus) over a
+  // capped unigram vocabulary: the mixture-health metric that says
+  // which feed's token distribution drifts hardest from the blend
+  // (data-mixing work weights domains by exactly this kind of
+  // divergence, and a sudden per-source KL jump is the canonical
+  // "feed changed under us" alarm on a continuous ingest).
+  // Add-one smoothing on both sides keeps every term finite; the sum
+  // runs over the FULL vocab × source grid — including zero-count
+  // cells, whose mass the smoothing defines — which is bounded at
+  // |vocab| × |sources| rows at ANY corpus size (model-sized, not
+  // corpus-sized). Corpus cost: ONE token explode feeding two
+  // map-side-combined aggregates; per-source counts are semi-joined to
+  // the broadcast vocab, and totals derive from the bounded tables.
+  private val KlVocabCap = 65536
+
+  private def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = Tables.spread(docs)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(KlVocabCap)
+    val vtot = vocab.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val srcCounts = tok.join(broadcast(vocab.select("w")), Seq("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val srcTot = srcCounts.groupBy("source").agg(sum("cs").as("ns"))
+    val sources = docs.select("source").distinct()
+    vocab.crossJoin(broadcast(sources))
+      .join(srcCounts, Seq("source", "w"), "left")
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(vtot))
+      .select(col("source"), col("ns"),
+        ((coalesce(col("cs"), lit(0L)) + lit(1.0)) / (col("ns") + col("v"))).as("p"),
+        ((col("c") + lit(1.0)) / (col("n") + col("v"))).as("q"))
+      .groupBy("source")
+      .agg(max("ns").as("n_tokens"),
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_nats"))
+      .orderBy("source")
+  }
+
+  private val sourceDivergenceSql =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, count(*)::BIGINT AS c FROM tok
+       |  GROUP BY 1 ORDER BY c DESC, w LIMIT $KlVocabCap),
+       |vt AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM vocab),
+       |sc AS (
+       |  SELECT source, w, count(*)::BIGINT AS cs
+       |  FROM tok SEMI JOIN vocab USING (w) GROUP BY 1, 2),
+       |st AS (SELECT source, sum(cs)::BIGINT AS ns FROM sc GROUP BY 1),
+       |grid AS (
+       |  SELECT s.source, vocab.w, vocab.c FROM vocab
+       |  CROSS JOIN (SELECT DISTINCT source FROM documents) s),
+       |terms AS (
+       |  SELECT g.source, st.ns,
+       |    (coalesce(sc.cs, 0) + 1.0) / (st.ns + vt.v) AS p,
+       |    (g.c + 1.0) / (vt.n + vt.v) AS q
+       |  FROM grid g
+       |  LEFT JOIN sc ON sc.source = g.source AND sc.w = g.w
+       |  JOIN st ON st.source = g.source
+       |  CROSS JOIN vt)
+       |SELECT source, max(ns)::BIGINT AS n_tokens,
+       |  round(sum(p * ln(p / q)), 6) AS kl_nats
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_corpus_card", corpusCard, Some(corpusCardSql)),
     Q("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
+    Q("q_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

@@ -109,6 +109,32 @@ class SelectionSamplingSpec extends SparkSpec {
     }
   }
 
+  test("minhash estimator is calibrated: true Jaccard rises with bands matched") {
+    // The reason minBands exists: 1-band collisions are chance-level
+    // (true J ~ 0.01 on this corpus), >= 2 bands means real overlap.
+    // Grouped means must be strictly increasing in band count.
+    val means = SparkEntry.queries("q_minhash_estimate")(spark, Sf01)
+      .groupBy("bands_matched").agg(avg("true_jaccard").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(means.length >= 2, s"degenerate band histogram: ${means.toSeq}")
+    means.sliding(2).foreach { case Array((b1, m1), (b2, m2)) =>
+      assert(m1 < m2, s"mean true Jaccard not increasing: $b1→$m1 vs $b2→$m2")
+    }
+  }
+
+  test("per-source KL divergence is non-negative and covers every source") {
+    val kl = SparkEntry.queries("q_source_divergence")(spark, Sf01).collect()
+    val nSources = Tables.documents(spark, Sf01)
+      .select("source").distinct().count()
+    assert(kl.length == nSources, s"${kl.length} rows for $nSources sources")
+    kl.foreach { r =>
+      // Gibbs: both sides are proper distributions over the vocab
+      // support (the smoothing normalizes them), so KL >= 0 exactly.
+      assert(r.getDouble(2) >= 0.0, s"negative KL for ${r.getString(0)}")
+      assert(r.getLong(1) > 0L, s"empty token count for ${r.getString(0)}")
+    }
+  }
+
   test("quality classifier separates the planted curated sources") {
     val docs = Tables.documents(spark, Sf01)
     val scored = SparkEntry.queries("q_quality_classifier")(spark, Sf01)
