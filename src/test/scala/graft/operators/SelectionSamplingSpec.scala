@@ -109,6 +109,22 @@ class SelectionSamplingSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe semantic decontamination: subset of exact, recall above the measured floor") {
+    val e = Tables.embeddings(spark, Sf01)
+    val k = e.select("label").distinct().count().toInt
+    def hitSet(p: Int) = QualityFilters.semanticDecontHits(e, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probed = hitSet(4)
+    // Probing every cell puts each train vec in all k cells, so the
+    // join degenerates to the exact train × bench compare.
+    val exact = hitSet(k)
+    assert(probed.subsetOf(exact), "probed hits not a subset of the exact compare")
+    val recall = probed.size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"P=4 recall $recall below the measured floor (${probed.size}/${exact.size})")
+    assert(recall < 1.0, "P=4 unexpectedly exhaustive — blocking is not blocking")
+  }
+
   test("minhash estimator is calibrated: true Jaccard rises with bands matched") {
     // The reason minBands exists: 1-band collisions are chance-level
     // (true J ~ 0.01 on this corpus), >= 2 bands means real overlap.
