@@ -33,7 +33,12 @@ class DeterminismSpec extends SparkSpec {
     // rounded centroid updates must re-run bit-identical), the
     // selection pack's windows/thresholds, and the layout audit.
     "q_kmeans_train", "q_dsir_select", "q_semantic_dedup",
-    "q_dedup_canonical", "q_zorder_layout")
+    "q_dedup_canonical", "q_zorder_layout",
+    // Round-8 second wave: driver-side bloom bitmap build, ln-keyed
+    // two-stage windows, cell-probed windows + struct-argmax, and the
+    // LSH-pair estimator joins.
+    "q_decontaminate_bloom", "q_weighted_sample",
+    "q_decontaminate_semantic", "q_minhash_estimate")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {
