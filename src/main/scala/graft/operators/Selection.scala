@@ -155,7 +155,10 @@ object Selection {
 
   private val NbVocabCap = 65536
 
-  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+  /** NB-scored corpus: (doc_id, n_toks, logit rounded to 4) — shared
+    * by the classifier query and the Pareto-keep rule below.
+    */
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isPos = col("source").isin(DsirTargetSources: _*)
     val tok = Tables.spread(docs)
@@ -189,12 +192,18 @@ object Selection {
       .select(col("doc_id"), col("n_toks"),
         round(col("sw") +
           log((col("dp") + lit(1.0)) / (col("dn") + lit(1.0))), 4).as("logit"))
-      .withColumn("pred", (col("logit") > 0.0).cast("int"))
-      .orderBy("doc_id")
   }
 
-  private val qualityClassifierSql =
-    s"""WITH tok AS (
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    nbScored(s, dir)
+      .withColumn("pred", (col("logit") > 0.0).cast("int"))
+      .orderBy("doc_id")
+
+  /** The NB scoring CTE chain ending in `scored(doc_id, n_toks, logit)`;
+    * prepend WITH and append a final SELECT (the lmCtes pattern).
+    */
+  private val nbCtes =
+    s"""tok AS (
        |  SELECT doc_id, source IN $dsirTargetInSql AS pos,
        |    unnest(string_split(text, ' ')) AS w
        |  FROM documents),
@@ -215,11 +224,58 @@ object Selection {
        |  FROM tok LEFT JOIN m USING (w) CROSS JOIN t),
        |dw AS (
        |  SELECT doc_id, count(*)::BIGINT AS n_toks, sum(lw) AS sw
-       |  FROM sc GROUP BY 1)
-       |SELECT doc_id, n_toks,
-       |  round(sw + ln((p.dp + 1.0) / (p.dn + 1.0)), 4) AS logit,
-       |  (round(sw + ln((p.dp + 1.0) / (p.dn + 1.0)), 4) > 0.0)::INT AS pred
-       |FROM dw CROSS JOIN p ORDER BY doc_id""".stripMargin
+       |  FROM sc GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, n_toks,
+       |    round(sw + ln((p.dp + 1.0) / (p.dn + 1.0)), 4) AS logit
+       |  FROM dw CROSS JOIN p)""".stripMargin
+
+  private val qualityClassifierSql =
+    s"""WITH $nbCtes
+       |SELECT doc_id, n_toks, logit, (logit > 0.0)::INT AS pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_pareto_select — the rest of the GPT-3 Appendix A recipe: instead
+  // of a hard classifier cut, keep a document when
+  //   pareto(α = 9) > 1 − score,
+  // so high-scoring docs almost always survive and low-scoring docs
+  // survive occasionally — preserving tail diversity a hard threshold
+  // destroys (the paper's stated reason for the rule). Made
+  // reproducible the engine's standard way: the Pareto draw comes from
+  // a deterministic per-doc hash-uniform through the inverse CDF
+  // (x = u^(−1/α) − 1), so membership is a pure function of doc_id —
+  // stable across runs, machine counts, and retries. score =
+  // sigmoid(logit) maps the NB log-odds onto the classifier-probability
+  // scale the published rule expects. Scale shape: the scored frame's
+  // cost (one model aggregate + one scoring pass) plus a pure
+  // projection — nothing new shuffles.
+  private val ParetoAlpha = 9.0
+
+  private def paretoSelect(s: SparkSession, dir: String): DataFrame = {
+    val u = expr("(cast(conv(substring(md5(cast(concat('pareto', cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint) + 0.5) / 1152921504606846976.0")
+    nbScored(s, dir)
+      .withColumn("u", u)
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+      .withColumn("draw", pow(col("u"), lit(-1.0 / ParetoAlpha)) - lit(1.0))
+      .select(col("doc_id"), col("logit"),
+        round(col("score"), 6).as("score"),
+        round(col("draw"), 6).as("draw"),
+        (col("draw") > (lit(1.0) - col("score"))).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val paretoSelectSql =
+    s"""WITH $nbCtes,
+       |pr AS (
+       |  SELECT doc_id, logit,
+       |    1.0 / (1.0 + exp(-logit)) AS score,
+       |    pow((('0x' || substr(md5('pareto' || doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+       |        / 1152921504606846976.0, -1.0 / $ParetoAlpha) - 1.0 AS draw
+       |  FROM scored)
+       |SELECT doc_id, logit, round(score, 6) AS score, round(draw, 6) AS draw,
+       |  (draw > 1.0 - score)::INT AS kept
+       |FROM pr ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q_semantic_dedup — codebook assign + within-cluster near-dup drop.
@@ -410,6 +466,7 @@ object Selection {
   val all: Seq[Q] = Seq(
     Q("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
     Q("q_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    Q("q_pareto_select", paretoSelect, Some(paretoSelectSql)),
     Q("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("q_semantic_dedup_blocked", semanticDedupBlocked, Some(semanticDedupBlockedSql)),
     Q("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)))

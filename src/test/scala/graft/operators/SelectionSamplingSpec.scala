@@ -109,6 +109,20 @@ class SelectionSamplingSpec extends SparkSpec {
     }
   }
 
+  test("pareto keep rule is sparse, deterministic, and quality-leaning") {
+    val out = SparkEntry.queries("q_pareto_select")(spark, Sf01)
+    val kept = out.filter(col("kept") === 1)
+    val dropped = out.filter(col("kept") === 0)
+    assert(kept.count() > 0, "degenerate: nothing kept")
+    // Pareto(9) draws are mostly tiny, so with scores well below 1 the
+    // rule must stay sparse — an inverted comparison keeps the bulk.
+    assert(kept.count() < dropped.count(), "keep rule not sparse")
+    val mKept = kept.agg(avg("logit")).head().getDouble(0)
+    val mDropped = dropped.agg(avg("logit")).head().getDouble(0)
+    assert(mKept > mDropped,
+      s"kept mean logit $mKept not above dropped $mDropped")
+  }
+
   test("multi-probe semantic decontamination: subset of exact, recall above the measured floor") {
     val e = Tables.embeddings(spark, Sf01)
     val k = e.select("label").distinct().count().toInt
