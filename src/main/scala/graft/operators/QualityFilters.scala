@@ -387,10 +387,13 @@ object QualityFilters {
   // reproducible across runs, machine counts, and retries.
   // Scale shape: a per-lang stratum is corpus-sized at 100 TB, so a
   // single per-lang sort is NOT the plan. Two-stage top-k instead:
-  // stage 1 takes the k smallest per (lang, salt) — bounded window
-  // partitions — so the stage-2 per-lang window sees ≤ salts·k rows.
-  // Selecting min-k within every salt cell provably preserves the
-  // global min-k (any global winner is a winner in its own cell).
+  // stage 1 takes the k smallest per (lang, salt), cutting each sort
+  // partition to stratum/salts — a spillable per-partition sort whose
+  // size is dialed by the salt count (scale salts with the corpus the
+  // way shuffle partitions are scaled) — and stage 2's per-lang window
+  // then sees ≤ salts·k rows, bounded by construction. Selecting
+  // min-k within every salt cell provably preserves the global min-k
+  // (any global winner is a winner in its own cell).
   private def weightedSample(s: SparkSession, dir: String): DataFrame = {
     val k = 25
     val salts = 16
