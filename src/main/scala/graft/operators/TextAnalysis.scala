@@ -78,6 +78,19 @@ object TextAnalysis {
        |FROM t ORDER BY doc_id""".stripMargin
 
   // Quality scoring: length prior + stopword-ratio prior.
+
+  /** The per-document quality column (rounded to 6) — ONE definition
+    * shared by the batch query and the streaming corpus-health monitor
+    * (`streaming/StreamingQualityMonitor`), so "quality" means the
+    * same number on the firehose as in the nightly batch.
+    */
+  private[graft] def qualityCol(text: Column): Column = {
+    val toks = split(text, " ")
+    val n = size(toks).cast("double")
+    val ratio = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / n
+    round(least(n / lit(100.0), lit(1.0)) * lit(0.5) + (lit(1.0) - ratio) * lit(0.5), 6)
+  }
+
   private def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val n = size(toks).cast("double")
@@ -89,7 +102,7 @@ object TextAnalysis {
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("n_stop"),
         round(ratio, 6).as("stop_ratio"),
-        round(least(n / lit(100.0), lit(1.0)) * lit(0.5) + (lit(1.0) - ratio) * lit(0.5), 6).as("quality"))
+        qualityCol(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 
