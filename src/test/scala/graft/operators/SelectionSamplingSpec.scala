@@ -109,6 +109,25 @@ class SelectionSamplingSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe ANN dominates single-probe and its recall ladder holds") {
+    def top5(name: String) = SparkEntry.queries(name)(spark, Sf01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("q_knn_cosine")(spark, Sf01)
+      .select("vec_id").limit(5).collect().map(_.getLong(0)).toSet
+    val single = top5("q_ann_bucket")
+    val multi = top5("q_ann_multiprobe")
+    def recall(s: Set[Long]) = (s intersect exact).size
+    assert(recall(multi) >= recall(single),
+      s"multi-probe recall ${recall(multi)} below single-probe ${recall(single)}")
+    // Candidate superset ⇒ the k-th best sim can only improve.
+    def sims(name: String) = SparkEntry.queries(name)(spark, Sf01)
+      .select("sim").collect().map(_.getDouble(0)).sorted.reverse
+    val (ss, ms) = (sims("q_ann_bucket"), sims("q_ann_multiprobe"))
+    ss.zip(ms).foreach { case (a, b) =>
+      assert(b >= a, s"multi-probe top-k sims not pointwise >= single-probe")
+    }
+  }
+
   test("pareto keep rule is sparse, deterministic, and quality-leaning") {
     val out = SparkEntry.queries("q_pareto_select")(spark, Sf01)
     val kept = out.filter(col("kept") === 1)
