@@ -211,6 +211,44 @@ object Curation {
        |FROM sc, t WHERE sc.xent <= t.thr ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_ppl_buckets — CCNet's head/middle/tail split (Wenzek et al. 2020):
+  // after LM scoring, each LANGUAGE's documents are cut into perplexity
+  // terciles — "head" (most fluent third) feeds high-quality training
+  // mixes, "middle" is kept, "tail" is dropped or down-weighted. The
+  // tercile is ntile(3) over (xent asc, doc_id) inside each language
+  // partition — a deterministic total order, so bucket membership can't
+  // flip on ties. Scale shape: the LM pass is q_lm_quality's (bounded
+  // broadcast models); the lang lookup is a hash-co-partitioned equi-
+  // join of two corpus-keyed frames; the tercile is one window whose
+  // partitions are languages — at 100 TB a single language's scored
+  // rows still sort within its partition group, and the CCNet remedy
+  // when one language dominates is the same as the published pipeline's:
+  // shard the corpus before bucketing (per-shard terciles), which this
+  // query's per-lang window shape already expresses.
+  private def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = lmScored(s, dir)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val tercile = Window.partitionBy("lang").orderBy(col("xent"), col("doc_id"))
+    scored
+      .withColumn("t", ntile(3).over(tercile))
+      .select(col("doc_id"), col("lang"), col("xent"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val pplBucketsSql =
+    s"""$lmScoredCte,
+       |b AS (
+       |  SELECT sc.doc_id, d0.lang, sc.xent,
+       |    ntile(3) OVER (PARTITION BY d0.lang ORDER BY sc.xent, sc.doc_id) AS t
+       |  FROM sc JOIN documents d0 ON d0.doc_id = sc.doc_id)
+       |SELECT doc_id, lang, xent,
+       |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_dedup_incremental — dedupe an incoming batch (doc_id % 5 = 0, the
   // stand-in for "today's shard") against the already-indexed rest of
   // the corpus plus itself. Candidates form only inside (band, sig)
@@ -332,6 +370,83 @@ object Curation {
        |  count(d.ndocs)::BIGINT AS n_dup_spans,
        |  round(count(d.ndocs)::DOUBLE / count(*), 4) AS dup_frac
        |FROM sp LEFT JOIN d USING (h)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_span_scrub — the REMOVAL leg of the audit above (the substring-
+  // level dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+  // Language Models Better": excise every occurrence of a substring
+  // that repeats across the corpus, rather than dropping whole
+  // documents). A token position is scrubbed when ANY cross-document-
+  // duplicated 8-token span covers it; the survivors re-concatenate in
+  // position order. Scale shape: the dup-span set reuses q_span_dedup's
+  // frame (spans hashed to int64 BEFORE any shuffle, dup join
+  // hash-co-partitioned — no broadcast assumption on a set that grows
+  // with the corpus); covered positions fan out a bounded ×8 from dup
+  // occurrences only, and the rebuild is one per-doc aggregate whose
+  // collect_list is bounded by document length, never corpus size.
+  private def spanScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // Every span occurrence WITH its 1-based start position (the audit
+    // query distincts these away; removal needs each occurrence).
+    val sp = Tables.spread(docs)
+      .select(col("doc_id"), posexplode(spanHashes(col("text"))).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("start"), col("h"))
+    val dup = sp.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("h")
+    val covered = sp.join(dup, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(SpanTokens - 1))).as("pos"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("tok"))
+    toks.join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        count(col("cov")).as("n_removed"),
+        // Surviving tokens reassembled in position order: collect_list
+        // skips the nulls the `when` leaves on covered positions, and
+        // array_sort on (pos, tok) structs restores document order
+        // regardless of shuffle arrival order.
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("cov").isNull,
+              struct(col("pos"), col("tok"))))),
+            x => x.getField("tok"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val spanScrubSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |spi AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(1, len(toks) - ${SpanTokens - 1}))::BIGINT AS start
+       |  FROM t),
+       |sp AS (
+       |  SELECT doc_id, start,
+       |    ('0x' || substr(md5(array_to_string(toks[start:start+${SpanTokens - 1}], ' ')), 1, 15))::BIGINT AS h
+       |  FROM spi),
+       |dup AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT sp.doc_id,
+       |      unnest(generate_series(sp.start, sp.start + ${SpanTokens - 1}))::BIGINT AS pos
+       |    FROM sp JOIN dup USING (h))),
+       |tok AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(toks)))::BIGINT AS pos,
+       |    unnest(toks) AS tok
+       |  FROM t)
+       |SELECT tok.doc_id, count(*)::BIGINT AS n_toks,
+       |  count(cov.pos)::BIGINT AS n_removed,
+       |  coalesce(string_agg(tok, ' ' ORDER BY tok.pos)
+       |    FILTER (WHERE cov.pos IS NULL), '') AS clean_text
+       |FROM tok LEFT JOIN cov USING (doc_id, pos)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -596,8 +711,10 @@ object Curation {
     Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("q_lm_filter", lmFilter, Some(lmFilterSql)),
     Q("q_lm_filter_approx", lmFilterApprox, Some(lmFilterApproxSql)),
+    Q("q_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     Q("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("q_span_dedup", spanDedup, Some(spanDedupSql)),
+    Q("q_span_scrub", spanScrub, Some(spanScrubSql)),
     Q("q_quantized_knn", quantizedKnn, Some(quantizedKnnSql)),
     Q("q_quantized_ann", quantizedAnn, Some(quantizedAnnSql)),
     Q("q_shard_order", shardOrder, Some(shardOrderSql)),

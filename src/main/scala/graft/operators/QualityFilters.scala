@@ -468,6 +468,53 @@ object QualityFilters {
       |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_context_windows — fixed-length training windows with stride (the
+  // standard long-document chunking upstream of sequence packing: a
+  // W-token context every S tokens, so adjacent windows overlap by
+  // W − S tokens and no span longer than the model context is ever
+  // truncated away). A trailing candidate shorter than `WinMinTail`
+  // tokens is dropped — its content is already covered by the previous
+  // overlapping window (stride < W guarantees it; the spec asserts full
+  // token coverage). Pure per-document projection + one bounded explode
+  // (≤ n/S windows per doc): no shuffle but the final presentation
+  // sort, so the operator is embarrassingly parallel at any corpus
+  // size.
+  private val WinTokens = 64
+  private val WinStride = 48
+  private val WinMinTail = 16
+
+  private def contextWindows(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val starts = filter(
+      sequence(lit(1), greatest(n, lit(1)), lit(WinStride)),
+      st => (n - st + 1 >= WinMinTail) || (st === 1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), n.as("n"),
+        posexplode(starts).as(Seq("win_id", "start")))
+      .select(col("doc_id"), col("win_id").cast("long").as("win_id"),
+        col("start").cast("long").as("start"),
+        least(lit(WinTokens), col("n") - col("start") + 1).cast("long").as("win_toks"),
+        concat_ws(" ",
+          slice(col("toks"), col("start"),
+            least(lit(WinTokens), col("n") - col("start") + 1))).as("window_text"))
+      .orderBy("doc_id", "win_id")
+  }
+
+  private val contextWindowsSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS n,
+       |    unnest(list_filter(generate_series(1, greatest(len(toks), 1), $WinStride),
+       |      st -> len(toks) - st + 1 >= $WinMinTail OR st = 1))::BIGINT AS start
+       |  FROM t)
+       |SELECT doc_id,
+       |  (row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1)::BIGINT AS win_id,
+       |  start, least($WinTokens, n - start + 1)::BIGINT AS win_toks,
+       |  array_to_string(toks[start:start + least($WinTokens, n - start + 1) - 1], ' ') AS window_text
+       |FROM st ORDER BY doc_id, win_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // Cross-document boilerplate removal (the CCNet/RefinedWeb line
   // pass): a line appearing in ≥5% of documents is template chrome
   // (headers, cookie banners, per-site footers), not content. The word
@@ -589,6 +636,89 @@ object QualityFilters {
       |SELECT doc_id, lang, rate_pct,
       |  unnest(generate_series(1, n_copies))::BIGINT AS copy_no
       |FROM x ORDER BY doc_id, copy_no""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_unimax_mix — UniMax language budget allocation (Chung et al.
+  // 2023): spread a total token budget as uniformly as possible across
+  // languages, but never repeat any language's data more than
+  // `UnimaxEpochCap` epochs — the published fix for both low-resource
+  // over-repetition (temperature sampling's failure) and high-resource
+  // domination (proportional sampling's failure). The waterfill has a
+  // closed form over languages sorted by capped size ascending: a
+  // PREFIX of small languages is capped (lang i is capped iff its cap
+  // fits the per-remaining-language fair share at step i,
+  // c_i · (L−i+1) ≤ B − Σ_{j<i} c_j), and every uncapped language gets
+  // an equal share of what the capped prefix left. Everything up to the
+  // final division is INTEGER arithmetic (cap = 2 epochs, budget =
+  // total // 2), so both engines agree bit-for-bit and the two rounded
+  // doubles at the end cannot drift. Scale shape: one corpus scan for
+  // per-lang token mass, then windows over a language-count-sized frame
+  // — bounded by construction, like every model table in this pack.
+  private val UnimaxEpochCap = 2L
+
+  private def unimaxMix(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+    val totals = perLang.agg(sum("n_toks").as("tt"), count(lit(1)).as("nl"))
+    // The window frame is the per-language table (≤ a few hundred rows
+    // for any real corpus) — a global window over it is a bounded
+    // single-partition sort, not a corpus sort.
+    val order = Window.orderBy(col("cap_toks"), col("lang"))
+    val ranked = perLang.crossJoin(broadcast(totals))
+      .withColumn("cap_toks", col("n_toks") * lit(UnimaxEpochCap))
+      .withColumn("budget", expr("tt div 2"))
+      .withColumn("idx", row_number().over(order).cast("long"))
+      .withColumn("cum", sum("cap_toks")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capped",
+        col("cap_toks") * (col("nl") - col("idx") + 1) <=
+          col("budget") - (col("cum") - col("cap_toks")))
+    val kp = ranked.agg(
+      max(when(col("capped"), col("idx")).otherwise(0L)).as("k"),
+      sum(when(col("capped"), col("cap_toks")).otherwise(0L)).as("pk"))
+    ranked.crossJoin(broadcast(kp))
+      // Both engines round the allocation and the epochs ratio from the
+      // same UNROUNDED allocation — rounding first and dividing the
+      // rounded value would let the two 4-decimal results drift.
+      .withColumn("alloc_raw",
+        when(col("idx") <= col("k"), col("cap_toks").cast("double"))
+          .otherwise((col("budget") - col("pk")).cast("double") /
+            (col("nl") - col("k"))))
+      .withColumn("alloc_toks", round(col("alloc_raw"), 4))
+      .withColumn("epochs", round(col("alloc_raw") / col("n_toks"), 4))
+      .select("lang", "n_toks", "cap_toks", "alloc_toks", "epochs")
+      .orderBy("lang")
+  }
+
+  private val unimaxMixSql =
+    s"""WITH pl AS (
+       |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_toks
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT sum(n_toks)::BIGINT AS tt, count(*)::BIGINT AS nl FROM pl),
+       |c AS (
+       |  SELECT lang, n_toks, n_toks * $UnimaxEpochCap AS cap_toks,
+       |    tt // 2 AS budget, nl
+       |  FROM pl CROSS JOIN t),
+       |i AS (
+       |  SELECT *, row_number() OVER (ORDER BY cap_toks, lang)::BIGINT AS idx,
+       |    (sum(cap_toks) OVER (ORDER BY cap_toks, lang
+       |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+       |  FROM c),
+       |f AS (
+       |  SELECT *,
+       |    (cap_toks * (nl - idx + 1) <= budget - (cum - cap_toks)) AS capped
+       |  FROM i),
+       |k AS (
+       |  SELECT max(CASE WHEN capped THEN idx ELSE 0 END)::BIGINT AS k,
+       |    sum(CASE WHEN capped THEN cap_toks ELSE 0 END)::BIGINT AS pk
+       |  FROM f)
+       |SELECT lang, n_toks, cap_toks,
+       |  round(CASE WHEN idx <= k.k THEN cap_toks::DOUBLE
+       |        ELSE (budget - k.pk)::DOUBLE / (nl - k.k) END, 4) AS alloc_toks,
+       |  round((CASE WHEN idx <= k.k THEN cap_toks::DOUBLE
+       |        ELSE (budget - k.pk)::DOUBLE / (nl - k.k) END) / n_toks, 4) AS epochs
+       |FROM f CROSS JOIN k ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------
   // Deterministic train/val/test split: a salted hash bucket per
@@ -787,7 +917,9 @@ object QualityFilters {
     Q("q_decontaminate_semantic", decontaminateSemantic, Some(decontaminateSemanticSql)),
     Q("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    Q("q_context_windows", contextWindows, Some(contextWindowsSql)),
     Q("q_boilerplate_strip", boilerplateStrip, Some(boilerplateStripSql)),
     Q("q_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
+    Q("q_unimax_mix", unimaxMix, Some(unimaxMixSql)),
     Q("q_train_split", trainSplit, Some(trainSplitSql)))
 }

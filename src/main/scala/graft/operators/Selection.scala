@@ -431,6 +431,58 @@ object Selection {
   }
 
   // -------------------------------------------------------------------
+  // q_proto_prune — prototypicality pruning (Sorscher et al. 2022,
+  // "Beyond neural scaling laws": with abundant data, pruning the
+  // EASIEST — most prototypical — examples beats random pruning).
+  // Prototypicality is the SSL-prototypes metric: cosine similarity to
+  // the example's cluster centroid (shared `assigned` machinery — the
+  // same k-row broadcast codebook SemDeDup blocks on). Inside each
+  // cluster, rank by (csim desc, vec_id) and drop the top
+  // ceil(`ProtoDropFrac` · cluster size) — the most centroid-like
+  // members — keeping the hard tail. Scale shape: one broadcast assign
+  // pass + one window partitioned by cluster; nothing pairwise, no
+  // corpus-wide sort. (D4 = this composed AFTER q_semantic_dedup.)
+  private val ProtoDropFrac = 0.25
+
+  private def protoPrune(s: SparkSession, dir: String): DataFrame = {
+    val asg = assigned(Tables.embeddings(s, dir))
+    val rank = Window.partitionBy("cluster").orderBy(col("csim").desc, col("vec_id"))
+    asg
+      .withColumn("rn", row_number().over(rank).cast("long"))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("kept",
+        (col("rn") > ceil(col("csize") * lit(ProtoDropFrac))).cast("int"))
+      .select(col("vec_id"), col("cluster"), col("csim"), col("rn"), col("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val protoPruneSql =
+    s"""WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cen AS (
+       |  SELECT label AS cl, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT label, pos, round(avg(v[pos]), 6) AS c
+       |    FROM el CROSS JOIN
+       |      (SELECT unnest(generate_series(1, 64)) AS pos) g
+       |    GROUP BY label, pos)
+       |  GROUP BY label),
+       |asg AS (
+       |  SELECT vec_id, cl AS cluster, csim FROM (
+       |    SELECT el.vec_id, cen.cl,
+       |      round(list_cosine_similarity(el.v, cen.cv), 4) AS csim,
+       |      row_number() OVER (PARTITION BY el.vec_id
+       |        ORDER BY round(list_cosine_similarity(el.v, cen.cv), 4) DESC, cen.cl) AS rn
+       |    FROM el CROSS JOIN cen)
+       |  WHERE rn = 1),
+       |rk AS (
+       |  SELECT vec_id, cluster, csim,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY csim DESC, vec_id)::BIGINT AS rn,
+       |    count(*) OVER (PARTITION BY cluster)::BIGINT AS csize
+       |  FROM asg)
+       |SELECT vec_id, cluster, csim, rn,
+       |  (rn > ceil(csize * $ProtoDropFrac))::INT AS kept
+       |FROM rk ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_dedup_canonical — keep the best member of each near-dup cluster.
 
   private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
@@ -469,5 +521,6 @@ object Selection {
     Q("q_pareto_select", paretoSelect, Some(paretoSelectSql)),
     Q("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("q_semantic_dedup_blocked", semanticDedupBlocked, Some(semanticDedupBlockedSql)),
+    Q("q_proto_prune", protoPrune, Some(protoPruneSql)),
     Q("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)))
 }
