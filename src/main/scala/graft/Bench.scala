@@ -32,9 +32,18 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
 
+    // Execute the query's OWN physical plan and count its InternalRows.
+    // A DataFrame .count() would instead optimize a count-rewritten
+    // plan, and Catalyst rightly prunes everything cardinality-neutral
+    // out of it — unreferenced aggregate expressions, left joins that
+    // can't change row counts, whole column pipelines. For queries
+    // whose cost lives in exactly those columns (q_span_scrub's scrub
+    // machinery collapses to a bare token count under count()), that
+    // measures a different, cheaper query. toRdd runs the plan as the
+    // query ships it: every output column materialized.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: " + e.getMessage)
         // A failed query reports -1.0 so it cannot hide inside a

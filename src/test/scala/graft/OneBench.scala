@@ -12,7 +12,9 @@ object OneBench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd, not count(): same reasoning as Bench.runOnce — time the
+      // query's own plan, not a count-rewrite Catalyst can prune.
+      val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       println(s"RUN$i $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
     }
     spark.stop()
