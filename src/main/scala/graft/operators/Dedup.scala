@@ -195,8 +195,49 @@ object Dedup {
       |JOIN ss sb ON sb.doc_id = doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_dedup_cluster_hist — near-dup cluster-size histogram: the audit
+  // table a dedup pass is judged by (how much of the corpus sits in
+  // 2-member pairs vs 1000-member template families decides whether
+  // doc-level drop or substring scrub is the right tool). Every doc
+  // joins a cluster — the MinHash-LSH connected components (shared
+  // labels with q_consolidate_merge / q_dedup_canonical) for candidate
+  // docs, a singleton for the rest — and clusters roll up into
+  // power-of-two size buckets. The bucket index is length(bin(size))-1,
+  // pure INTEGER arithmetic: floor(log2(x)) through doubles reads 2.999…
+  // for exact powers on some libm/engine pairs and silently shifts a
+  // bucket. Scale shape: the CC labels are the measured sub-linear-to-
+  // ×100 fixpoint; everything after is a corpus-keyed left join plus
+  // two bounded aggregates.
+  private def dedupClusterHist(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labeled = Lifecycle.minhashCcLabels(docs)
+    val sizes = docs.select(col("doc_id"))
+      .join(labeled, col("doc_id") === col("node"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("comp"))
+      .groupBy("comp").agg(count(lit(1)).as("csize"))
+    sizes
+      .groupBy((length(bin(col("csize"))) - 1).cast("long").as("size_log2"))
+      .agg(count(lit(1)).as("n_clusters"), sum("csize").as("n_docs"),
+        min("csize").as("min_size"), max("csize").as("max_size"))
+      .orderBy("size_log2")
+  }
+
+  private val dedupClusterHistSql =
+    s"""WITH RECURSIVE ${Lifecycle.minhashCcCteSql},
+       |sz AS (
+       |  SELECT comp, count(*)::BIGINT AS csize FROM (
+       |    SELECT coalesce(c.comp, d.doc_id) AS comp
+       |    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+       |  GROUP BY comp)
+       |SELECT (length(bin(csize)) - 1)::BIGINT AS size_log2,
+       |  count(*)::BIGINT AS n_clusters, sum(csize)::BIGINT AS n_docs,
+       |  min(csize) AS min_size, max(csize) AS max_size
+       |FROM sz GROUP BY 1 ORDER BY size_log2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("q_dedup_cluster_hist", dedupClusterHist, Some(dedupClusterHistSql)),
     Q("q_dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql)),
     Q("q_minhash_estimate", minhashEstimate, Some(minhashEstimateSql)),
     Q("q_dedup_jaccard_pairs", dedupJaccardPairs, Some(dedupJaccardPairsSql)),

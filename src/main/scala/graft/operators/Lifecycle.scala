@@ -499,7 +499,7 @@ object Lifecycle {
   // and must land on the identical merge list, subword counts, and
   // budget cut — any drift in pair counting, tie-breaks, or merge
   // application breaks the hash.
-  private val BpeMergeCount = 16
+  private[operators] val BpeMergeCount = 16
 
   private def tokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -516,7 +516,14 @@ object Lifecycle {
       .orderBy("cum_tokens")
   }
 
-  private val tokenBudgetBpeSql: String = {
+  /** The BPE-training-in-SQL CTE chain mapping EVERY document to its
+    * subword count under [[BpeMergeCount]] trained merges: starts with
+    * `WITH`, ends with `db(doc_id, bpe_tokens)` — chain query-specific
+    * CTEs after it with a leading comma. Shared by the budget oracle
+    * below and TextAnalysis's fertility oracle so the replayed trainer
+    * exists in exactly one copy.
+    */
+  private[operators] val bpeDocTokensCtes: String = {
     val pretok = graft.functions.Bpe.PretokenRe
     // MATERIALIZED: each w_i is referenced twice (pair counting + the
     // next rewrite), so inlined CTEs would re-expand exponentially.
@@ -562,7 +569,12 @@ object Lifecycle {
          |  SELECT doc_id, ((length(m) - length(replace(m, '|', ''))) // 2)::BIGINT AS ntok
          |  FROM (SELECT dt.doc_id, $mergedExpr AS m
          |        FROM dt, ${(1 to BpeMergeCount).map(i => s"b$i").mkString(", ")}) t),
-         |db AS (SELECT doc_id, sum(ntok)::BIGINT AS bpe_tokens FROM dtc GROUP BY doc_id),
+         |db AS (SELECT doc_id, sum(ntok)::BIGINT AS bpe_tokens FROM dtc GROUP BY doc_id)""".stripMargin
+  }
+
+  private val tokenBudgetBpeSql: String =
+    bpeDocTokensCtes +
+      s""",
          |cand AS (
          |  SELECT d.doc_id, d.n_chars, coalesce(db.bpe_tokens, 0)::BIGINT AS bpe_tokens
          |  FROM documents d LEFT JOIN db USING (doc_id)
@@ -574,7 +586,6 @@ object Lifecycle {
          |  FROM cand)
          |SELECT doc_id, n_chars, bpe_tokens, cum_tokens FROM run
          |WHERE cum_tokens <= 6000 ORDER BY cum_tokens""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // R16 progressive disclosure: rank-dependent projection depth

@@ -721,6 +721,56 @@ object QualityFilters {
        |FROM f CROSS JOIN k ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_temperature_mix — temperature-scaled language sampling (the
+  // exponent rule of multilingual pretraining: share_l ∝ n_l^α with
+  // α = 0.7, flattening the raw distribution toward uniform without
+  // UniMax's hard epoch cap — mBERT/XLM-R's published recipe, and the
+  // third mixture strategy beside fixed-weight resampling
+  // (q_mixture_resample) and the capped waterfill (q_unimax_mix); the
+  // three run from the SAME per-lang aggregate at 100 TB, so offering
+  // all three costs one corpus scan). Budget = total // 2, matching
+  // q_unimax_mix so the two allocations compare row-for-row. Epochs
+  // here are UNCAPPED — the number to read next to UniMax's: a
+  // low-resource language at epochs ≫ cap is exactly the over-
+  // repetition UniMax exists to stop. Scale shape: one corpus scan,
+  // then arithmetic over the languages-sized frame.
+  private val TemperatureAlpha = 0.7
+
+  private def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+    val np = perLang.withColumn("np", pow(col("n_toks").cast("double"), lit(TemperatureAlpha)))
+    val totals = np.agg(sum("n_toks").as("tt"), sum("np").as("tp"))
+    np.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("tt div 2"))
+      .withColumn("alloc_raw", col("np") / col("tp") * col("budget"))
+      .select(col("lang"), col("n_toks"),
+        round(col("n_toks").cast("double") / col("tt"), 6).as("p_raw"),
+        round(col("np") / col("tp"), 6).as("p_temp"),
+        round(col("alloc_raw"), 4).as("alloc_toks"),
+        round(col("alloc_raw") / col("n_toks"), 4).as("epochs"))
+      .orderBy("lang")
+  }
+
+  private val temperatureMixSql =
+    s"""WITH pl AS (
+       |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_toks
+       |  FROM documents GROUP BY 1),
+       |np AS (SELECT lang, n_toks, pow(n_toks::DOUBLE, $TemperatureAlpha) AS np FROM pl),
+       |t AS (SELECT sum(n_toks)::BIGINT AS tt, sum(np) AS tp FROM np),
+       |a AS (
+       |  SELECT lang, n_toks, np, tt, tp, tt // 2 AS budget,
+       |    np / tp * (tt // 2) AS alloc_raw
+       |  FROM np CROSS JOIN t)
+       |SELECT lang, n_toks,
+       |  round(n_toks::DOUBLE / tt, 6) AS p_raw,
+       |  round(np / tp, 6) AS p_temp,
+       |  round(alloc_raw, 4) AS alloc_toks,
+       |  round(alloc_raw / n_toks, 4) AS epochs
+       |FROM a ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
   // Deterministic train/val/test split: a salted hash bucket per
   // doc_id assigns 90/5/5 — membership is a pure function of the id
   // (no RNG, no partition sensitivity, survives corpus growth: an
@@ -921,5 +971,6 @@ object QualityFilters {
     Q("q_boilerplate_strip", boilerplateStrip, Some(boilerplateStripSql)),
     Q("q_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
     Q("q_unimax_mix", unimaxMix, Some(unimaxMixSql)),
+    Q("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     Q("q_train_split", trainSplit, Some(trainSplitSql)))
 }

@@ -198,9 +198,53 @@ object TextAnalysis {
        |SELECT doc_id, $bits AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q_bpe_fertility — per-language tokenizer fertility: subwords per
+  // whitespace word and characters per subword under the TRAINED merge
+  // list (the same distributed vocabulary pass + driver merge loop as
+  // q_token_budget_bpe — one corpus scan bounded by vocabulary size).
+  // Fertility is the number multilingual budget planning actually
+  // turns on: a language at 2.1 subwords/word costs 2× the context of
+  // one at 1.05 for the same text, so per-language token budgets
+  // (q_unimax_mix) divide by exactly this table. Scale shape: counting
+  // is a pure codegen projection per doc; the per-lang roll-up is a
+  // languages-sized aggregate. The oracle replays BPE training through
+  // the shared Lifecycle.bpeDocTokensCtes chain — identical merges or
+  // the hash breaks.
+  private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.functions.Bpe.trainMergesFrom(docs, "text", Lifecycle.BpeMergeCount)
+    docs
+      .withColumn("bpe", graft.functions.Bpe.countSubwordsCol(col("text"), merges).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_words"),
+        sum(col("bpe")).as("n_subwords"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords"), 4).as("chars_per_subword"))
+      .orderBy("lang")
+  }
+
+  private val bpeFertilitySql: String =
+    Lifecycle.bpeDocTokensCtes +
+      s""",
+         |dl AS (
+         |  SELECT d.lang, len(string_split(d.text, ' '))::BIGINT AS n_words,
+         |    coalesce(db.bpe_tokens, 0)::BIGINT AS bpe, length(d.text)::BIGINT AS nch
+         |  FROM documents d LEFT JOIN db USING (doc_id))
+         |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words,
+         |  sum(bpe)::BIGINT AS n_subwords,
+         |  round(sum(bpe)::DOUBLE / sum(n_words), 4) AS fertility,
+         |  round(sum(nch)::DOUBLE / sum(bpe), 4) AS chars_per_subword
+         |FROM dl GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    Q("q_bpe_fertility", bpeFertility, Some(bpeFertilitySql)),
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("q_langid", langId, Some(langIdSql)),
     Q("q_fingerprint", fingerprint, Some(fingerprintSql)),

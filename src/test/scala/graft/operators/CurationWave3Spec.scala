@@ -151,4 +151,63 @@ class CurationWave3Spec extends SparkSpec {
       assert(uncapped.max - uncapped.min <= eps,
         s"uncapped shares differ: $uncapped")
   }
+
+  // ------------------------------------------------------ temperature mix
+  test("temperature_mix flattens toward uniform and spends the budget") {
+    val rows = run("q_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val budget = rows.map(_._2).sum / 2
+    val eps = 1e-3
+    assert(math.abs(rows.map(_._5).sum - budget) <= rows.length * eps)
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= 1e-4, "p_temp sums to 1")
+    // α < 1 compresses: the largest language loses share, the smallest
+    // gains — and the ordering of shares is preserved.
+    val byRaw = rows.sortBy(_._3)
+    assert(byRaw.last._4 < byRaw.last._3, "largest lang must lose share")
+    assert(byRaw.head._4 > byRaw.head._3, "smallest lang must gain share")
+    assert(byRaw.map(_._4).sameElements(byRaw.map(_._4).sorted),
+      "temperature scaling must preserve share order")
+    rows.foreach { case (lang, n, _, _, alloc, epochs) =>
+      assert(math.abs(epochs - alloc / n) <= eps, s"$lang epochs ratio")
+    }
+  }
+
+  // --------------------------------------------------- dedup cluster hist
+  test("dedup_cluster_hist partitions the corpus into power-of-two buckets") {
+    val rows = run("q_dedup_cluster_hist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val corpus = graft.io.Tables.documents(spark, Sf).count()
+    assert(rows.map(_._3).sum == corpus,
+      s"histogram docs ${rows.map(_._3).sum} != corpus $corpus")
+    rows.foreach { case (b, nClusters, nDocs, minSz, maxSz) =>
+      assert(nClusters > 0)
+      assert(minSz >= (1L << b) && maxSz < (1L << (b + 1)),
+        s"bucket $b: sizes [$minSz, $maxSz] outside [2^$b, 2^${b + 1})")
+      assert(nDocs >= nClusters * minSz && nDocs <= nClusters * maxSz)
+    }
+    // Buckets are disjoint and ordered.
+    assert(rows.map(_._1).sameElements(rows.map(_._1).distinct.sorted))
+  }
+
+  // ------------------------------------------------------- bpe fertility
+  test("bpe_fertility roll-up matches the raw corpus word/char mass") {
+    val rows = run("q_bpe_fertility").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val raw = graft.io.Tables.documents(spark, Sf)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("d"),
+        sum(size(split(col("text"), " ")).cast("long")).as("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.map(_._1).toSet == raw.keySet)
+    rows.foreach { case (lang, nDocs, nWords, nSub, fert, cps) =>
+      assert((nDocs, nWords) == raw(lang), s"$lang doc/word mass")
+      // Every whitespace word pretokenizes to ≥ 1 subword, so fertility
+      // ≥ 1; and a subword has ≥ 1 char.
+      assert(nSub >= nWords, s"$lang subwords $nSub < words $nWords")
+      assert(fert >= 1.0 && cps >= 1.0, s"$lang fertility=$fert cps=$cps")
+      assert(math.abs(fert - nSub.toDouble / nWords) <= 1e-3)
+    }
+  }
 }
