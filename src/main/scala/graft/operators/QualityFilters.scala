@@ -468,6 +468,98 @@ object QualityFilters {
       |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_gopher_rep — the multi-n-gram half of Gopher's repetition rules
+  // (Rae et al. 2021, Table A1; q_repetition_filter carries the
+  // 1-gram/distinct-ratio half): per document,
+  //   top-n char fraction  (n = 2, 3, 4): chars of the single most
+  //     frequent n-gram's occurrences / doc chars;
+  //   dup-n char fraction  (n = 5, 6, 7): chars of ALL n-grams occurring
+  //     ≥ 2× / doc chars (the standard occurrence-sum form — overlaps
+  //     are not position-unioned, so the ratio can exceed 1 on
+  //     pathological repeats; the published thresholds are calibrated
+  //     on the same form).
+  // Keep = every signal at or under its published cut (0.20/0.18/0.16,
+  // 0.15/0.14/0.13), compared on the ROUNDED values so the flag cannot
+  // flip on engine-side last-ulp drift. Scale shape: six bounded gram
+  // explodes (one per n) map-side-combine into per-(doc, n, gram)
+  // counts keyed by doc — the shuffle carries count rows, never text
+  // re-reads; everything after is per-doc conditional aggregation plus
+  // one co-partitioned join back to doc length.
+  private val GopherTopNs = Seq(2, 3, 4)
+  private val GopherDupNs = Seq(5, 6, 7)
+  private val GopherCuts = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
+    5 -> 0.15, 6 -> 0.14, 7 -> 0.13)
+
+  private def gopherRep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = (GopherTopNs ++ GopherDupNs).map { n =>
+      Tables.spread(docs).select(col("doc_id"), lit(n).as("n"),
+        explode(TextAnalysisShared.ngrams(col("text"), n)).as("g"))
+    }.reduce(_ unionByName _)
+    val counts = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    // Per (doc, n): the top gram by (count, gram) — the struct max is a
+    // map-side-combinable argmax, same shape as the IVF assign — plus
+    // the duplicated-gram char sum.
+    val perN = counts.groupBy("doc_id", "n").agg(
+      max(struct(col("c"), col("g"))).as("top"),
+      sum(when(col("c") >= 2, col("c") * length(col("g")))).as("dupchars"))
+      .select(col("doc_id"), col("n"),
+        (col("top.c") * length(col("top.g"))).as("topchars"),
+        col("dupchars"))
+    def sig(n: Int, src: Column): Column =
+      round(coalesce(max(when(col("n") === n, src)), lit(0L)).cast("double") /
+        col("n_chars"), 4)
+    val pivoted = perN
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .groupBy("doc_id", "n_chars")
+      .agg(
+        sig(2, col("topchars")).as("top2"), sig(3, col("topchars")).as("top3"),
+        sig(4, col("topchars")).as("top4"), sig(5, col("dupchars")).as("dup5"),
+        sig(6, col("dupchars")).as("dup6"), sig(7, col("dupchars")).as("dup7"))
+    pivoted
+      .withColumn("kept",
+        (col("top2") <= GopherCuts(2) && col("top3") <= GopherCuts(3) &&
+          col("top4") <= GopherCuts(4) && col("dup5") <= GopherCuts(5) &&
+          col("dup6") <= GopherCuts(6) && col("dup7") <= GopherCuts(7)).cast("int"))
+      .select("doc_id", "top2", "top3", "top4", "dup5", "dup6", "dup7", "kept")
+      .orderBy("doc_id")
+  }
+
+  private val gopherRepSql: String = {
+    val gramSelects = (GopherTopNs ++ GopherDupNs).map { n =>
+      s"""  SELECT doc_id, $n AS n,
+         |    unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+         |      i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS g
+         |  FROM t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    def sigSql(n: Int, src: String) =
+      s"round(coalesce(max(CASE WHEN n = $n THEN $src END), 0)::DOUBLE / n_chars, 4)"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |$gramSelects),
+       |c AS (SELECT doc_id, n, g, count(*)::BIGINT AS c FROM g GROUP BY 1, 2, 3),
+       |pn AS (
+       |  SELECT c.doc_id, c.n,
+       |    max(CASE WHEN rn = 1 THEN c * length(g) END) AS topchars,
+       |    sum(CASE WHEN c >= 2 THEN c * length(g) END) AS dupchars
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+       |          ORDER BY c DESC, g DESC) AS rn FROM c) c
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT pn.doc_id, d.n_chars,
+       |    ${sigSql(2, "topchars")} AS top2, ${sigSql(3, "topchars")} AS top3,
+       |    ${sigSql(4, "topchars")} AS top4, ${sigSql(5, "dupchars")} AS dup5,
+       |    ${sigSql(6, "dupchars")} AS dup6, ${sigSql(7, "dupchars")} AS dup7
+       |  FROM pn JOIN documents d ON d.doc_id = pn.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, top2, top3, top4, dup5, dup6, dup7,
+       |  (top2 <= ${GopherCuts(2)} AND top3 <= ${GopherCuts(3)} AND
+       |   top4 <= ${GopherCuts(4)} AND dup5 <= ${GopherCuts(5)} AND
+       |   dup6 <= ${GopherCuts(6)} AND dup7 <= ${GopherCuts(7)})::INT AS kept
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q_context_windows — fixed-length training windows with stride (the
   // standard long-document chunking upstream of sequence packing: a
   // W-token context every S tokens, so adjacent windows overlap by
@@ -961,6 +1053,7 @@ object QualityFilters {
     Q("q_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
+    Q("q_gopher_rep", gopherRep, Some(gopherRepSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateBloomSql)),

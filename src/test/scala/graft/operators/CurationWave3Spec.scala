@@ -190,6 +190,41 @@ class CurationWave3Spec extends SparkSpec {
     assert(rows.map(_._1).sameElements(rows.map(_._1).distinct.sorted))
   }
 
+  // -------------------------------------------------------- gopher rep
+  test("gopher_rep signals match an independent recomputation; keep flag honors the cuts") {
+    val rows = run("q_gopher_rep").collect()
+      .map(r => (r.getLong(0), (2 to 7).map(i => r.getDouble(i - 1)).toVector, r.getInt(7)))
+    val original = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val cuts = Vector(0.20, 0.18, 0.16, 0.15, 0.14, 0.13)
+    rows.foreach { case (id, sigs, kept) =>
+      val (text, nch) = original(id)
+      val toks = text.split(" ", -1)
+      def grams(n: Int) = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      // top-n char fraction, n = 2..4 (argmax by count then gram).
+      (2 to 4).foreach { n =>
+        val byG = grams(n).groupBy(identity).view.mapValues(_.size).toMap
+        val want = if (byG.isEmpty) 0.0 else {
+          val (g, c) = byG.maxBy { case (g, c) => (c, g) }
+          BigDecimal(c.toLong * g.length / nch.toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        assert(math.abs(sigs(n - 2) - want) <= 1e-9, s"doc $id top$n: ${sigs(n - 2)} != $want")
+      }
+      // dup-n char fraction, n = 5..7.
+      (5 to 7).foreach { n =>
+        val byG = grams(n).groupBy(identity).view.mapValues(_.size).toMap
+        val dc = byG.collect { case (g, c) if c >= 2 => c.toLong * g.length }.sum
+        val want = BigDecimal(dc / nch.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(sigs(n - 2) - want) <= 1e-9, s"doc $id dup$n: ${sigs(n - 2)} != $want")
+      }
+      val wantKeep = sigs.zip(cuts).forall { case (s0, c0) => s0 <= c0 }
+      assert((kept == 1) == wantKeep, s"doc $id keep flag")
+    }
+  }
+
   // ------------------------------------------------------- bpe fertility
   test("bpe_fertility roll-up matches the raw corpus word/char mass") {
     val rows = run("q_bpe_fertility").collect()
