@@ -15,7 +15,8 @@ object SparkEntry {
       Dedup.all ++ VectorSearch.all ++ Multimodal.all ++ Retrieval.all ++
       Lifecycle.all ++ Compression.all ++ ScalePatterns.all ++ Analytics.all ++ Sessionize.all ++
       Entities.all ++ graft.sources.Normalizer.all ++ QualityFilters.all ++ Contracts.all ++
-      Curation.all ++ Selection.all ++ Layout.all
+      Curation.all ++ Selection.all ++ Layout.all ++ Sketches.all ++ Pq.all ++
+      TokenizerTrain.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's read path (filter → kNN → score → threshold → top-k)

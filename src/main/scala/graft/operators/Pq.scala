@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011) — the compression half of
+  * the production IVF-PQ ANN stack. The 64-d vector is cut into m = 8
+  * contiguous 8-d subvectors; each subspace trains its own ks = 4
+  * centroid codebook (one deterministic Lloyd iteration from fixed
+  * seeds, the `q_kmeans_train` recipe per subspace); a vector's code is
+  * its 8 per-subspace centroid ids — 8 small ints standing in for 64
+  * floats (f32 → ~1/32 the bytes; at 100 TB of embeddings the code
+  * table is the only thing the ANN scan reads). Search is ADC
+  * (asymmetric distance computation): the query stays exact, its
+  * squared distance to all m·ks = 32 centroids becomes a broadcast
+  * lookup table, and a candidate's approximate distance is the sum of
+  * its 8 table cells — a code-table scan plus a 32-row broadcast join,
+  * no float vector ever re-read.
+  *
+  * Scale shape: training exchanges are bounded by construction (the
+  * update step carries ≤ m·ks·d/m = 256 rows regardless of corpus
+  * size); assignment/encode shuffles carry one row per (vector,
+  * subspace) — the same bytes as the vectors themselves, once, to
+  * produce the persistent code table. Composes with the IVF cell probe
+  * (`q_ann_ivf_kmeans`) exactly as FAISS IVF-PQ does: coarse cell
+  * prunes the scan, PQ codes price the survivors.
+  *
+  * Search runs the full production two-stage: ADC prices every code
+  * cheaply, the top-`PqShortlist` survivors alone get exact float
+  * distances, and the exact re-rank emits top-10 — so the expensive
+  * exact kernel touches a fixed 50 vectors no matter the corpus size.
+  * The query audits itself against truth at this SF: result rows carry
+  * an in-exact-top-10 flag (recall of the shortlist stage).
+  */
+object Pq {
+
+  private val PqM = 8 // subspaces
+  private val PqD = 8 // dims per subspace (m · d = 64)
+  private val PqKs = 8 // centroids per subspace
+  private val PqTopK = 10
+  private val PqShortlist = 50 // ADC survivors that get exact re-rank
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => pow(x.cast("double") - y, lit(2))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, sub, svec): the m contiguous subvector slices, cast to
+    * double once so every later distance is double-exact.
+    */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        transform(slice(col("embedding"), col("sub") * PqD + 1, lit(PqD)),
+          _.cast("double")).as("svec"))
+
+  /** One Lloyd round per subspace from the fixed seeds (vec_id < ks),
+    * returning the updated (sub, cid, cvec) codebook — elements rounded
+    * to 6 decimals so both engines encode from bit-identical codebooks.
+    * The assign argmin is the map-side-combined min(struct(dist2, cid,
+    * svec)) — one row per (vector, subspace) reaches the exchange, and
+    * the struct comparison never passes (dist2, cid), which is unique
+    * per group by construction.
+    */
+  private def trainCodebook(subv: DataFrame): DataFrame = {
+    val c0 = subv.filter(col("vec_id") < PqKs)
+      .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
+    val asg = subv.join(broadcast(c0), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(round(sqDist(col("svec"), col("cvec")), 6).as("dist2"),
+          col("cid"), col("svec")).as("cand"))
+      .groupBy("vec_id", "sub").agg(min("cand").as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"),
+        col("m.svec").as("svec"))
+    asg.select(col("sub"), col("cid"), posexplode(col("svec")))
+      .groupBy("sub", "cid", "pos")
+      .agg(round(avg(col("col")), 6).as("c"))
+      .groupBy("sub", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+  }
+
+  /** Encode: each (vector, subspace) takes its nearest updated
+    * centroid's id. This is the persistent PQ code table.
+    */
+  private def encode(subv: DataFrame, cent: DataFrame): DataFrame =
+    subv.join(broadcast(cent), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(round(sqDist(col("svec"), col("cvec")), 6).as("dist2"),
+          col("cid")).as("cand"))
+      .groupBy("vec_id", "sub").agg(min("cand").as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val subv = subvectors(e)
+    val cent = trainCodebook(subv)
+    val codes = encode(subv, cent)
+    // Query = vec 0, kept as frames (no driver collect): its subvector
+    // slices price the 32 centroids into the ADC lookup table.
+    val qsub = subv.filter(col("vec_id") === 0)
+      .select(col("sub"), col("svec").as("qsvec"))
+    val lut = cent.join(broadcast(qsub), Seq("sub"))
+      .select(col("sub"), col("cid"),
+        round(sqDist(col("qsvec"), col("cvec")), 6).as("contrib"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy("vec_id").agg(round(sum(col("contrib")), 6).as("adc_dist"))
+    val shortlist = adc.orderBy(col("adc_dist"), col("vec_id")).limit(PqShortlist)
+    val qfull = e.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast("double")).as("qv"))
+    // Exact distances ONLY for the shortlist — the re-rank stage's scan
+    // is bounded at PqShortlist float vectors.
+    val reranked = shortlist
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(qfull))
+      .select(col("vec_id"), col("adc_dist"),
+        round(sqDist(col("embedding"), col("qv")), 6).as("true_dist"))
+    // Audit side (test-scale only): the full exact top-10 to grade the
+    // shortlist's recall.
+    val exactTop = e.crossJoin(broadcast(qfull))
+      .select(col("vec_id"),
+        round(sqDist(col("embedding"), col("qv")), 6).as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(PqTopK).select(col("vec_id"), lit(1).as("in_exact"))
+    reranked
+      .join(exactTop, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("adc_dist"), col("true_dist"),
+        coalesce(col("in_exact"), lit(0)).as("in_exact"))
+      .orderBy(col("true_dist"), col("vec_id"))
+      .limit(PqTopK)
+  }
+
+  private val annPqSql =
+    s"""WITH sv AS (
+       |  SELECT vec_id, (r.range - 1) // $PqD AS sub, (r.range - 1) % $PqD AS spos,
+       |    embedding[r.range]::DOUBLE AS x
+       |  FROM embeddings, range(1, 65) r),
+       |c0 AS (
+       |  SELECT vec_id::BIGINT AS cid, sub, spos, x AS c FROM sv WHERE vec_id < $PqKs),
+       |d1 AS (
+       |  SELECT sv.vec_id, sv.sub, c0.cid, round(sum(pow(sv.x - c0.c, 2)), 6) AS dist2
+       |  FROM sv JOIN c0 USING (sub, spos) GROUP BY 1, 2, 3),
+       |a1 AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist2, cid) AS rn FROM d1) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT a1.sub, a1.cid, sv.spos, round(avg(sv.x), 6) AS c
+       |  FROM a1 JOIN sv USING (vec_id, sub) GROUP BY 1, 2, 3),
+       |d2 AS (
+       |  SELECT sv.vec_id, sv.sub, c1.cid, round(sum(pow(sv.x - c1.c, 2)), 6) AS dist2
+       |  FROM sv JOIN c1 USING (sub, spos) GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist2, cid) AS rn FROM d2) WHERE rn = 1),
+       |q AS (SELECT sub, spos, x AS qx FROM sv WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT c1.sub, c1.cid, round(sum(pow(q.qx - c1.c, 2)), 6) AS contrib
+       |  FROM c1 JOIN q USING (sub, spos) GROUP BY 1, 2),
+       |adc AS (
+       |  SELECT codes.vec_id, round(sum(lut.contrib), 6) AS adc_dist
+       |  FROM codes JOIN lut USING (sub, cid) GROUP BY 1),
+       |shortlist AS (
+       |  SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT $PqShortlist),
+       |exact AS (
+       |  SELECT sv.vec_id, round(sum(pow(sv.x - q0.qx, 2)), 6) AS true_dist
+       |  FROM sv JOIN (SELECT sub, spos, x AS qx FROM sv WHERE vec_id = 0) q0
+       |    USING (sub, spos)
+       |  GROUP BY 1),
+       |extop AS (
+       |  SELECT vec_id FROM exact ORDER BY true_dist, vec_id LIMIT $PqTopK)
+       |SELECT s.vec_id, s.adc_dist, e.true_dist,
+       |  (s.vec_id IN (SELECT vec_id FROM extop))::INT AS in_exact
+       |FROM shortlist s JOIN exact e USING (vec_id)
+       |ORDER BY e.true_dist, s.vec_id LIMIT $PqTopK""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_ann_pq", annPq, Some(annPqSql)))
+}

@@ -480,43 +480,89 @@ object QualityFilters {
   //     on the same form).
   // Keep = every signal at or under its published cut (0.20/0.18/0.16,
   // 0.15/0.14/0.13), compared on the ROUNDED values so the flag cannot
-  // flip on engine-side last-ulp drift. Scale shape: six bounded gram
-  // explodes (one per n) map-side-combine into per-(doc, n, gram)
-  // counts keyed by doc — the shuffle carries count rows, never text
-  // re-reads; everything after is per-doc conditional aggregation plus
-  // one co-partitioned join back to doc length.
+  // flip on engine-side last-ulp drift. Scale shape: every signal is a
+  // PER-DOCUMENT statistic, so no gram ever needs to cross an executor
+  // boundary — the query tokenizes once, builds all six gram arrays
+  // from the shared token array, and folds each SORTED array's run
+  // lengths into (top-gram chars, duplicated chars) inside one
+  // projection. Zero shuffles but the presentation sort; the earlier
+  // explode→groupBy form shuffled one row per corpus gram (the honest
+  // ×100 decade measured 117 s — the fold form is the shape that
+  // survives the next decade).
   private val GopherTopNs = Seq(2, 3, 4)
   private val GopherDupNs = Seq(5, 6, 7)
   private val GopherCuts = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
     5 -> 0.15, 6 -> 0.14, 7 -> 0.13)
 
+  /** n-grams from a pre-split token array — one tokenize per document,
+    * shared across all n values (TextAnalysisShared.ngrams re-splits
+    * the text per call).
+    */
+  private def ngramsFromToks(toks: Column, n: Int): Column = {
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Fold the sorted n-gram array's run lengths into
+    * struct(topchars, dupchars): chars of the single most frequent
+    * gram's occurrences (ties by larger gram string, matching the
+    * oracle's ORDER BY c DESC, g DESC) and chars of all grams occurring
+    * ≥ 2×. Equal grams are adjacent after array_sort, so one
+    * left-to-right pass sees every run; the finish lambda closes the
+    * last run.
+    */
+  private def gramRunStats(toks: Column, n: Int): Column = {
+    val sorted = array_sort(ngramsFromToks(toks, n))
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("topc"), lit("").as("topg"), lit(0L).as("dup"))
+    // (topc, topg, dup) with the pending (prev, run) run folded in.
+    def closeRun(acc: Column): Column = {
+      val (prev, run) = (acc.getField("prev"), acc.getField("run"))
+      val (topc, topg, dup) =
+        (acc.getField("topc"), acc.getField("topg"), acc.getField("dup"))
+      val better = (run > topc) || (run === topc && prev > topg)
+      struct(
+        when(better, run).otherwise(topc).as("topc"),
+        when(better, prev).otherwise(topg).as("topg"),
+        (dup + when(run >= 2, run * length(prev).cast("long"))
+          .otherwise(lit(0L))).as("dup"))
+    }
+    aggregate(sorted, init,
+      (acc, g) => {
+        val same = acc.getField("prev") === g
+        val c = closeRun(acc)
+        struct(g.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("topc")).otherwise(c.getField("topc")).as("topc"),
+          when(same, acc.getField("topg")).otherwise(c.getField("topg")).as("topg"),
+          when(same, acc.getField("dup")).otherwise(c.getField("dup")).as("dup"))
+      },
+      acc => {
+        val c = closeRun(acc)
+        struct(
+          (c.getField("topc") * length(c.getField("topg")).cast("long")).as("topchars"),
+          c.getField("dup").as("dupchars"))
+      })
+  }
+
   private def gopherRep(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val grams = (GopherTopNs ++ GopherDupNs).map { n =>
-      Tables.spread(docs).select(col("doc_id"), lit(n).as("n"),
-        explode(TextAnalysisShared.ngrams(col("text"), n)).as("g"))
-    }.reduce(_ unionByName _)
-    val counts = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
-    // Per (doc, n): the top gram by (count, gram) — the struct max is a
-    // map-side-combinable argmax, same shape as the IVF assign — plus
-    // the duplicated-gram char sum.
-    val perN = counts.groupBy("doc_id", "n").agg(
-      max(struct(col("c"), col("g"))).as("top"),
-      sum(when(col("c") >= 2, col("c") * length(col("g")))).as("dupchars"))
-      .select(col("doc_id"), col("n"),
-        (col("top.c") * length(col("top.g"))).as("topchars"),
-        col("dupchars"))
-    def sig(n: Int, src: Column): Column =
-      round(coalesce(max(when(col("n") === n, src)), lit(0L)).cast("double") /
-        col("n_chars"), 4)
-    val pivoted = perN
-      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
-      .groupBy("doc_id", "n_chars")
-      .agg(
-        sig(2, col("topchars")).as("top2"), sig(3, col("topchars")).as("top3"),
-        sig(4, col("topchars")).as("top4"), sig(5, col("dupchars")).as("dup5"),
-        sig(6, col("dupchars")).as("dup6"), sig(7, col("dupchars")).as("dup7"))
-    pivoted
+    val ns = GopherTopNs ++ GopherDupNs
+    // Docs with fewer than 2 tokens produce no gram for any n and are
+    // absent from the oracle's gram-derived frame — filter to match.
+    val withStats = Tables.spread(docs)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(Seq(col("doc_id"), col("n_chars")) ++
+        ns.map(n => gramRunStats(col("toks"), n).as(s"s$n")): _*)
+    def sig(n: Int, field: String): Column =
+      round(col(s"s$n").getField(field).cast("double") / col("n_chars"), 4)
+    withStats
+      .select(col("doc_id"),
+        sig(2, "topchars").as("top2"), sig(3, "topchars").as("top3"),
+        sig(4, "topchars").as("top4"), sig(5, "dupchars").as("dup5"),
+        sig(6, "dupchars").as("dup6"), sig(7, "dupchars").as("dup7"))
       .withColumn("kept",
         (col("top2") <= GopherCuts(2) && col("top3") <= GopherCuts(3) &&
           col("top4") <= GopherCuts(4) && col("dup5") <= GopherCuts(5) &&

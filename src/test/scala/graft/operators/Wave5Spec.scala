@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Properties of the wave-5 pack: sketches (CMS / HLL), PQ-ADC search,
+  * the BPE merge trainer, and the fold-form Gopher repetition rules.
+  * Value-level equality vs DuckDB runs in the driver gate; these pin
+  * the mathematical guarantees and the plan shapes the values cannot
+  * express.
+  */
+class Wave5Spec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf).collect()
+
+  test("CMS never underestimates: overest >= 0 on every probed token") {
+    val rows = run("q_cms_topk")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overest") >= 0L,
+        s"CMS underestimated ${r.getAs[String]("tok")}")
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+    }
+  }
+
+  test("HLL estimates stay within 15% of exact per-source cardinality") {
+    val rows = run("q_hll_cardinality")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("hll_est") > 0.0)
+      assert(r.getAs[Double]("rel_err") <= 0.15,
+        s"${r.getAs[String]("source")}: rel_err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
+  test("PQ two-stage search: query self-hit leads, shortlist recall holds") {
+    val rows = run("q_ann_pq")
+    assert(rows.length == 10)
+    // Exact re-rank puts the query vector itself first at distance 0.
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Double]("true_dist") == 0.0)
+    // Its ADC distance is its own quantization residual — positive.
+    assert(rows.head.getAs[Double]("adc_dist") > 0.0)
+    val dists = rows.map(_.getAs[Double]("true_dist")).toSeq
+    assert(dists == dists.sorted, "re-rank must order by exact distance")
+    val recall = rows.map(_.getAs[Int]("in_exact")).sum
+    assert(recall >= 4, s"shortlist recall@10 collapsed: $recall/10")
+  }
+
+  test("BPE trainer: merge counts are non-increasing across rounds") {
+    val rows = run("q_bpe_train").sortBy(_.getAs[Int]("round"))
+    assert(rows.length == 3)
+    val cnts = rows.map(_.getAs[Long]("pair_cnt")).toSeq
+    // A later merge can never beat an earlier one: old pair counts only
+    // shrink, and any pair created by a merge occurs at most as often
+    // as the merged pair did.
+    assert(cnts == cnts.sorted.reverse, s"counts increased: $cnts")
+    rows.foreach { r =>
+      assert(r.getAs[String]("lhs").nonEmpty && r.getAs[String]("rhs").nonEmpty)
+    }
+  }
+
+  test("gopher_rep folds per document: no aggregate in the plan") {
+    val plan = SparkEntry.queries("q_gopher_rep")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate")
+      && !plan.contains("ObjectHashAggregate"),
+      "repetition signals are per-doc folds; an aggregate means a gram shuffle returned")
+  }
+}
