@@ -482,13 +482,12 @@ object QualityFilters {
   // 0.15/0.14/0.13), compared on the ROUNDED values so the flag cannot
   // flip on engine-side last-ulp drift. Scale shape: every signal is a
   // PER-DOCUMENT statistic, so no gram ever needs to cross an executor
-  // boundary — the query tokenizes once, builds all six gram arrays
-  // from the shared token array, and folds each SORTED array's run
-  // lengths into (top-gram chars, duplicated chars) inside one
-  // projection. Zero shuffles but the presentation sort; the earlier
-  // explode→groupBy form shuffled one row per corpus gram (the honest
-  // ×100 decade measured 117 s — the fold form is the shape that
-  // survives the next decade).
+  // boundary — one compiled expression call per document tokenizes
+  // once and hash-counts all six gram families (GopherRepStats). Zero
+  // shuffles but the presentation sort. History: the explode→groupBy
+  // form shuffled one row per corpus gram (117 s at the ×100 decade);
+  // an interpreted HOF fold fixed the shape but kept the constant
+  // (120 s); the compiled pass keeps the shape AND the constant.
   private val GopherTopNs = Seq(2, 3, 4)
   private val GopherDupNs = Seq(5, 6, 7)
   private val GopherCuts = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
@@ -511,8 +510,13 @@ object QualityFilters {
     * ≥ 2×. Equal grams are adjacent after array_sort, so one
     * left-to-right pass sees every run; the finish lambda closes the
     * last run.
+    *
+    * This HOF formulation is the READABLE twin: the shipped query uses
+    * the compiled [[graft.functions.expressions.GopherRepStats]] (the
+    * interpreted per-element lambda cost dominated the ×100 decade);
+    * `Wave5Spec` pins the two to identical values on the real corpus.
     */
-  private def gramRunStats(toks: Column, n: Int): Column = {
+  private[operators] def gramRunStats(toks: Column, n: Int): Column = {
     val sorted = array_sort(ngramsFromToks(toks, n))
     val init = struct(lit("").as("prev"), lit(0L).as("run"),
       lit(0L).as("topc"), lit("").as("topg"), lit(0L).as("dup"))
@@ -546,23 +550,27 @@ object QualityFilters {
       })
   }
 
+  /** All six signals from one compiled expression call per document —
+    * [n_tokens, top2c, top3c, top4c, dup5c, dup6c, dup7c].
+    */
+  private[operators] def gopherStatsCol: Column =
+    ExpressionUtils.column(graft.functions.expressions.GopherRepStats(
+      ExpressionUtils.expression(col("text")), GopherTopNs, GopherDupNs))
+
   private def gopherRep(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val ns = GopherTopNs ++ GopherDupNs
-    // Docs with fewer than 2 tokens produce no gram for any n and are
-    // absent from the oracle's gram-derived frame — filter to match.
-    val withStats = Tables.spread(docs)
-      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(Seq(col("doc_id"), col("n_chars")) ++
-        ns.map(n => gramRunStats(col("toks"), n).as(s"s$n")): _*)
-    def sig(n: Int, field: String): Column =
-      round(col(s"s$n").getField(field).cast("double") / col("n_chars"), 4)
-    withStats
+    // Slot i+2 of the stats array is the i-th signal; slot 1 is the
+    // token count — docs with fewer than 2 tokens produce no gram for
+    // any n and are absent from the oracle's gram-derived frame.
+    def sig(i: Int): Column =
+      round(element_at(col("st"), i + 2).cast("double") / col("n_chars"), 4)
+    Tables.spread(docs)
+      .select(col("doc_id"), col("n_chars"), gopherStatsCol.as("st"))
+      .filter(element_at(col("st"), 1) >= 2L)
       .select(col("doc_id"),
-        sig(2, "topchars").as("top2"), sig(3, "topchars").as("top3"),
-        sig(4, "topchars").as("top4"), sig(5, "dupchars").as("dup5"),
-        sig(6, "dupchars").as("dup6"), sig(7, "dupchars").as("dup7"))
+        sig(0).as("top2"), sig(1).as("top3"),
+        sig(2).as("top4"), sig(3).as("dup5"),
+        sig(4).as("dup6"), sig(5).as("dup7"))
       .withColumn("kept",
         (col("top2") <= GopherCuts(2) && col("top3") <= GopherCuts(3) &&
           col("top4") <= GopherCuts(4) && col("dup5") <= GopherCuts(5) &&
