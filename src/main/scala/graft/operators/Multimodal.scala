@@ -187,6 +187,63 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Minimal 24-bit BMP container around an 8×8 grayscale raster — the
+    * image twin of [[wavBytes]]: an executor-side fixture generator so
+    * the REAL ImageIO decode path sits inside an oracle-checked query.
+    * Rows write bottom-up per the BMP spec; 8·3 = 24 row bytes are
+    * already 4-aligned, so no padding.
+    */
+  def bmpBytes(px: Array[Int]): Array[Byte] = {
+    val (w, h) = (8, 8)
+    val dataSize = w * 3 * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x).toByte
+        b.put(v).put(v).put(v)
+        x += 1
+      }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** 64-char average-hash bit string of a decoded 8×8 image: bit
+    * (y·8 + x) set when the pixel exceeds the image mean. The strict
+    * comparison stays in integers (v·64 > Σv) so both engines decide
+    * every bit identically — and the hash is exactly invariant under a
+    * uniform brightness shift ((v+k)·64 > Σv + 64k ⟺ v·64 > Σv),
+    * which is the perceptual property the dedup query exploits.
+    */
+  def aHashBits(img: java.awt.image.BufferedImage): String = {
+    val vs = new Array[Int](64)
+    var sum = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val v = img.getRGB(x, y) & 0xff
+        vs(y * 8 + x) = v
+        sum += v
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < 64) {
+      sb.append(if (vs(i) * 64L > sum) '1' else '0')
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Binary column → typed audio metadata rows (null metadata for
     * non-audio payloads): the same per-partition, no-driver-round-trip
     * plumbing as `decodeQuery`, with the audio schema.
@@ -285,6 +342,59 @@ object Multimodal {
       |  0::BIGINT AS mean_luma_floor
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // q_image_phash — perceptual-hash image dedup through the REAL
+  // decoder: each doc synthesizes a textured 8×8 BMP on the executors
+  // (40 base patterns × 5 uniform brightness offsets), ImageIO decodes
+  // it back, and the 64-bit average-hash groups the brightness variants
+  // that exact byte-dedup would keep apart — `n_variants` counts the
+  // byte-distinct payloads each perceptual group collapsed. Scale
+  // shape: decode + hash is a per-partition projection (no driver
+  // round-trip); the groupBy key is the 64-char hash, map-side-combined
+  // to distinct-pattern cardinality. The oracle replays the pixel
+  // formula arithmetically — the decode round-trip is exactly what the
+  // Spark side adds on top, so a decoder defect IS an oracle diff.
+  private def imagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.documents(s, dir)
+      // off must not be a function of gid (5 divides 40): shift by the
+      // doc's group INDEX so every pattern sees all 5 brightnesses.
+      .select(col("doc_id"), (col("doc_id") % 40).as("gid"),
+        (expr("doc_id DIV 40") % 5).as("off"))
+    val hashed = params.as[(Long, Long, Long)]
+      .mapPartitions(_.map { case (id, gid, off) =>
+        val px = Array.tabulate(64) { i =>
+          val (x, y) = (i % 8, i / 8)
+          ((gid * 37 + x * 7 + y * 13 + (x * y * (gid + 1)) % 97) % 251 + off).toInt
+        }
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bmpBytes(px)))
+        (id, off, aHashBits(img))
+      })
+      .toDF("doc_id", "off", "ahash")
+    hashed.groupBy("ahash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"),
+        countDistinct(col("off")).as("n_variants"))
+      .orderBy("first_doc")
+  }
+
+  private val imagePhashSql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 40 AS gid, (doc_id // 40) % 5 AS off FROM documents),
+      |px AS (
+      |  SELECT doc_id, off, r.range AS i,
+      |    ((gid * 37 + (r.range % 8) * 7 + (r.range // 8) * 13 +
+      |      ((r.range % 8) * (r.range // 8) * (gid + 1)) % 97) % 251 + off) AS v
+      |  FROM g CROSS JOIN range(0, 64) r),
+      |tot AS (SELECT doc_id, sum(v)::BIGINT AS total FROM px GROUP BY 1),
+      |bits AS (
+      |  SELECT px.doc_id, min(px.off)::BIGINT AS off,
+      |    string_agg(CASE WHEN px.v * 64 > t.total THEN '1' ELSE '0' END,
+      |      '' ORDER BY px.i) AS ahash
+      |  FROM px JOIN tot t USING (doc_id) GROUP BY px.doc_id)
+      |SELECT ahash, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc,
+      |  count(DISTINCT off)::BIGINT AS n_variants
+      |FROM bits GROUP BY 1 ORDER BY first_doc""".stripMargin
+
   // V8 cross-encoder re-rank stage through the CrossScorer seam. The
   // default lexical scorer (token-set cosine) is deterministic and
   // ANSI-SQL-expressible, so this stage is oracle-checked; a model
@@ -312,5 +422,6 @@ object Multimodal {
     Q("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Q("q_multimodal_decode", multimodalDecode, Some(multimodalDecodeSql)),
     Q("q_audio_roundtrip", audioRoundtrip, Some(audioRoundtripSql)),
+    Q("q_image_phash", imagePhash, Some(imagePhashSql)),
     Q("q_crossencoder_rerank", crossencoderRerank, Some(crossencoderRerankSql)))
 }

@@ -59,6 +59,19 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("perceptual hash collapses byte-distinct brightness variants") {
+    val rows = run("q_image_phash")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("ahash").length == 64)
+      // Each group holds byte-distinct payloads (different brightness)
+      // that exact dedup would never merge — the perceptual win.
+      assert(r.getAs[Long]("n_variants") >= 1L)
+    }
+    assert(rows.exists(_.getAs[Long]("n_variants") > 1L),
+      "no group collapsed more than one byte-distinct variant")
+  }
+
   test("compiled gopher stats equal the HOF fold formulation") {
     import org.apache.spark.sql.functions._
     val docs = graft.io.Tables.documents(spark, Sf)
