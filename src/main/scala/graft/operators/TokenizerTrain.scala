@@ -82,41 +82,70 @@ object TokenizerTrain {
               array(concat(col("ml"), col("mr")))))
             .otherwise(concat(acc, array(x)))).as("syms"))
 
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    // The vocab is bounded and every round re-reads it — materialize
-    // once instead of re-running the corpus aggregate per round.
+  /** The training loop's full trace: (merge frame, words-after-merge)
+    * per round, over the materialized vocab. The vocab is bounded and
+    * every round re-reads it — localCheckpoint instead of re-running
+    * the corpus aggregate per round.
+    */
+  private def trainRounds(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(DataFrame, DataFrame)]) = {
     val w0 = vocab(s, dir).localCheckpoint(true)
     var words = w0
-    val merges = (1 to BpeRounds).map { r =>
+    (w0, (1 to BpeRounds).map { r =>
       val m = top1(pairCounts(words))
-      if (r < BpeRounds) words = applyMerge(words, m)
-      m.select(lit(r).as("round"), col("lhs"), col("rhs"), col("pair_cnt"))
-    }
-    merges.reduce(_ unionByName _).orderBy("round")
+      words = applyMerge(words, m)
+      (m.select(lit(r).as("round"), col("lhs"), col("rhs"), col("pair_cnt")),
+        words)
+    })
   }
 
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    trainRounds(s, dir)._2.map(_._1).reduce(_ unionByName _).orderBy("round")
+
+  /** The trainer→tokenizer handoff audited as a compression curve:
+    * corpus token count after 0..R merges (round 0 = raw characters of
+    * the non-empty words). Each round with a positive pair count must
+    * strictly shrink the corpus — spec-pinned; at full vocab size this
+    * curve is the fertility trajectory a tokenizer team actually tracks
+    * while training.
+    */
+  private def bpeCompression(s: SparkSession, dir: String): DataFrame = {
+    val (w0, rounds) = trainRounds(s, dir)
+    def sizeOf(words: DataFrame, r: Int): DataFrame =
+      words.agg(sum(size(col("syms")) * col("cnt")).as("total_tokens"))
+        .select(lit(r).as("round"), col("total_tokens"))
+    (sizeOf(w0, 0) +: rounds.zipWithIndex.map { case ((_, w), i) => sizeOf(w, i + 1) })
+      .reduce(_ unionByName _).orderBy("round")
+  }
+
+  // One round as oracle CTEs: pair counts from the given words CTE,
+  // argmax, apply — shared by the trainer and the compression curve so
+  // the round formula exists in one copy.
+  private def pairsCteSql(words: String, g: String, m: String): String =
+    s"""$g AS (
+       |  SELECT p.l AS lhs, p.r AS rhs, sum(cnt)::BIGINT AS pair_cnt FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+       |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS p
+       |    FROM $words) GROUP BY 1, 2),
+       |$m AS (SELECT lhs, rhs, pair_cnt FROM $g
+       |  ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+
+  // The merge joins in as plain columns (DuckDB rejects subqueries
+  // inside lambda bodies) — m is 1 row, so the cross join is a
+  // broadcast of the merge pair, same shape as the Spark side.
+  private def applyCteSql(words: String, m: String, out: String): String =
+    s"""$out AS (
+       |  SELECT w, cnt,
+       |    list_reduce(list_transform(syms, x -> [x]),
+       |      (acc, x) -> CASE
+       |        WHEN acc[len(acc)] = m.lhs AND x[1] = m.rhs
+       |        THEN list_append(list_slice(acc, 1, len(acc) - 1), m.lhs || m.rhs)
+       |        ELSE list_append(acc, x[1]) END) AS syms
+       |  FROM $words CROSS JOIN $m m)""".stripMargin
+
   private val bpeTrainSql = {
-    // One round: pair counts from the given words CTE, argmax, apply.
-    def pairsCte(words: String, g: String, m: String): String =
-      s"""$g AS (
-         |  SELECT p.l AS lhs, p.r AS rhs, sum(cnt)::BIGINT AS pair_cnt FROM (
-         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
-         |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS p
-         |    FROM $words) GROUP BY 1, 2),
-         |$m AS (SELECT lhs, rhs, pair_cnt FROM $g
-         |  ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
-    // The merge joins in as plain columns (DuckDB rejects subqueries
-    // inside lambda bodies) — m is 1 row, so the cross join is a
-    // broadcast of the merge pair, same shape as the Spark side.
-    def applyCte(words: String, m: String, out: String): String =
-      s"""$out AS (
-         |  SELECT w, cnt,
-         |    list_reduce(list_transform(syms, x -> [x]),
-         |      (acc, x) -> CASE
-         |        WHEN acc[len(acc)] = m.lhs AND x[1] = m.rhs
-         |        THEN list_append(list_slice(acc, 1, len(acc) - 1), m.lhs || m.rhs)
-         |        ELSE list_append(acc, x[1]) END) AS syms
-         |  FROM $words CROSS JOIN $m m)""".stripMargin
+    def pairsCte(words: String, g: String, m: String) = pairsCteSql(words, g, m)
+    def applyCte(words: String, m: String, out: String) = applyCteSql(words, m, out)
     s"""WITH vocab AS (
        |  SELECT w, count(*)::BIGINT AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -135,6 +164,21 @@ object TokenizerTrain {
        |ORDER BY round""".stripMargin
   }
 
+  private val bpeCompressionSql = {
+    // Reuse the training chain's CTE builders up through w3.
+    val prefix = bpeTrainSql.substring(0, bpeTrainSql.indexOf("\nSELECT 1 AS round"))
+    def sz(w: String, r: Int) =
+      s"SELECT $r AS round, sum(len(syms) * cnt)::BIGINT AS total_tokens FROM $w"
+    s"""$prefix,
+       |${applyCteSql("w2", "m3", "w3")}
+       |${sz("w0", 0)}
+       |UNION ALL ${sz("w1", 1)}
+       |UNION ALL ${sz("w2", 2)}
+       |UNION ALL ${sz("w3", 3)}
+       |ORDER BY round""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)))
+    Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    Q("q_bpe_compression", bpeCompression, Some(bpeCompressionSql)))
 }

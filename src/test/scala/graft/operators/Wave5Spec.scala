@@ -59,6 +59,36 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("BPE compression curve strictly shrinks the corpus per merge") {
+    val rows = run("q_bpe_compression").sortBy(_.getAs[Int]("round"))
+    assert(rows.length == 4)
+    val sizes = rows.map(_.getAs[Long]("total_tokens")).toSeq
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b < a },
+      s"a positive-count merge must shrink the corpus: $sizes")
+  }
+
+  test("sketches merge: shard-wise HLL registers reproduce the global estimate") {
+    import org.apache.spark.sql.functions._
+    // The merge contract that makes the sketch the 100 TB shape: max of
+    // per-shard register ranks == the single-pass global register, so
+    // the estimate computed from merged shards is EXACTLY the estimate
+    // of one pass over the union.
+    val toks = graft.io.Tables.documents(spark, Sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val h = TextAnalysisShared.hash64(col("tok"))
+    val rho = when(shiftright(h, 8) === 0L, lit(53))
+      .otherwise(lit(52) - length(bin(shiftright(h, 8))) + 1)
+    val perShard = toks
+      .groupBy(col("source"), pmod(h, lit(256L)).as("reg"))
+      .agg(max(rho).as("rank"))
+    val merged = perShard.groupBy("reg").agg(max("rank").as("rank"))
+      .collect().map(r => r.getAs[Long]("reg") -> r.getAs[Int]("rank")).toMap
+    val global = toks
+      .groupBy(pmod(h, lit(256L)).as("reg")).agg(max(rho).as("rank"))
+      .collect().map(r => r.getAs[Long]("reg") -> r.getAs[Int]("rank")).toMap
+    assert(merged == global, "merged shard registers diverge from single-pass registers")
+  }
+
   test("perceptual hash collapses byte-distinct brightness variants") {
     val rows = run("q_image_phash")
     assert(rows.nonEmpty)
