@@ -177,6 +177,120 @@ object Pq {
        |FROM shortlist s JOIN exact e USING (vec_id)
        |ORDER BY e.true_dist, s.vec_id LIMIT $PqTopK""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_ann_ivfpq — the full FAISS-style IVF-PQ composition: the Lloyd
+  // coarse quantizer (`q_kmeans_train`'s exact 2-iteration chain)
+  // partitions the corpus into cells, PQ trains on the RESIDUALS
+  // v − centroid(cell) (residual energy is what's left after the coarse
+  // step — quantizing it is strictly finer than quantizing raw
+  // vectors), and search probes the query's cell only: residual-ADC
+  // prices the cell's codes ((q−c) − (v−c) = q − v exactly, so
+  // residual ADC approximates TRUE distance), a bounded shortlist gets
+  // exact float re-rank. At cluster scale the cell is a partition, the
+  // codes are ~1/32 the float bytes, and the exact kernel touches 20
+  // vectors — scan pruning, compression, and re-rank composed in one
+  // plan. The in_cell_exact flag audits the PQ stage against the
+  // cell-local exact top-5 (cell-probe recall itself is the measured
+  // q_ann_ivf_kmeans/q_decontaminate_semantic ladder).
+  private val IvfPqShortlist = 20
+  private val IvfPqTopK = 5
+
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (cent, asgRaw) = ScalePatterns.kmeansFit(s, dir, 2)
+    // (vec_id, cid, embedding) is read by residuals, cell filter, and
+    // the audit — materialize the assignment once.
+    val asg = asgRaw.select("vec_id", "cid", "embedding").localCheckpoint(true)
+    val resid = asg.join(broadcast(cent), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("embedding"), col("cvec"),
+          (x, c) => x.cast("double") - c).as("embedding"))
+    val subv = subvectors(resid)
+    val cb = trainCodebook(subv)
+    val codes = encode(subv, cb)
+    val qres = resid.filter(col("vec_id") === 0)
+    val qsub = subvectors(qres).select(col("sub"), col("svec").as("qsvec"))
+    val lut = cb.join(broadcast(qsub), Seq("sub"))
+      .select(col("sub"), col("cid"),
+        round(sqDist(col("qsvec"), col("cvec")), 6).as("contrib"))
+    val cellMembers = asg
+      .join(broadcast(qres.select(col("cid").as("qcell"))),
+        col("cid") === col("qcell"))
+      .select("vec_id", "embedding")
+    val adc = codes.join(cellMembers.select("vec_id"), Seq("vec_id"))
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy("vec_id").agg(round(sum(col("contrib")), 6).as("adc_dist"))
+    val shortlist = adc.orderBy(col("adc_dist"), col("vec_id")).limit(IvfPqShortlist)
+    val qfull = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast("double")).as("qv"))
+    val reranked = shortlist
+      .join(cellMembers, Seq("vec_id"))
+      .crossJoin(broadcast(qfull))
+      .select(col("vec_id"), col("adc_dist"),
+        round(sqDist(col("embedding"), col("qv")), 6).as("true_dist"))
+    val cellTop = cellMembers.crossJoin(broadcast(qfull))
+      .select(col("vec_id"),
+        round(sqDist(col("embedding"), col("qv")), 6).as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(IvfPqTopK).select(col("vec_id"), lit(1).as("in_cell_exact"))
+    reranked
+      .join(cellTop, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("adc_dist"), col("true_dist"),
+        coalesce(col("in_cell_exact"), lit(0)).as("in_cell_exact"))
+      .orderBy(col("true_dist"), col("vec_id"))
+      .limit(IvfPqTopK)
+  }
+
+  private val annIvfPqSql =
+    s"""WITH ${ScalePatterns.kmeansCteSql},
+       |rsv AS (
+       |  SELECT el.vec_id, a2.cid, (el.pos - 1) // $PqD AS sub,
+       |    (el.pos - 1) % $PqD AS spos, el.x - c2.c AS x
+       |  FROM el JOIN a2 USING (vec_id)
+       |  JOIN c2 ON c2.cid = a2.cid AND c2.pos = el.pos),
+       |pc0 AS (
+       |  SELECT vec_id::BIGINT AS pcid, sub, spos, x AS c FROM rsv WHERE vec_id < $PqKs),
+       |pd1 AS (
+       |  SELECT rsv.vec_id, rsv.sub, pc0.pcid, round(sum(pow(rsv.x - pc0.c, 2)), 6) AS dist2
+       |  FROM rsv JOIN pc0 USING (sub, spos) GROUP BY 1, 2, 3),
+       |pa1 AS (
+       |  SELECT vec_id, sub, pcid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist2, pcid) AS rn FROM pd1) WHERE rn = 1),
+       |pc1 AS (
+       |  SELECT pa1.sub, pa1.pcid, rsv.spos, round(avg(rsv.x), 6) AS c
+       |  FROM pa1 JOIN rsv USING (vec_id, sub) GROUP BY 1, 2, 3),
+       |pd2 AS (
+       |  SELECT rsv.vec_id, rsv.sub, pc1.pcid, round(sum(pow(rsv.x - pc1.c, 2)), 6) AS dist2
+       |  FROM rsv JOIN pc1 USING (sub, spos) GROUP BY 1, 2, 3),
+       |pcodes AS (
+       |  SELECT vec_id, sub, pcid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist2, pcid) AS rn FROM pd2) WHERE rn = 1),
+       |qres AS (SELECT sub, spos, x AS qx FROM rsv WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT pc1.sub, pc1.pcid, round(sum(pow(qres.qx - pc1.c, 2)), 6) AS contrib
+       |  FROM pc1 JOIN qres USING (sub, spos) GROUP BY 1, 2),
+       |incell AS (
+       |  SELECT vec_id FROM a2 WHERE cid = (SELECT cid FROM a2 WHERE vec_id = 0)),
+       |adc AS (
+       |  SELECT pcodes.vec_id, round(sum(lut.contrib), 6) AS adc_dist
+       |  FROM pcodes JOIN incell USING (vec_id) JOIN lut USING (sub, pcid)
+       |  GROUP BY 1),
+       |shortlist AS (
+       |  SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT $IvfPqShortlist),
+       |cellex AS (
+       |  SELECT el.vec_id, round(sum(pow(el.x - q0.qx, 2)), 6) AS true_dist
+       |  FROM el JOIN incell USING (vec_id)
+       |  JOIN (SELECT pos, x AS qx FROM el WHERE vec_id = 0) q0 USING (pos)
+       |  GROUP BY 1),
+       |celltop AS (
+       |  SELECT vec_id FROM cellex ORDER BY true_dist, vec_id LIMIT $IvfPqTopK)
+       |SELECT s.vec_id, s.adc_dist, e.true_dist,
+       |  (s.vec_id IN (SELECT vec_id FROM celltop))::INT AS in_cell_exact
+       |FROM shortlist s JOIN cellex e USING (vec_id)
+       |ORDER BY e.true_dist, s.vec_id LIMIT $IvfPqTopK""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("q_ann_pq", annPq, Some(annPqSql)))
+    Q("q_ann_pq", annPq, Some(annPqSql)),
+    Q("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)))
 }

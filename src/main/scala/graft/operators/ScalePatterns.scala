@@ -236,7 +236,7 @@ object ScalePatterns {
     * training query and the kmeans-probed ANN so the iteration formula
     * exists in one copy.
     */
-  private val kmeansCteSql =
+  private[operators] val kmeansCteSql =
     s"""el AS (
        |  SELECT vec_id, r.range AS pos, embedding[r.range]::DOUBLE AS x
        |  FROM embeddings, range(1, 65) r),

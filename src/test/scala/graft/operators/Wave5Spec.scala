@@ -46,6 +46,18 @@ class Wave5Spec extends SparkSpec {
     assert(recall >= 4, s"shortlist recall@10 collapsed: $recall/10")
   }
 
+  test("IVF-PQ: residual ADC in the probed cell, exact re-rank leads with the query") {
+    val rows = run("q_ann_ivfpq")
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Double]("true_dist") == 0.0)
+    val dists = rows.map(_.getAs[Double]("true_dist")).toSeq
+    assert(dists == dists.sorted)
+    val recall = rows.map(_.getAs[Int]("in_cell_exact")).sum
+    assert(recall >= (rows.length + 1) / 2,
+      s"cell-local PQ recall collapsed: $recall/${rows.length}")
+  }
+
   test("BPE trainer: merge counts are non-increasing across rounds") {
     val rows = run("q_bpe_train").sortBy(_.getAs[Int]("round"))
     assert(rows.length == 3)
