@@ -179,7 +179,82 @@ object Sketches {
        |  round(abs(round(e.raw_est, 2) - x.exact_distinct) / x.exact_distinct, 3) AS rel_err
        |FROM est e JOIN exact x USING (source) ORDER BY source""".stripMargin
 
+  // ---- Histogram quantiles --------------------------------------------
+  private val QhQuantilesPm = Seq(500L, 900L, 990L) // per-mille targets
+
+  /** Mergeable quantile estimation over an HdrHistogram-style
+    * log-quantized histogram: each value keeps its top 3 bits (buckets
+    * of width 2^(bitlen−3), ≤ 4 per power of two — a few hundred
+    * buckets for ANY long domain), per-bucket counts merge by +, and a
+    * quantile estimate is the midpoint of the bucket holding the target
+    * rank — relative error ≤ 1/8 BY CONSTRUCTION (exact ≥ 4·width,
+    * |midpoint − exact| ≤ width/2), spec-pinned. Everything is integer
+    * arithmetic (bit length via `bin`, rank via per-mille ceil
+    * division), so both engines agree on every boundary. The running
+    * sums are unpartitioned windows over BOUNDED frames: the bucket
+    * frame is bit-structure-sized and the exact-audit value frame is
+    * bounded by the n_chars domain, not the corpus.
+    */
+  private def quantileHist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("n_chars").cast("long").as("v"))
+    val hist = d
+      .selectExpr("v", "CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bl")
+      .selectExpr("v", "shiftleft(1L, greatest(bl - 3, 0)) AS p")
+      .selectExpr("(v DIV p) * p AS low", "(v DIV p) * p + p - 1 AS high")
+      .groupBy("low", "high").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(Window.orderBy("low")))
+    val ranks = hist.agg(sum("cnt").as("n"))
+      .select(col("n"), explode(array(QhQuantilesPm.map(lit): _*)).as("qpm"))
+      .selectExpr("qpm", "(qpm * n + 999) DIV 1000 AS rank")
+    val first = ranks.join(cum, col("cum") >= col("rank"))
+      .groupBy("qpm", "rank").agg(min("low").as("low"))
+    val est = first.join(hist.select("low", "high"), Seq("low"))
+      .selectExpr("qpm", "rank", "(low + high) DIV 2 AS est")
+    val vc = d.groupBy("v").agg(count(lit(1)).as("c"))
+    val cv = vc.withColumn("cum", sum(col("c")).over(Window.orderBy("v")))
+    val exact = ranks.join(cv, col("cum") >= col("rank"))
+      .groupBy("qpm").agg(min(col("v")).as("exact"))
+    est.join(exact, Seq("qpm"))
+      .select(col("qpm"), col("rank"), col("est"), col("exact"),
+        round(abs(col("est") - col("exact")).cast("double") /
+          greatest(col("exact"), lit(1L)), 4).as("rel_err"))
+      .orderBy("qpm")
+  }
+
+  private val quantileHistSql =
+    """WITH d AS (SELECT n_chars::BIGINT AS v FROM documents),
+      |h AS (
+      |  SELECT (v // p) * p AS low, (v // p) * p + p - 1 AS high,
+      |    count(*)::BIGINT AS cnt
+      |  FROM (SELECT v,
+      |          (1::BIGINT << greatest(
+      |            (CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END) - 3, 0)) AS p
+      |        FROM d)
+      |  GROUP BY 1, 2),
+      |c AS (SELECT low, high, sum(cnt) OVER (ORDER BY low)::BIGINT AS cum FROM h),
+      |r AS (
+      |  SELECT qpm, ((qpm * n + 999) // 1000)::BIGINT AS rank
+      |  FROM (SELECT unnest([500, 900, 990]::BIGINT[]) AS qpm)
+      |  CROSS JOIN (SELECT sum(cnt)::BIGINT AS n FROM h)),
+      |f AS (
+      |  SELECT r.qpm, r.rank, min(c.low)::BIGINT AS low
+      |  FROM r JOIN c ON c.cum >= r.rank GROUP BY 1, 2),
+      |e AS (
+      |  SELECT f.qpm, f.rank, ((f.low + h.high) // 2)::BIGINT AS est
+      |  FROM f JOIN h ON h.low = f.low),
+      |cv AS (
+      |  SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cum
+      |  FROM (SELECT v, count(*)::BIGINT AS c FROM d GROUP BY 1)),
+      |x AS (
+      |  SELECT r.qpm, min(cv.v)::BIGINT AS exact
+      |  FROM r JOIN cv ON cv.cum >= r.rank GROUP BY 1)
+      |SELECT e.qpm, e.rank, e.est, x.exact,
+      |  round(abs(e.est - x.exact)::DOUBLE / greatest(x.exact, 1), 4) AS rel_err
+      |FROM e JOIN x USING (qpm) ORDER BY e.qpm""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_cms_topk", cmsTopk, Some(cmsTopkSql)),
-    Q("q_hll_cardinality", hllCardinality, Some(hllCardinalitySql)))
+    Q("q_hll_cardinality", hllCardinality, Some(hllCardinalitySql)),
+    Q("q_quantile_hist", quantileHist, Some(quantileHistSql)))
 }

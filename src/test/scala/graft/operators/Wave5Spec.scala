@@ -79,6 +79,16 @@ class Wave5Spec extends SparkSpec {
       s"a positive-count merge must shrink the corpus: $sizes")
   }
 
+  test("histogram quantiles stay inside the constructive 1/8 error bound") {
+    val rows = run("q_quantile_hist")
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") <= 0.125,
+        s"qpm ${r.getAs[Long]("qpm")}: rel_err ${r.getAs[Double]("rel_err")}")
+      assert(r.getAs[Long]("est") > 0L && r.getAs[Long]("exact") > 0L)
+    }
+  }
+
   test("sketches merge: shard-wise HLL registers reproduce the global estimate") {
     import org.apache.spark.sql.functions._
     // The merge contract that makes the sketch the 100 TB shape: max of
