@@ -29,15 +29,15 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   // ---- Count-Min sketch -----------------------------------------------
-  private val CmsDepth = 4 // independent hash rows
-  private val CmsWidth = 512 // counters per row
+  private[graft] val CmsDepth = 4 // independent hash rows
+  private[graft] val CmsWidth = 512 // counters per row
   private val CmsTopK = 20
 
   /** h_j(tok): the shared 60-bit hash of "j:tok", mod width. Seeding by
     * row index j inside the hashed string keeps the d rows independent
     * while reusing the one cross-engine hash primitive.
     */
-  private def cmsBucket(j: Column, tok: Column): Column =
+  private[graft] def cmsBucket(j: Column, tok: Column): Column =
     pmod(TextAnalysisShared.hash64(concat(j.cast("string"), lit(":"), tok)),
       lit(CmsWidth.toLong))
 
