@@ -6,6 +6,7 @@ import graft.retrieval.{Modes, PostProcess}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 
 /** Oracle contracts for the driver-side library components that were
   * previously exercised only by unit tests: each query re-expresses a
@@ -80,19 +81,19 @@ object Contracts {
     Tables.documents(s, dir).select(col("doc_id"), trim(raw).as("q"))
   }
 
-  private def sanitizeQuery(s: SparkSession, dir: String): DataFrame = {
-    val q = col("q")
-    val lastQuestion = trim(regexp_extract(q, "([^.!?]*\\?)[^?]*$", 1))
-    val lastSentence = trim(regexp_extract(q, "([^.!?]+[.!?]?)\\s*$", 1))
+  // The distributed pass runs the REFERENCE scalar cascade compiled
+  // per row (graft.functions.expressions.SanitizeText) — the earlier
+  // regexp_extract twin backtracked quadratically on terminator-free
+  // soup (honest timing: ~10 s for this 5 000-row projection at
+  // sf0.1; the compiled cascade is linear). The oracle still replays
+  // the regex form, so the two formulations stay value-pinned against
+  // each other on every verify run (plus ContractsSpec row-for-row).
+  private def sanitizeQuery(s: SparkSession, dir: String): DataFrame =
     sanitizePlanted(s, dir)
       .select(col("doc_id"),
-        when(length(q) <= 200, q)
-          .when(length(lastQuestion) > 0 && length(lastQuestion) <= 250, lastQuestion)
-          .when(length(lastSentence) <= 250, lastSentence)
-          .otherwise(trim(q.substr(length(q) - 249, lit(250))))
-          .as("sanitized"))
+        ExpressionUtils.column(graft.functions.expressions.SanitizeText(
+          ExpressionUtils.expression(col("q")))).as("sanitized"))
       .orderBy("doc_id")
-  }
 
   private val sanitizeQuerySql =
     """WITH r AS (

@@ -109,17 +109,23 @@ object Entities {
   // capitalized source, signal form keyed on lang — then runs the real
   // detector. Classification outcomes are data-driven: each source's
   // person/project ratio is its lang mix.
-  private def entityDetect(s: SparkSession, dir: String): DataFrame = {
+  /** The conversation rendering shared by detection and the co-mention
+    * graph (speaker = capitalized source, signal form keyed on lang).
+    */
+  private def convCol: Column = {
     val spk = concat(upper(expr("substr(source, 1, 1)")), expr("substr(source, 2)"))
-    val conv = concat(
+    concat(
       when(col("lang") === "en", concat(spk, lit(": "), col("text")))
         .when(col("lang") === "fr", concat(spk, lit(" said "), col("text")))
         .when(col("lang") === "de", concat(lit("thanks "), spk, lit(" for "), col("text")))
         .when(col("lang") === "es", concat(lit("deployed "), spk, lit(" with "), col("text")))
         .otherwise(concat(spk, lit(" v2 "), col("text"))),
       lit(" deployed Kit"), col("lang"), lit(" and Corpus"))
-    detect(Tables.spread(Tables.documents(s, dir)).select(conv.as("conv")), col("conv"))
   }
+
+  private def entityDetect(s: SparkSession, dir: String): DataFrame =
+    detect(Tables.spread(Tables.documents(s, dir)).select(convCol.as("conv")),
+      col("conv"))
 
   private val stopList = Stop.map(w => s"'$w'").mkString(", ")
 
@@ -175,5 +181,94 @@ object Entities {
        |  frequency, ps::BIGINT AS person_score, prs::BIGINT AS project_score
        |FROM s ORDER BY confidence DESC, name""".stripMargin
 
-  val all: Seq[Q] = Seq(Q("q_entity_detect", entityDetect, Some(entityDetectSql)))
+  // -------------------------------------------------------------------
+  // q_entity_pagerank — entity importance via 2 fixed PageRank
+  // iterations over the co-mention graph: nodes are the detector's
+  // candidate names, an (undirected) edge connects two names mentioned
+  // in the same rendered conversation. Beyond-reference: the reference
+  // stops at per-entity frequency scoring; importance over the mention
+  // GRAPH is what ranks entities once the corpus is too big to eyeball.
+  // Scale shape: the pair generator joins name sets ONLY within one
+  // doc_id (co-partitioned equi-join, never all-pairs across docs);
+  // edges/degrees/rank updates are node- and edge-sized aggregates with
+  // map-side combine — the canonical iterative-graph Spark workload
+  // with a fixed round budget, every rank rounded per iteration so both
+  // engines iterate from identical vectors.
+  private val PrDamping = 0.85
+  private val PrTopK = 20
+
+  private def entityPagerank(s: SparkSession, dir: String): DataFrame = {
+    val conv = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), convCol.as("conv"))
+    val names = conv
+      .select(col("doc_id"), explode(array_distinct(
+        regexp_extract_all(col("conv"), lit(CandRe), lit(1)))).as("name"))
+      .filter(!lower(col("name")).isin(Stop: _*))
+    val half = names.as("a").join(names.as("b"), Seq("doc_id"))
+      .filter(col("a.name") < col("b.name"))
+      .select(col("a.name").as("src"), col("b.name").as("dst"))
+      .distinct()
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true) // read per iteration + degree
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(n))
+      .select(col("src").as("name"), round(lit(1.0) / col("n"), 9).as("pr"))
+    for (_ <- 1 to 2) {
+      val contrib = edges
+        .join(pr, col("src") === col("name"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("in_pr"))
+      pr = contrib.crossJoin(broadcast(n))
+        .select(col("dst").as("name"),
+          round(lit(1 - PrDamping) / col("n") + lit(PrDamping) * col("in_pr"), 9)
+            .as("pr"))
+    }
+    pr.join(deg, col("name") === col("src"))
+      .select(col("name"), col("deg"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("name"))
+      .limit(PrTopK)
+  }
+
+  private val entityPagerankSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, (CASE lang
+       |    WHEN 'en' THEN upper(substr(source, 1, 1)) || substr(source, 2) || ': ' || text
+       |    WHEN 'fr' THEN upper(substr(source, 1, 1)) || substr(source, 2) || ' said ' || text
+       |    WHEN 'de' THEN 'thanks ' || upper(substr(source, 1, 1)) || substr(source, 2) || ' for ' || text
+       |    WHEN 'es' THEN 'deployed ' || upper(substr(source, 1, 1)) || substr(source, 2) || ' with ' || text
+       |    ELSE upper(substr(source, 1, 1)) || substr(source, 2) || ' v2 ' || text END)
+       |    || ' deployed Kit' || lang || ' and Corpus' AS conv
+       |  FROM documents),
+       |names AS (
+       |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(conv, '$CandRe', 1)) AS name
+       |  FROM r),
+       |nf AS (SELECT doc_id, name FROM names WHERE lower(name) NOT IN ($stopList)),
+       |half AS (
+       |  SELECT DISTINCT a.name AS src, b.name AS dst
+       |  FROM nf a JOIN nf b USING (doc_id) WHERE a.name < b.name),
+       |edges AS (
+       |  SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+       |p0 AS (SELECT src AS name, round(1.0 / n, 9) AS pr FROM deg CROSS JOIN nn),
+       |p1 AS (
+       |  SELECT e.dst AS name,
+       |    round((1 - $PrDamping) / any_value(nn.n) +
+       |      $PrDamping * sum(p0.pr / d.deg), 9) AS pr
+       |  FROM edges e JOIN p0 ON p0.name = e.src JOIN deg d ON d.src = e.src
+       |  CROSS JOIN nn GROUP BY 1),
+       |p2 AS (
+       |  SELECT e.dst AS name,
+       |    round((1 - $PrDamping) / any_value(nn.n) +
+       |      $PrDamping * sum(p1.pr / d.deg), 9) AS pr
+       |  FROM edges e JOIN p1 ON p1.name = e.src JOIN deg d ON d.src = e.src
+       |  CROSS JOIN nn GROUP BY 1)
+       |SELECT p2.name, deg.deg, round(p2.pr, 6) AS pagerank
+       |FROM p2 JOIN deg ON deg.src = p2.name
+       |ORDER BY pagerank DESC, p2.name LIMIT $PrTopK""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_entity_detect", entityDetect, Some(entityDetectSql)),
+    Q("q_entity_pagerank", entityPagerank, Some(entityPagerankSql)))
 }

@@ -58,6 +58,17 @@ class Wave5Spec extends SparkSpec {
       s"cell-local PQ recall collapsed: $recall/${rows.length}")
   }
 
+  test("entity pagerank: positive masses, ranked order, real degrees") {
+    val rows = run("q_entity_pagerank")
+    assert(rows.nonEmpty)
+    val prs = rows.map(_.getAs[Double]("pagerank")).toSeq
+    assert(prs == prs.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pagerank") > 0.0)
+      assert(r.getAs[Long]("deg") >= 1L)
+    }
+  }
+
   test("BPE trainer: merge counts are non-increasing across rounds") {
     val rows = run("q_bpe_train").sortBy(_.getAs[Int]("round"))
     assert(rows.length == 3)
