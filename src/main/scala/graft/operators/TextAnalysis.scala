@@ -241,6 +241,61 @@ object TextAnalysis {
          |  round(sum(nch)::DOUBLE / sum(bpe), 4) AS chars_per_subword
          |FROM dl GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_pmi_collocations — pointwise mutual information over adjacent
+  // token pairs: PMI(a,b) = ln(N·c(ab) / (c(a)·c(b))), the classic
+  // collocation statistic (Church & Hanks 1990) a corpus team runs to
+  // find multiword units worth protecting from tokenizer splits. Scale
+  // shape: unigram and bigram counts are the only corpus passes — both
+  // map-side-combine to vocab- / bigram-vocab-sized frames; the PMI
+  // join keys bigrams to their two unigram rows (hash joins on token,
+  // model-sized). Count floor ≥ 5 kills the noise PMI is notorious for
+  // at singleton counts; ties broken lexically.
+  private val PmiMinCount = 5
+  private val PmiTopK = 25
+
+  private def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, dir))
+      .select(split(col("text"), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n"))
+    val bi = toks.select(explode(
+      when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= PmiMinCount)
+    bi.join(uni.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab"),
+        round(log(col("n") * col("cab") / (col("ca") * col("cb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(PmiTopK)
+  }
+
+  private val pmiCollocationsSql =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |uni AS (
+       |  SELECT t, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1),
+       |n AS (SELECT sum(c)::BIGINT AS n FROM uni),
+       |bi AS (
+       |  SELECT p.a, p.b, count(*)::BIGINT AS cab FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)),
+       |      i -> {'a': toks[i], 'b': toks[i + 1]})) AS p
+       |    FROM toks) GROUP BY 1, 2
+       |  HAVING count(*) >= $PmiMinCount)
+       |SELECT bi.a, bi.b, bi.cab,
+       |  round(ln(n.n * bi.cab / (ua.c * ub.c)), 4) AS pmi
+       |FROM bi JOIN uni ua ON ua.t = bi.a JOIN uni ub ON ub.t = bi.b
+       |CROSS JOIN n
+       |ORDER BY pmi DESC, bi.a, bi.b LIMIT $PmiTopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
@@ -248,5 +303,6 @@ object TextAnalysis {
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("q_langid", langId, Some(langIdSql)),
     Q("q_fingerprint", fingerprint, Some(fingerprintSql)),
-    Q("q_simhash", simhash, Some(simhashSql)))
+    Q("q_simhash", simhash, Some(simhashSql)),
+    Q("q_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)))
 }

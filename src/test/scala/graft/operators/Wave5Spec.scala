@@ -58,6 +58,23 @@ class Wave5Spec extends SparkSpec {
       s"cell-local PQ recall collapsed: $recall/${rows.length}")
   }
 
+  test("PMI collocations: count floor holds and ordering is by pmi") {
+    val rows = run("q_pmi_collocations")
+    assert(rows.nonEmpty)
+    val pmis = rows.map(_.getAs[Double]("pmi")).toSeq
+    assert(pmis == pmis.sorted.reverse)
+    rows.foreach(r => assert(r.getAs[Long]("cab") >= 5L))
+  }
+
+  test("JL projection two-stage: self-hit first, exact-ranked, recall floor") {
+    val rows = run("q_random_projection")
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    val sims = rows.map(_.getAs[Double]("sim_orig")).toSeq
+    assert(sims == sims.sorted.reverse, "re-rank must order by original-space sim")
+    assert(rows.map(_.getAs[Int]("in_exact")).sum >= 4)
+  }
+
   test("entity pagerank: positive masses, ranked order, real degrees") {
     val rows = run("q_entity_pagerank")
     assert(rows.nonEmpty)
