@@ -4,6 +4,7 @@ import graft.Q
 import graft.io.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 
 /** Text-analysis pack for a training-data pipeline: token counting,
   * quality scoring, marker-based language/domain identification, document
@@ -146,12 +147,18 @@ object TextAnalysis {
 
   // Document fingerprinting: whole-doc md5 + min shingle hash (the
   // deterministic rolling-fingerprint used for near-dup blocking).
+  // Compiled kernel (MinShingleMd5), not the HOF twin
+  // array_min(transform(shingles, md5)): the interpreted per-shingle
+  // lambda was 2.9 s at sf0.1 for a pure projection; the kernel runs
+  // one thread-local digest per shingle inside codegen. Wave5Spec pins
+  // kernel == HOF twin on the real corpus; the oracle is unchanged.
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("fp"),
-        array_min(transform(TextAnalysisShared.shingles(col("text")), sh => md5(sh.cast("binary")))).as("min_shingle_fp"))
+        ExpressionUtils.column(graft.functions.expressions.MinShingleMd5(
+          ExpressionUtils.expression(col("text")))).as("min_shingle_fp"))
       .orderBy("doc_id")
 
   private val fingerprintSql =
@@ -165,7 +172,23 @@ object TextAnalysis {
   // SimHash (16-bit, nibble-granular over md5 of each token): per doc,
   // for each hex position p, sum +1/-1 by whether the digit's high bit is
   // set; the sign vector is the fingerprint.
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
+  // Compiled kernel (SimhashBits): the explode→groupBy form shuffled
+  // one row per corpus token and parsed 16 hex digits per token; the
+  // kernel digests each token once inside a per-document projection —
+  // zero shuffles but the presentation sort (the same per-doc-statistic
+  // rule as q_gopher_rep). Oracle unchanged; Wave5Spec pins kernel ==
+  // the explode formulation.
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        ExpressionUtils.column(graft.functions.expressions.SimhashBits(
+          ExpressionUtils.expression(col("text")))).as("simhash"))
+      .orderBy("doc_id")
+
+  /** The explode→groupBy SimHash twin, kept for the spec's
+    * kernel-equality pin.
+    */
+  private[operators] def simhashExplodeTwin(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))

@@ -152,6 +152,23 @@ class Wave5Spec extends SparkSpec {
       "no group collapsed more than one byte-distinct variant")
   }
 
+  test("compiled simhash equals the explode formulation; fingerprint equals the HOF twin") {
+    import org.apache.spark.sql.functions._
+    val fast = run("q_simhash").map(r => r.getLong(0) -> r.getString(1)).toMap
+    val slow = TextAnalysis.simhashExplodeTwin(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fast == slow, "compiled simhash diverges from the explode form")
+    val fp = run("q_fingerprint")
+    val hof = graft.io.Tables.documents(spark, Sf)
+      .select(col("doc_id"), array_min(transform(
+        TextAnalysisShared.shingles(col("text")),
+        sh => md5(sh.cast("binary")))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fp.foreach { r =>
+      assert(r.getAs[String]("min_shingle_fp") == hof(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("compiled gopher stats equal the HOF fold formulation") {
     import org.apache.spark.sql.functions._
     val docs = graft.io.Tables.documents(spark, Sf)
