@@ -74,4 +74,20 @@ object StreamingSketch {
       .agg(coalesce(min("cell"), lit(0L)))
       .head().getLong(0)
   }
+
+  /** Compact every persisted partial into one partition. Because the
+    * merge is cell-wise sum (associative + commutative), compaction
+    * CANNOT change any estimate — spec-asserted — it only bounds the
+    * number of partials a read has to fold. The compacted state is
+    * written as a fresh batch_id = −(n_partials) partition via an
+    * overwrite of the whole path, so a crash between write and the
+    * next read leaves either the old partials or the compacted form,
+    * both of which merge to the same cells.
+    */
+  def compact(spark: SparkSession, sketchPath: String): Unit = {
+    val merged = readSketch(spark, sketchPath)
+      .withColumn("batch_id", lit(-1L))
+      .localCheckpoint(true) // materialize BEFORE overwriting the input path
+    merged.write.mode("overwrite").partitionBy("batch_id").parquet(sketchPath)
+  }
 }

@@ -63,6 +63,23 @@ class StreamingSketchSpec extends SparkSpec {
     assert(added.values.sum == 2 * once.values.sum)
   }
 
+  test("compaction folds partials without changing a single cell") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_sketch_cp").toString
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    StreamingSketch.processBatch(a, batchId = 0L, s"$dir/sketch")
+    StreamingSketch.processBatch(b, batchId = 1L, s"$dir/sketch")
+    val before = cellMap(StreamingSketch.readSketch(spark, s"$dir/sketch"))
+    StreamingSketch.compact(spark, s"$dir/sketch")
+    val after = cellMap(StreamingSketch.readSketch(spark, s"$dir/sketch"))
+    assert(before == after, "compaction changed sketch cells")
+    // And the compacted state keeps accepting new batches.
+    StreamingSketch.processBatch(a, batchId = 2L, s"$dir/sketch")
+    val grown = cellMap(StreamingSketch.readSketch(spark, s"$dir/sketch"))
+    assert(grown.values.sum == before.values.sum +
+      cellMap(StreamingSketch.batchCells(a)).values.sum)
+  }
+
   test("estimate never underestimates a probed token") {
     val dir = java.nio.file.Files.createTempDirectory("stream_sketch_est").toString
     val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
