@@ -515,7 +515,138 @@ object Selection {
        |  n_chars AS canon_chars
        |FROM sel WHERE rn = 1 ORDER BY comp""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_logreg_train — a distributed logistic-regression quality
+  // classifier trained with 2 deterministic full-batch gradient steps
+  // (the iterative-ML twin of the closed-form NB above; same
+  // curated-vs-crawl labels). Features are hashed-unigram relative
+  // frequencies over LrBuckets buckets, so the weight vector is
+  // bounded by construction; every training round is
+  //   score: per-doc z = Σ_b w[b]·x[b] + bias (≤ B joined rows/doc,
+  //          rounded so both engines sigmoid identical logits)
+  //   grad:  one bucket-keyed aggregate (B rows out of the exchange)
+  // — the canonical data-parallel GD shape: gradients, not rows, cross
+  // the wire. Output is the training curve (step, loss, acc); the
+  // loss must strictly decrease (spec-pinned).
+  private val LrBuckets = 64L
+  private val LrRate = 4.0
+  private val LrSteps = 2
+
+  private def logregTrain(s: SparkSession, dir: String): DataFrame = {
+    val isPos = col("source").isin(DsirTargetSources: _*)
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), isPos.cast("int").cast("double").as("y"),
+        explode(split(col("text"), " ")).as("w"))
+    val feat = tok
+      .groupBy(col("doc_id"), col("y"),
+        pmod(TextAnalysisShared.hash64(col("w")), lit(LrBuckets)).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_toks", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("y"), col("b"),
+        (col("cnt").cast("double") / col("n_toks")).as("x"))
+      .localCheckpoint(true) // read by every step's score + grad pass
+    val nDocs = feat.select("doc_id").distinct().count().toDouble
+
+    // One evaluation of the current model: (doc_id, y, z, p).
+    def scoreWith(w: DataFrame, bias: Double): DataFrame =
+      feat.join(broadcast(w), Seq("b"), "left")
+        .groupBy("doc_id", "y")
+        .agg(round(sum(coalesce(col("wt"), lit(0.0)) * col("x")) + bias, 9).as("z"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+
+    var w = s.range(0, LrBuckets).toDF("b").select(col("b"), lit(0.0).as("wt"))
+    var bias = 0.0
+    val metrics = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (step <- 0 to LrSteps) {
+      val sc = scoreWith(w, bias)
+      metrics += sc.agg(
+        round(avg(-(col("y") * log(col("p")) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6).as("loss"),
+        round(avg((((col("z") > 0).cast("int").cast("double")) === col("y"))
+          .cast("int")), 4).as("acc"))
+        .select(lit(step).as("step"), col("loss"), col("acc"))
+      if (step < LrSteps) {
+        val err = sc.select(col("doc_id"), (col("p") - col("y")).as("err"))
+        val grad = feat.join(err, Seq("doc_id"))
+          .groupBy("b").agg((sum(col("err") * col("x")) / nDocs).as("g"))
+        w = w.join(grad, Seq("b"), "left")
+          .select(col("b"),
+            round(col("wt") - lit(LrRate) * coalesce(col("g"), lit(0.0)), 9).as("wt"))
+          .localCheckpoint(true) // cut the per-step lineage
+        bias = round9(bias - LrRate *
+          sc.agg(sum(col("p") - col("y"))).head().getDouble(0) / nDocs)
+      }
+    }
+    metrics.reduce(_ unionByName _).orderBy("step")
+  }
+
+  private def round9(d: Double): Double =
+    BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val logregTrainSql = {
+    // Per-step CTE chain: score with (w_k, b_k) → metrics row + next
+    // weights. Step 0 scores the zero model in closed form (z = 0).
+    def scoreCte(k: Int): String =
+      if (k == 0)
+        s"""s0 AS (
+           |  SELECT doc_id, y, 0.0::DOUBLE AS z, 0.5::DOUBLE AS p
+           |  FROM (SELECT DISTINCT doc_id, y FROM feat))""".stripMargin
+      else
+        s"""s$k AS (
+           |  SELECT f.doc_id, f.y,
+           |    round(sum(coalesce(w$k.wt, 0.0) * f.x) + (SELECT bs FROM b$k), 9) AS z,
+           |    1.0 / (1.0 + exp(-round(sum(coalesce(w$k.wt, 0.0) * f.x)
+           |      + (SELECT bs FROM b$k), 9))) AS p
+           |  FROM feat f LEFT JOIN w$k ON w$k.b = f.b
+           |  GROUP BY 1, 2)""".stripMargin
+    def stepCtes(k: Int): String = // grads from s{k} → w{k+1}, b{k+1}
+      s"""g$k AS (
+         |  SELECT f.b, sum((s$k.p - s$k.y) * f.x) / (SELECT nd FROM nd) AS g
+         |  FROM feat f JOIN s$k USING (doc_id) GROUP BY 1),
+         |gb$k AS (SELECT sum(p - y) / (SELECT nd FROM nd) AS g FROM s$k),
+         |w${k + 1} AS (
+         |  SELECT wb.b, round(${if (k == 0) "0.0" else s"coalesce(w$k.wt, 0.0)"}
+         |    - $LrRate * coalesce(g$k.g, 0.0), 9) AS wt
+         |  FROM (SELECT range AS b FROM range(0, $LrBuckets)) wb
+         |  ${if (k == 0) "" else s"LEFT JOIN w$k ON w$k.b = wb.b"}
+         |  LEFT JOIN g$k ON g$k.b = wb.b),
+         |b${k + 1} AS (
+         |  SELECT round(${if (k == 0) "0.0" else s"(SELECT bs FROM b$k)"}
+         |    - $LrRate * g, 9) AS bs FROM gb$k)""".stripMargin
+    def metricCte(k: Int): String =
+      s"""m$k AS (
+         |  SELECT $k AS step,
+         |    round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS loss,
+         |    round(avg(CASE WHEN (CASE WHEN z > 0 THEN 1.0 ELSE 0.0 END) = y
+         |      THEN 1 ELSE 0 END), 4) AS acc
+         |  FROM s$k)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN source IN $dsirTargetInSql THEN 1.0 ELSE 0.0 END)::DOUBLE AS y,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, y, b, cnt::DOUBLE / sum(cnt) OVER (PARTITION BY doc_id) AS x
+       |  FROM (SELECT doc_id, y,
+       |          ('0x' || substr(md5(w), 1, 15))::BIGINT % $LrBuckets AS b,
+       |          count(*)::BIGINT AS cnt
+       |        FROM tok GROUP BY 1, 2, 3)),
+       |nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM feat),
+       |${scoreCte(0)},
+       |${metricCte(0)},
+       |${stepCtes(0)},
+       |${scoreCte(1)},
+       |${metricCte(1)},
+       |${stepCtes(1)},
+       |${scoreCte(2)},
+       |${metricCte(2)}
+       |SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2
+       |ORDER BY step""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_logreg_train", logregTrain, Some(logregTrainSql)),
     Q("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
     Q("q_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Q("q_pareto_select", paretoSelect, Some(paretoSelectSql)),

@@ -75,6 +75,16 @@ class Wave5Spec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("in_exact")).sum >= 4)
   }
 
+  test("logreg trainer: loss strictly decreases over the GD steps") {
+    val rows = run("q_logreg_train").sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 3)
+    val losses = rows.map(_.getAs[Double]("loss")).toSeq
+    assert(losses.zip(losses.tail).forall { case (a, b) => b < a },
+      s"GD did not descend: $losses")
+    rows.foreach(r => assert(r.getAs[Double]("acc") >= 0.0 &&
+      r.getAs[Double]("acc") <= 1.0))
+  }
+
   test("entity pagerank: positive masses, ranked order, real degrees") {
     val rows = run("q_entity_pagerank")
     assert(rows.nonEmpty)
