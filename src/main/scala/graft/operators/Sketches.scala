@@ -95,8 +95,8 @@ object Sketches {
   }
 
   // ---- HyperLogLog ----------------------------------------------------
-  private val HllP = 8 // register index bits
-  private val HllM = 1 << HllP // 256 registers
+  private[graft] val HllP = 8 // register index bits
+  private[graft] val HllM = 1 << HllP // 256 registers
   private val HllW = 60 - HllP // value bits feeding the rank
 
   /** Leading-zero rank of the W-bit value: W − bitlength(v) + 1, via the
@@ -105,7 +105,7 @@ object Sketches {
     * leading zeros, so its length IS floor(log2 v) + 1 with no
     * float-log boundary risk.
     */
-  private def hllRho(v: Column): Column =
+  private[graft] def hllRho(v: Column): Column =
     when(v === 0L, lit(HllW + 1))
       .otherwise(lit(HllW) - length(bin(v)) + 1)
 

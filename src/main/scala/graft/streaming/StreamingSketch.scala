@@ -75,6 +75,47 @@ object StreamingSketch {
       .head().getLong(0)
   }
 
+  // ---- HyperLogLog registers (the max-merge sibling) ------------------
+
+  /** Per-batch HLL register partial: (reg, rank), ≤ m = 256 rows —
+    * the same register formula as `q_hll_cardinality` (corpus-wide,
+    * not per-source: the streaming form tracks total distinct tokens).
+    */
+  def hllBatchRegisters(docs: DataFrame): DataFrame = {
+    val h = graft.operators.TextAnalysisShared.hash64(col("tok"))
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(pmod(h, lit(Sketches.HllM.toLong)).as("reg"))
+      .agg(max(Sketches.hllRho(shiftright(h, Sketches.HllP))).as("rank"))
+  }
+
+  /** One HLL micro-batch (append partial; replay overwrites). */
+  def processHllBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    hllBatchRegisters(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Merged registers: rank-wise MAX over partials (the HLL merge law). */
+  def readHllRegisters(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).groupBy("reg").agg(max("rank").as("rank"))
+
+  /** Cardinality estimate from the merged registers — the identical
+    * estimator expression the batch query pins against DuckDB.
+    */
+  def hllEstimate(spark: SparkSession, path: String): Double = {
+    val m = Sketches.HllM.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val row = readHllRegisters(spark, path)
+      .agg((sum(pow(lit(2.0), -col("rank"))) + (lit(m) - count(lit(1)))).as("harm"),
+        (lit(Sketches.HllM) - count(lit(1))).cast("long").as("zeros"))
+      .head()
+    val (harm, zeros) = (row.getDouble(0), row.getLong(1))
+    val raw = alpha * m * m / harm
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+
   /** Compact every persisted partial into one partition. Because the
     * merge is cell-wise sum (associative + commutative), compaction
     * CANNOT change any estimate — spec-asserted — it only bounds the

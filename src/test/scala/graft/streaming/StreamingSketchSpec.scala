@@ -80,6 +80,24 @@ class StreamingSketchSpec extends SparkSpec {
       cellMap(StreamingSketch.batchCells(a)).values.sum)
   }
 
+  test("streamed HLL registers merge to the batch registers; estimate tracks exact") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_hll").toString
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    StreamingSketch.processHllBatch(a, batchId = 0L, s"$dir/hll")
+    StreamingSketch.processHllBatch(b, batchId = 1L, s"$dir/hll")
+    val merged = StreamingSketch.readHllRegisters(spark, s"$dir/hll")
+      .collect().map(r => r.getAs[Long]("reg") -> r.getAs[Int]("rank")).toMap
+    val single = StreamingSketch.hllBatchRegisters(docs)
+      .collect().map(r => r.getAs[Long]("reg") -> r.getAs[Int]("rank")).toMap
+    assert(merged == single, "max-merged shard registers diverge from one pass")
+    val est = StreamingSketch.hllEstimate(spark, s"$dir/hll")
+    val exact = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct("t")).head().getLong(0).toDouble
+    assert(math.abs(est - exact) / exact <= 0.15,
+      s"HLL estimate $est vs exact $exact")
+  }
+
   test("estimate never underestimates a probed token") {
     val dir = java.nio.file.Files.createTempDirectory("stream_sketch_est").toString
     val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
