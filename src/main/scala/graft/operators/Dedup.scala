@@ -235,7 +235,64 @@ object Dedup {
        |  min(csize) AS min_size, max(csize) AS max_size
        |FROM sz GROUP BY 1 ORDER BY size_log2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_dedup_winnow — winnowing fingerprints (Schleimer et al. 2003,
+  // the MOSS local-fingerprinting algorithm): per document, keep the
+  // minimum shingle hash of every sliding w-window (~2/(w+1) of the
+  // hashes), then candidate pairs are documents sharing ≥ 2 selected
+  // prints. Guarantees: any overlap of ≥ w+2 tokens shares a print.
+  // Scale shape: selection is a pure per-doc HOF projection (no hash
+  // shuffles); the pair join is print-bucket-local, and prints seen in
+  // more than `WinnowMaxDf` documents are dropped first — the
+  // stop-fingerprint cut that keeps one ubiquitous trigram from
+  // turning a bucket into a quadratic hot spot (same rule as the
+  // boilerplate heavy-hitter cut).
+  private val WinnowW = 4
+  private val WinnowMaxDf = 50
+  private val WinnowMinShared = 2
+
+  private def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        explode(TextAnalysisShared.winnowFingerprints(col("text"), WinnowW)).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf)
+    val kept = fps.join(rare.select("fp"), Seq("fp"))
+    kept.as("a").join(kept.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_prints"))
+      .filter(col("shared_prints") >= WinnowMinShared)
+      .orderBy(col("shared_prints").desc, col("doc_a"), col("doc_b"))
+      .limit(25)
+  }
+
+  private val dedupWinnowSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_transform(
+       |    list_transform(generate_series(1, len(toks) - 2),
+       |      i -> array_to_string(toks[i:i+2], ' ')),
+       |    s0 -> ('0x' || substr(md5(s0), 1, 15))::BIGINT) AS hs
+       |  FROM t),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+       |    CASE WHEN len(hs) >= $WinnowW THEN range(1, len(hs) - ${WinnowW - 2})
+       |         WHEN len(hs) >= 1 THEN [1::BIGINT]
+       |         ELSE []::BIGINT[] END,
+       |    i -> list_min(hs[i : i + least($WinnowW, len(hs)) - 1])))) AS fp
+       |  FROM h),
+       |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
+       |kept AS (SELECT doc_id, fp FROM fp JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*)::BIGINT AS shared_prints
+       |FROM kept a JOIN kept b USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+       |ORDER BY shared_prints DESC, doc_a, doc_b LIMIT 25""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_dedup_winnow", dedupWinnow, Some(dedupWinnowSql)),
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_dedup_cluster_hist", dedupClusterHist, Some(dedupClusterHistSql)),
     Q("q_dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql)),
@@ -254,6 +311,26 @@ private[graft] object TextAnalysisShared {
     * generate_series(1, len-n+1), which is empty for len < n — Spark's
     * sequence() would instead count DOWN and make slice() throw).
     */
+  /** Winnowing fingerprint set (Schleimer et al. 2003, the MOSS
+    * algorithm): hash every shingle, slide a window of `w` hashes,
+    * keep each window's minimum — guaranteed to share fingerprints
+    * with any document overlapping by ≥ w + shingle-size tokens, while
+    * selecting only ~2/(w+1) of the hashes. Pure per-document
+    * collection HOFs: no hash ever shuffles; only the distinct
+    * selected fingerprints do.
+    */
+  def winnowFingerprints(textCol: Column, w: Int): Column = {
+    val hs = transform(TextAnalysisShared.shingles(textCol),
+      sh => TextAnalysisShared.hash64(sh))
+    val idx = when(size(hs) >= w, sequence(lit(1), size(hs) - (w - 1)))
+      .otherwise(when(size(hs) >= 1, sequence(lit(1), lit(1)))
+        .otherwise(array().cast("array<int>")))
+    // Short docs (< w hashes) keep their single global min — the
+    // standard boundary rule, so every non-empty doc has ≥ 1 print.
+    array_distinct(transform(idx,
+      i => array_min(slice(hs, i, least(lit(w), size(hs))))))
+  }
+
   def ngrams(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))

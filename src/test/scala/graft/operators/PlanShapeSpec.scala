@@ -241,7 +241,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_consolidate_merge", "q_strategy_match",
       "q_dedup_incremental", "q_span_dedup", "q_pipeline_e2e",
       "q_semantic_dedup", "q_semantic_dedup_blocked", "q_dedup_canonical",
-      "q_dsir_select", "q_zorder_layout", "q_kmeans_train").foreach { name =>
+      "q_dsir_select", "q_zorder_layout", "q_kmeans_train",
+      "q_entity_pagerank", "q_pmi_collocations", "q_ann_pq", "q_ann_ivfpq",
+      "q_cms_topk", "q_logreg_train").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
     }

@@ -75,6 +75,24 @@ class Wave5Spec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("in_exact")).sum >= 4)
   }
 
+  test("winnowing surfaces genuine near-duplicates") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_dedup_winnow")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("shared_prints") >= 2L)
+    }
+    // The top candidate must be a real near-dup, not a hash artifact.
+    val (a, b) = (rows.head.getAs[Long]("doc_a"), rows.head.getAs[Long]("doc_b"))
+    val docs = graft.io.Tables.documents(spark, Sf)
+      .filter(col("doc_id").isin(a, b))
+      .select(array_distinct(split(col("text"), " ")).as("t"))
+      .collect().map(_.getSeq[String](0).toSet)
+    val j = docs(0).intersect(docs(1)).size.toDouble / docs(0).union(docs(1)).size
+    assert(j >= 0.2, s"top winnow pair ($a,$b) has Jaccard $j")
+  }
+
   test("logreg trainer: loss strictly decreases over the GD steps") {
     val rows = run("q_logreg_train").sortBy(_.getAs[Int]("step"))
     assert(rows.length == 3)
