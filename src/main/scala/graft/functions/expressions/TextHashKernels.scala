@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared per-row md5 text kernels (the fingerprint/simhash hot paths):
@@ -53,6 +53,52 @@ object TextHashWorker {
     UTF8String.fromString(min)
   }
 
+  /** Winnowing print set (Schleimer et al. 2003) over the 60-bit md5
+    * prefix of each 3-token shingle — the value `conv(substr(md5, 1,
+    * 15), 16, 10)` computes, so the compiled selection is bit-identical
+    * to the HOF/oracle form. Sliding-window minima via a monotone
+    * deque (O(shingles)), distinct preserved in first-seen order (the
+    * caller sorts or sets anyway). Short docs (< w hashes) keep their
+    * single global min; empty-shingle docs return an empty array.
+    */
+  def winnowPrints(text: String, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(" ", -1)
+    val nh = toks.length - 2
+    if (nh <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](nh)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nh) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+      hs(i) = java.lang.Long.parseLong(md5Hex(sb.toString).substring(0, 15), 16)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nh < w) {
+      var m = hs(0); var k = 1
+      while (k < nh) { if (hs(k) < m) m = hs(k); k += 1 }
+      out.add(m)
+    } else {
+      // Monotone deque of indices, increasing hash values.
+      val dq = new java.util.ArrayDeque[Int]()
+      var k = 0
+      while (k < nh) {
+        while (!dq.isEmpty && hs(dq.peekLast) >= hs(k)) dq.pollLast()
+        dq.addLast(k)
+        if (dq.peekFirst <= k - w) dq.pollFirst()
+        if (k >= w - 1) out.add(hs(dq.peekFirst))
+        k += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** 16-bit SimHash over per-token md5 nibbles: for hex position p
     * (1..16), +1 when the nibble's high bit is set, else −1; bit = 1
     * when the sum is ≥ 0. One digest per token, no token ever shuffles.
@@ -87,6 +133,8 @@ object TextHashWorker {
 final class TextHashBridge extends Serializable {
   def minShingle(t: UTF8String): UTF8String = TextHashWorker.minShingleMd5(t.toString)
   def simhash(t: UTF8String): UTF8String = TextHashWorker.simhashBits(t.toString)
+  def winnow(t: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    TextHashWorker.winnowPrints(t.toString, w)
 }
 
 abstract class TextHashExpr extends UnaryExpression {
@@ -111,6 +159,20 @@ case class MinShingleMd5(child: Expression) extends TextHashExpr {
       ${ev.value} = $ref.minShingle($c);
       if (${ev.value} == null) { ${ev.isNull} = true; }""")
     code
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Compiled winnowing print set (array of 60-bit longs). */
+case class WinnowPrintsExpr(child: Expression, w: Int) extends TextHashExpr {
+  override def prettyName: String = "winnow_prints"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    bridge.winnow(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textHash", bridge, classOf[TextHashBridge].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.winnow($c, $w);")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

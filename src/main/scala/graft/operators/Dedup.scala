@@ -252,9 +252,18 @@ object Dedup {
   private val WinnowMinShared = 2
 
   private def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    // Compiled selection (WinnowPrintsExpr: monotone-deque window mins
+    // over thread-local digests — the interpreted HOF twin ran the
+    // per-shingle md5 lambda once per downstream consumer), then the
+    // bounded print frame materializes ONCE for the df cut + both join
+    // sides. Wave5Spec pins kernel == HOF twin per document.
     val fps = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
-        explode(TextAnalysisShared.winnowFingerprints(col("text"), WinnowW)).as("fp"))
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.WinnowPrintsExpr(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+            WinnowW))).as("fp"))
+      .localCheckpoint(true)
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxDf)
     val kept = fps.join(rare.select("fp"), Seq("fp"))

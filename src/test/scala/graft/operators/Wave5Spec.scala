@@ -75,6 +75,23 @@ class Wave5Spec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("in_exact")).sum >= 4)
   }
 
+  test("compiled winnow prints equal the HOF formulation per document") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.documents(spark, Sf)
+    val both = docs.select(col("doc_id"),
+      array_sort(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.WinnowPrintsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 4)))
+        .as("fast"),
+      array_sort(TextAnalysisShared.winnowFingerprints(col("text"), 4)).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"winnow kernel diverges for doc ${r.getLong(0)}")
+    }
+  }
+
   test("winnowing surfaces genuine near-duplicates") {
     import org.apache.spark.sql.functions._
     val rows = run("q_dedup_winnow")
