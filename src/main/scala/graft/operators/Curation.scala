@@ -150,6 +150,96 @@ object Curation {
        |SELECT doc_id, n_bigrams, xent FROM sc ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_lm_kneser_ney — the same bigram LM scored with interpolated
+  // Kneser–Ney smoothing (Kneser & Ney 1995; Chen & Goodman 1999's
+  // standard fixed-discount form, d = 0.75) instead of add-one:
+  //   P(w2|w1) = max(c(w1w2) − d, 0)/c(w1)
+  //            + d·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··)
+  // with full backoff to the continuation probability when w1 is
+  // unseen, and an explicit 1e-10 floor (both engines) for tokens
+  // outside the model. EVERY model statistic — c(w1), N1+(w1·),
+  // N1+(·w2), N1+(··) — derives from the ONE top-64k-capped bigram
+  // table, so the model is self-consistent and the broadcast stays
+  // bounded at any corpus size (the same cap contract as lm_quality).
+  // Scale shape identical to lm_quality: score = explode + two
+  // broadcast joins + per-doc aggregate.
+  private val KnDiscount = 0.75
+
+  private def lmKneserNey(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("lang") === "en")
+    val bigc = train
+      .select(explode(bigrams(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("bigram"))
+      .limit(LmVocabCap)
+      .select(col("bigram"), col("cb"),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .localCheckpoint(true) // three derived model tables read it
+    val left = bigc.groupBy("w1")
+      .agg(sum("cb").as("cw1"), count(lit(1)).as("n1f"))
+    val right = bigc.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val total = bigc.agg(count(lit(1)).as("nbi"))
+    docs
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("bigram"))
+      .join(broadcast(bigc.select("bigram", "cb")), Seq("bigram"), "left")
+      .join(broadcast(left),
+        substring_index(col("bigram"), " ", 1) === col("w1"), "left")
+      .join(broadcast(right),
+        substring_index(col("bigram"), " ", -1) === col("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), {
+        val pcont = coalesce(col("n1b"), lit(0L)).cast("double") / col("nbi")
+        val seen = (greatest(coalesce(col("cb"), lit(0L)) - lit(KnDiscount), lit(0.0)) /
+          col("cw1")) +
+          lit(KnDiscount) * col("n1f") / col("cw1") * pcont
+        val p = when(coalesce(col("cw1"), lit(0L)) > 0, seen).otherwise(pcont)
+        (-log2(greatest(p, lit(1e-10)))).as("nll")
+      })
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("xent_kn"))
+      .orderBy("doc_id")
+  }
+
+  private val lmKneserNeySql =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |bigc AS (
+       |  SELECT bigram, cb,
+       |    split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+       |  FROM (
+       |    SELECT bigram, count(*)::BIGINT AS cb
+       |    FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                  i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       |          FROM d WHERE lang = 'en')
+       |    GROUP BY 1 ORDER BY cb DESC, bigram LIMIT $LmVocabCap)),
+       |lft AS (SELECT w1, sum(cb)::BIGINT AS cw1, count(*)::BIGINT AS n1f
+       |        FROM bigc GROUP BY 1),
+       |rgt AS (SELECT w2, count(*)::BIGINT AS n1b FROM bigc GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS nbi FROM bigc),
+       |db AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       |  FROM d),
+       |scored AS (
+       |  SELECT db.doc_id,
+       |    -log2(greatest(
+       |      CASE WHEN coalesce(lft.cw1, 0) > 0
+       |        THEN greatest(coalesce(bc.cb, 0) - $KnDiscount, 0.0) / lft.cw1
+       |           + $KnDiscount * lft.n1f / lft.cw1
+       |             * (coalesce(rgt.n1b, 0)::DOUBLE / tot.nbi)
+       |        ELSE coalesce(rgt.n1b, 0)::DOUBLE / tot.nbi END,
+       |      1e-10)) AS nll
+       |  FROM db
+       |  LEFT JOIN (SELECT bigram, cb FROM bigc) bc USING (bigram)
+       |  LEFT JOIN lft ON lft.w1 = split_part(db.bigram, ' ', 1)
+       |  LEFT JOIN rgt ON rgt.w2 = split_part(db.bigram, ' ', 2)
+       |  CROSS JOIN tot)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  round(avg(nll), 4) AS xent_kn
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_lm_filter — the end-to-end quality cut: keep documents at or
   // below the corpus p75 cross-entropy (the fluent three quarters).
   // Operates on the scored (≥ 1 bigram) corpus — see lmScored's
@@ -709,6 +799,7 @@ object Curation {
 
   val all: Seq[Q] = Seq(
     Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
+    Q("q_lm_kneser_ney", lmKneserNey, Some(lmKneserNeySql)),
     Q("q_lm_filter", lmFilter, Some(lmFilterSql)),
     Q("q_lm_filter_approx", lmFilterApprox, Some(lmFilterApproxSql)),
     Q("q_ppl_buckets", pplBuckets, Some(pplBucketsSql)),

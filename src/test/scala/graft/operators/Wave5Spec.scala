@@ -92,6 +92,18 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("Kneser-Ney LM scores its training language as more fluent") {
+    import org.apache.spark.sql.functions._
+    val kn = SparkEntry.queries("q_lm_kneser_ney")(spark, Sf)
+    val byLang = kn.join(graft.io.Tables.documents(spark, Sf), Seq("doc_id"))
+      .groupBy("lang").agg(avg("xent_kn").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("en") < byLang("zh"),
+      s"en-trained KN model should prefer en: $byLang")
+    // Same scored-document contract as the add-one scorer.
+    assert(kn.count() == SparkEntry.queries("q_lm_quality")(spark, Sf).count())
+  }
+
   test("winnowing surfaces genuine near-duplicates") {
     import org.apache.spark.sql.functions._
     val rows = run("q_dedup_winnow")
