@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.expressions.TextHashWorker
+
+/** ScalaCheck properties for the compiled per-row kernels: each kernel
+  * must equal an independent brute-force reference on arbitrary token
+  * streams (the corpus-level equality with the declarative twins is
+  * pinned separately in Wave5Spec; these cover the input space the
+  * fixture corpus doesn't reach — empty tokens, repeated runs,
+  * single-token docs, heavy duplication).
+  */
+object KernelProps extends Properties("compiled-kernels") {
+
+  private val tok = Gen.oneOf("a", "b", "ab", "xyz", "q1", "", "Zz")
+  private val textGen = Gen.choose(0, 40)
+    .flatMap(n => Gen.listOfN(n, tok)).map(_.mkString(" "))
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hash60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  private def shingles(text: String): Seq[String] = {
+    val t = text.split(" ", -1)
+    if (t.length < 3) Seq.empty
+    else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+  }
+
+  property("winnow prints == brute-force window minima") =
+    Prop.forAll(textGen, Gen.choose(2, 6)) { (text, w) =>
+      val hs = shingles(text).map(hash60)
+      val expected =
+        if (hs.isEmpty) Set.empty[Long]
+        else if (hs.length < w) Set(hs.min)
+        else hs.sliding(w).map(_.min).toSet
+      val got = TextHashWorker.winnowPrints(text, w).toLongArray.toSet
+      Prop(got == expected) :| s"text='$text' w=$w got=$got exp=$expected"
+    }
+
+  property("min-shingle md5 == brute force (null iff < 3 tokens)") =
+    Prop.forAll(textGen) { text =>
+      val sh = shingles(text)
+      val got = Option(TextHashWorker.minShingleMd5(text)).map(_.toString)
+      val expected = if (sh.isEmpty) None else Some(sh.map(md5Hex).min)
+      Prop(got == expected) :| s"text='$text' got=$got exp=$expected"
+    }
+
+  property("simhash == brute-force nibble vote") =
+    Prop.forAll(textGen) { text =>
+      val toks = text.split(" ", -1)
+      val sums = new Array[Int](16)
+      toks.foreach { t =>
+        val h = md5Hex(t)
+        (0 until 16).foreach { p =>
+          val nib = Integer.parseInt(h.charAt(p).toString, 16)
+          sums(p) += (if (nib >= 8) 1 else -1)
+        }
+      }
+      val expected = sums.map(s0 => if (s0 >= 0) '1' else '0').mkString
+      val got = TextHashWorker.simhashBits(text).toString
+      Prop(got == expected) :| s"text='$text' got=$got exp=$expected"
+    }
+
+  property("gopher stats == brute-force gram counting") =
+    Prop.forAll(textGen) { text =>
+      val worker = new graft.functions.expressions.GopherRepWorker(
+        Array(2, 3, 4), Array(5, 6, 7))
+      val got = worker.stats(text).toLongArray
+      val toks = text.split(" ", -1)
+      def grams(n: Int): Seq[String] =
+        if (toks.length < n) Seq.empty
+        else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+      val exp = Array(toks.length.toLong) ++
+        Seq(2, 3, 4).map { n =>
+          val c = grams(n).groupBy(identity).view.mapValues(_.size)
+          if (c.isEmpty) 0L
+          else {
+            val (g, cnt) = c.maxBy { case (g0, c0) => (c0, g0) }
+            cnt.toLong * g.length
+          }
+        } ++
+        Seq(5, 6, 7).map { n =>
+          grams(n).groupBy(identity).collect {
+            case (g0, occ) if occ.size >= 2 => occ.size.toLong * g0.length
+          }.sum
+        }
+      Prop(got.sameElements(exp)) :|
+        s"text='$text' got=${got.mkString(",")} exp=${exp.mkString(",")}"
+    }
+}
