@@ -38,7 +38,15 @@ class DeterminismSpec extends SparkSpec {
     // two-stage windows, cell-probed windows + struct-argmax, and the
     // LSH-pair estimator joins.
     "q_decontaminate_bloom", "q_weighted_sample",
-    "q_decontaminate_semantic", "q_minhash_estimate")
+    "q_decontaminate_semantic", "q_minhash_estimate",
+    // This session's additions with ties, training loops, shortlists,
+    // or compiled kernels: sketch probes, PQ/IVF-PQ shortlist re-ranks,
+    // BPE/GD/PageRank iteration, winnow pair generation, KN backoff.
+    "q_cms_topk", "q_hll_cardinality", "q_quantile_hist",
+    "q_ann_pq", "q_ann_ivfpq", "q_random_projection",
+    "q_bpe_train", "q_bpe_compression", "q_logreg_train",
+    "q_entity_pagerank", "q_pmi_collocations", "q_dedup_winnow",
+    "q_image_phash", "q_gopher_rep", "q_lm_kneser_ney", "q_funnel")
 
   sampled.foreach { name =>
     test(s"$name is identical across two runs") {
