@@ -300,7 +300,93 @@ object Dedup {
        |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
        |ORDER BY shared_prints DESC, doc_a, doc_b LIMIT 25""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_contrastive_pairs — training-pair generation for contrastive
+  // embedding training (the SimCSE/E5-style data recipe): anchors and
+  // positives are the calibrated ≥ 2-band MinHash-LSH near-dup pairs
+  // (both orientations, so every member anchors); negatives are
+  // hash-deterministic draws from the corpus, probed j = 0..3 and kept
+  // (first 2 by j) only if they exist, differ from both pair members,
+  // and are NOT a near-dup partner of the anchor — the "no false
+  // negatives from the dup cluster" rule that keeps the contrastive
+  // loss from pushing true duplicates apart. Scale shape: pair
+  // generation is the bucket-local LSH join; negative probing is a
+  // constant per pair, membership + partner checks are equi-/anti-joins
+  // on doc_id/(anchor, neg) — nothing is all-pairs.
+  private val CtrNegProbes = 4
+  private val CtrNegKeep = 2
+
+  private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
+    val pairs = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(countDistinct("band").as("bands"))
+      .filter(col("bands") >= 2)
+    val pos = pairs.select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
+      .union(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("positive")))
+    val nd = docs.agg(count(lit(1)).as("n"))
+    val cand = pos
+      .select(col("anchor"), col("positive"),
+        explode(sequence(lit(0), lit(CtrNegProbes - 1))).as("j"))
+      .crossJoin(broadcast(nd))
+      .withColumn("neg", pmod(TextAnalysisShared.hash64(
+        concat(col("anchor").cast("string"), lit(":"), col("j").cast("string"))),
+        col("n")))
+      .filter(col("neg") =!= col("anchor") && col("neg") =!= col("positive"))
+      .join(docs.select(col("doc_id").as("neg")), Seq("neg"))
+      .join(pos.select(col("anchor"), col("positive").as("neg")),
+        Seq("anchor", "neg"), "left_anti")
+    cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("anchor", "positive").orderBy("j")))
+      .filter(col("rn") <= CtrNegKeep)
+      .select(col("anchor"), col("positive"), col("neg"),
+        col("j").cast("long").as("j"))
+      .orderBy("anchor", "positive", "j")
+  }
+
+  private val contrastivePairsSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+       |  FROM t),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
+       |sig AS (
+       |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
+       |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band,
+       |            unnest([1299721, 7919, 104729, 15485863]) AS a) b
+       |  GROUP BY doc_id, band),
+       |p2 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(DISTINCT a.band) >= 2),
+       |pos AS (SELECT doc_a AS anchor, doc_b AS positive FROM p2
+       |        UNION ALL SELECT doc_b, doc_a FROM p2),
+       |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |cand AS (
+       |  SELECT pos.anchor, pos.positive, r.range AS j,
+       |    ('0x' || substr(md5(pos.anchor || ':' || r.range), 1, 15))::BIGINT % nd.n AS neg
+       |  FROM pos CROSS JOIN range(0, $CtrNegProbes) r CROSS JOIN nd),
+       |ok AS (
+       |  SELECT c.anchor, c.positive, c.j, c.neg FROM cand c
+       |  JOIN documents d ON d.doc_id = c.neg
+       |  WHERE c.neg <> c.anchor AND c.neg <> c.positive
+       |    AND NOT EXISTS (SELECT 1 FROM pos p
+       |                    WHERE p.anchor = c.anchor AND p.positive = c.neg))
+       |SELECT anchor, positive, neg, j FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor, positive ORDER BY j) AS rn
+       |  FROM ok)
+       |WHERE rn <= $CtrNegKeep ORDER BY anchor, positive, j""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
     Q("q_dedup_winnow", dedupWinnow, Some(dedupWinnowSql)),
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_dedup_cluster_hist", dedupClusterHist, Some(dedupClusterHistSql)),

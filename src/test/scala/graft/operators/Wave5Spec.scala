@@ -92,6 +92,23 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("contrastive pairs: negatives are never the anchor, positive, or a partner") {
+    val rows = run("q_contrastive_pairs")
+    assert(rows.nonEmpty)
+    val partners = rows.map(r =>
+      (r.getAs[Long]("anchor"), r.getAs[Long]("positive"))).toSet
+    rows.foreach { r =>
+      val (a, p, n) = (r.getAs[Long]("anchor"), r.getAs[Long]("positive"),
+        r.getAs[Long]("neg"))
+      assert(n != a && n != p)
+      assert(!partners.contains((a, n)),
+        s"negative $n is a near-dup partner of anchor $a")
+    }
+    // ≤ 2 negatives per (anchor, positive).
+    rows.groupBy(r => (r.getAs[Long]("anchor"), r.getAs[Long]("positive")))
+      .foreach { case (_, g) => assert(g.size <= 2) }
+  }
+
   test("Kneser-Ney LM scores its training language as more fluent") {
     import org.apache.spark.sql.functions._
     val kn = SparkEntry.queries("q_lm_kneser_ney")(spark, Sf)
