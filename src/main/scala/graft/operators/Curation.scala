@@ -240,6 +240,46 @@ object Curation {
        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_doremi_weights — DoReMi-style domain reweighting (Xie et al.,
+  // NeurIPS 2023), deterministically approximated: instead of the
+  // paper's proxy-model training loop, each source's difficulty is its
+  // average bigram-LM cross-entropy (the shared lmScored chain), and
+  // the mixture weight is softmax(excess loss / T) over sources —
+  // hard-for-the-reference-model domains get upweighted, exactly the
+  // paper's signal with a one-pass loss estimate. Scale shape: the LM
+  // scoring pass plus ONE source-keyed aggregate (sources-sized), the
+  // min/total folds over the bounded source frame.
+  private val DoremiT = 0.5
+
+  private def doremiWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = lmScored(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("xent"), 6).as("mean_xent"))
+    val base = perSource.agg(min("mean_xent").as("min_xent"))
+    val expd = perSource.crossJoin(broadcast(base))
+      .withColumn("e", exp((col("mean_xent") - col("min_xent")) / lit(DoremiT)))
+    val tot = expd.agg(sum("e").as("te"))
+    expd.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("mean_xent"),
+        round(col("e") / col("te"), 4).as("weight"))
+      .orderBy("source")
+  }
+
+  private val doremiWeightsSql =
+    s"""$lmScoredCte,
+       |ps AS (
+       |  SELECT d.source, count(*)::BIGINT AS n_docs,
+       |    round(avg(sc.xent), 6) AS mean_xent
+       |  FROM sc JOIN documents d USING (doc_id) GROUP BY 1),
+       |b AS (SELECT min(mean_xent) AS min_xent FROM ps),
+       |e AS (SELECT ps.*, exp((mean_xent - b.min_xent) / $DoremiT) AS e
+       |      FROM ps CROSS JOIN b),
+       |t AS (SELECT sum(e) AS te FROM e)
+       |SELECT e.source, e.n_docs, e.mean_xent, round(e.e / t.te, 4) AS weight
+       |FROM e CROSS JOIN t ORDER BY e.source""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_lm_filter — the end-to-end quality cut: keep documents at or
   // below the corpus p75 cross-entropy (the fluent three quarters).
   // Operates on the scored (≥ 1 bigram) corpus — see lmScored's
@@ -800,6 +840,7 @@ object Curation {
   val all: Seq[Q] = Seq(
     Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("q_lm_kneser_ney", lmKneserNey, Some(lmKneserNeySql)),
+    Q("q_doremi_weights", doremiWeights, Some(doremiWeightsSql)),
     Q("q_lm_filter", lmFilter, Some(lmFilterSql)),
     Q("q_lm_filter_approx", lmFilterApprox, Some(lmFilterApproxSql)),
     Q("q_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
