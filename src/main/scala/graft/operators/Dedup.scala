@@ -385,8 +385,91 @@ object Dedup {
        |  FROM ok)
        |WHERE rn <= $CtrNegKeep ORDER BY anchor, positive, j""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_hard_negatives — the E5/DPR-style hard-negative upgrade of the
+  // random draws above: for each LSH near-dup pair, the negatives come
+  // from the ANCHOR'S OWN embedding sign-bucket — semantically close
+  // (they share all 8 projection signs) but verifiably not a near-dup
+  // partner. Hard negatives are what make a contrastive embedding
+  // model learn fine distinctions instead of topic detection. Choice
+  // inside the bucket is deterministic: top-2 by the shared
+  // hash64(anchor:candidate) order, so re-runs and engines agree.
+  // Scale shape: one bucket equi-join (anchor bucket → candidates) —
+  // the same 2^8-cell blocking every sign-LSH query uses — plus the
+  // pair/identity anti-filters; no all-pairs stage.
+  private val HardNegKeep = 2
+
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
+    val pairs = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(countDistinct("band").as("bands"))
+      .filter(col("bands") >= 2)
+    val pos = pairs.select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
+      .union(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("positive")))
+    val buckets = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.signBucket(col("embedding"), 8).as("bucket"))
+    val cand = pos
+      .join(buckets.select(col("vec_id").as("anchor"), col("bucket")), Seq("anchor"))
+      .join(buckets.select(col("vec_id").as("neg"), col("bucket")), Seq("bucket"))
+      .filter(col("neg") =!= col("anchor") && col("neg") =!= col("positive"))
+      .join(pos.select(col("anchor"), col("positive").as("neg")),
+        Seq("anchor", "neg"), "left_anti")
+      .withColumn("h", TextAnalysisShared.hash64(
+        concat(col("anchor").cast("string"), lit(":"), col("neg").cast("string"))))
+    cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("anchor", "positive").orderBy(col("h"), col("neg"))))
+      .filter(col("rn") <= HardNegKeep)
+      .select(col("anchor"), col("positive"), col("neg"), col("bucket"))
+      .orderBy("anchor", "positive", "neg")
+  }
+
+  private val hardNegativesSql = {
+    val bucketExpr = TextAnalysisShared.bucketExprSql(8)
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+       |  FROM t),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
+       |sig AS (
+       |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
+       |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band,
+       |            unnest([1299721, 7919, 104729, 15485863]) AS a) b
+       |  GROUP BY doc_id, band),
+       |p2 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(DISTINCT a.band) >= 2),
+       |pos AS (SELECT doc_a AS anchor, doc_b AS positive FROM p2
+       |        UNION ALL SELECT doc_b, doc_a FROM p2),
+       |bk AS (SELECT vec_id, ($bucketExpr)::BIGINT AS bucket FROM embeddings),
+       |cand AS (
+       |  SELECT pos.anchor, pos.positive, nb.vec_id AS neg, ab.bucket,
+       |    ('0x' || substr(md5(pos.anchor || ':' || nb.vec_id), 1, 15))::BIGINT AS h
+       |  FROM pos
+       |  JOIN bk ab ON ab.vec_id = pos.anchor
+       |  JOIN bk nb ON nb.bucket = ab.bucket
+       |  WHERE nb.vec_id <> pos.anchor AND nb.vec_id <> pos.positive
+       |    AND NOT EXISTS (SELECT 1 FROM pos p
+       |                    WHERE p.anchor = pos.anchor AND p.positive = nb.vec_id))
+       |SELECT anchor, positive, neg, bucket FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor, positive
+       |    ORDER BY h, neg) AS rn FROM cand)
+       |WHERE rn <= $HardNegKeep ORDER BY anchor, positive, neg""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
+    Q("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Q("q_dedup_winnow", dedupWinnow, Some(dedupWinnowSql)),
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_dedup_cluster_hist", dedupClusterHist, Some(dedupClusterHistSql)),

@@ -109,6 +109,25 @@ class Wave5Spec extends SparkSpec {
       .foreach { case (_, g) => assert(g.size <= 2) }
   }
 
+  test("hard negatives share the anchor's sign-bucket and are never partners") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_hard_negatives")
+    assert(rows.nonEmpty)
+    val buckets = graft.io.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.signBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val partners = rows.map(r =>
+      (r.getAs[Long]("anchor"), r.getAs[Long]("positive"))).toSet
+    rows.foreach { r =>
+      val (a, p, n) = (r.getAs[Long]("anchor"), r.getAs[Long]("positive"),
+        r.getAs[Long]("neg"))
+      assert(n != a && n != p)
+      assert(buckets(n) == buckets(a), s"negative $n not in anchor $a's bucket")
+      assert(!partners.contains((a, n)))
+    }
+  }
+
   test("Kneser-Ney LM scores its training language as more fluent") {
     import org.apache.spark.sql.functions._
     val kn = SparkEntry.queries("q_lm_kneser_ney")(spark, Sf)
