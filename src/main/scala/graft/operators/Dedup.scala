@@ -313,12 +313,19 @@ object Dedup {
   // generation is the bucket-local LSH join; negative probing is a
   // constant per pair, membership + partner checks are equi-/anti-joins
   // on doc_id/(anchor, neg) — nothing is all-pairs.
-  private val CtrNegProbes = 4
-  private val CtrNegKeep = 2
+  private val CtrPosPerAnchor = 4
 
-  private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Both orientations of the ≥ 2-band LSH pairs, CAPPED at
+    * `CtrPosPerAnchor` positives per anchor (deterministic spread by
+    * the shared hash, not first-ids). On a heavily duplicated corpus an
+    * anchor can have hundreds of near-dup partners — a training set
+    * neither needs nor survives the quadratic emission (measured: the
+    * uncapped pair frame put q_contrastive_pairs at 93 s and
+    * q_hard_negatives at 167 s on the ~96%-near-dup ×30 upsample; the
+    * cap bounds per-anchor work at ANY duplication factor).
+    */
+  private def cappedAnchorPairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
     val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
     val pairs = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
       .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
@@ -326,8 +333,53 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(countDistinct("band").as("bands"))
       .filter(col("bands") >= 2)
-    val pos = pairs.select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
+    pairs.select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
       .union(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("positive")))
+      .withColumn("prn", row_number().over(Window.partitionBy("anchor")
+        .orderBy(TextAnalysisShared.hash64(concat(col("anchor").cast("string"),
+          lit(">"), col("positive").cast("string"))), col("positive"))))
+      .filter(col("prn") <= CtrPosPerAnchor)
+      .select("anchor", "positive")
+  }
+
+  /** The capped-pair CTE chain (through `pos`), shared by both pair
+    * queries' oracles.
+    */
+  private val cappedPairsCteSql =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+       |  FROM t),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
+       |sig AS (
+       |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
+       |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band,
+       |            unnest([1299721, 7919, 104729, 15485863]) AS a) b
+       |  GROUP BY doc_id, band),
+       |p2 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(DISTINCT a.band) >= 2),
+       |posu AS (SELECT doc_a AS anchor, doc_b AS positive FROM p2
+       |         UNION ALL SELECT doc_b, doc_a FROM p2),
+       |pos AS (
+       |  SELECT anchor, positive FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY
+       |      ('0x' || substr(md5(anchor || '>' || positive), 1, 15))::BIGINT,
+       |      positive) AS prn
+       |    FROM posu)
+       |  WHERE prn <= $CtrPosPerAnchor)""".stripMargin
+
+  private val CtrNegProbes = 4
+  private val CtrNegKeep = 2
+
+  private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val pos = cappedAnchorPairs(docs).localCheckpoint(true) // read 2x (cand + anti)
     val nd = docs.agg(count(lit(1)).as("n"))
     val cand = pos
       .select(col("anchor"), col("positive"),
@@ -350,25 +402,7 @@ object Dedup {
   }
 
   private val contrastivePairsSql =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |sh AS (
-       |  SELECT doc_id,
-       |    unnest(list_transform(generate_series(1, len(toks) - 2),
-       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingle
-       |  FROM t),
-       |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
-       |sig AS (
-       |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
-       |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band,
-       |            unnest([1299721, 7919, 104729, 15485863]) AS a) b
-       |  GROUP BY doc_id, band),
-       |p2 AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-       |    AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(DISTINCT a.band) >= 2),
-       |pos AS (SELECT doc_a AS anchor, doc_b AS positive FROM p2
-       |        UNION ALL SELECT doc_b, doc_a FROM p2),
+    s"""WITH $cappedPairsCteSql,
        |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
        |cand AS (
        |  SELECT pos.anchor, pos.positive, r.range AS j,
@@ -398,25 +432,31 @@ object Dedup {
   // the same 2^8-cell blocking every sign-LSH query uses — plus the
   // pair/identity anti-filters; no all-pairs stage.
   private val HardNegKeep = 2
+  private val HardNegPool = 16
 
   private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
-    val pairs = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-      .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
-        Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(countDistinct("band").as("bands"))
-      .filter(col("bands") >= 2)
-    val pos = pairs.select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
-      .union(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("positive")))
+    val pos = cappedAnchorPairs(docs).localCheckpoint(true) // read 2x (cand + anti)
     val buckets = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         graft.functions.VectorFunctions.signBucket(col("embedding"), 8).as("bucket"))
+    // The negative POOL is a bounded per-bucket sample (top-16 by the
+    // shared hash): joining anchors against FULL bucket membership is
+    // the hot-bucket trap — on a heavily duplicated corpus one bucket
+    // holds every copy of a popular vector and the candidate frame
+    // goes anchors × bucket_size (measured 348 s at ×100 before the
+    // pool). Sampled negatives are standard for contrastive training;
+    // the pool choice is deterministic, so engines and re-runs agree.
+    val pool = buckets
+      .withColumn("brn", row_number().over(Window.partitionBy("bucket")
+        .orderBy(TextAnalysisShared.hash64(concat(col("bucket").cast("string"),
+          lit("#"), col("vec_id").cast("string"))), col("vec_id"))))
+      .filter(col("brn") <= HardNegPool)
+      .select(col("vec_id"), col("bucket"))
     val cand = pos
       .join(buckets.select(col("vec_id").as("anchor"), col("bucket")), Seq("anchor"))
-      .join(buckets.select(col("vec_id").as("neg"), col("bucket")), Seq("bucket"))
+      .join(pool.select(col("vec_id").as("neg"), col("bucket")), Seq("bucket"))
       .filter(col("neg") =!= col("anchor") && col("neg") =!= col("positive"))
       .join(pos.select(col("anchor"), col("positive").as("neg")),
         Seq("anchor", "neg"), "left_anti")
@@ -432,32 +472,21 @@ object Dedup {
 
   private val hardNegativesSql = {
     val bucketExpr = TextAnalysisShared.bucketExprSql(8)
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |sh AS (
-       |  SELECT doc_id,
-       |    unnest(list_transform(generate_series(1, len(toks) - 2),
-       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingle
-       |  FROM t),
-       |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
-       |sig AS (
-       |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
-       |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band,
-       |            unnest([1299721, 7919, 104729, 15485863]) AS a) b
-       |  GROUP BY doc_id, band),
-       |p2 AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-       |    AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(DISTINCT a.band) >= 2),
-       |pos AS (SELECT doc_a AS anchor, doc_b AS positive FROM p2
-       |        UNION ALL SELECT doc_b, doc_a FROM p2),
+    s"""WITH $cappedPairsCteSql,
        |bk AS (SELECT vec_id, ($bucketExpr)::BIGINT AS bucket FROM embeddings),
+       |pool AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY
+       |      ('0x' || substr(md5(bucket || '#' || vec_id), 1, 15))::BIGINT,
+       |      vec_id) AS brn
+       |    FROM bk)
+       |  WHERE brn <= $HardNegPool),
        |cand AS (
        |  SELECT pos.anchor, pos.positive, nb.vec_id AS neg, ab.bucket,
        |    ('0x' || substr(md5(pos.anchor || ':' || nb.vec_id), 1, 15))::BIGINT AS h
        |  FROM pos
        |  JOIN bk ab ON ab.vec_id = pos.anchor
-       |  JOIN bk nb ON nb.bucket = ab.bucket
+       |  JOIN pool nb ON nb.bucket = ab.bucket
        |  WHERE nb.vec_id <> pos.anchor AND nb.vec_id <> pos.positive
        |    AND NOT EXISTS (SELECT 1 FROM pos p
        |                    WHERE p.anchor = pos.anchor AND p.positive = nb.vec_id))
