@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{AnnProbe, CosineSimF32, DotProductF32}
+import graft.functions.expressions.{AnnProbe, CosineSimF32, DotProductF32, TopCellsF32}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
@@ -53,6 +53,17 @@ object VectorFunctions {
 
   /** Cosine against a constant query vector. */
   def cosineConst(a: Column, q: Array[Float]): Column = cosine(a, lit(q))
+
+  /** Top-`probes` coarse-quantizer cells (IVF assign/probe) against a
+    * driver-materialized codebook, ordered by (cosine rounded to 4
+    * decimals desc, cell id asc) — one primitive-loop kernel per row;
+    * see [[graft.functions.expressions.TopCellsF32]] for the scale
+    * rationale.
+    */
+  def topCells(a: Column, cellIds: Array[Long], cells: Array[Array[Double]],
+      probes: Int): Column =
+    ExpressionUtils.column(TopCellsF32(
+      ExpressionUtils.expression(a), cellIds, cells, probes))
 
   /** Reference HOF formulation of dot — CodegenFallback; kept for
     * kernel-parity tests only.

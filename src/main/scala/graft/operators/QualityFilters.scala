@@ -300,31 +300,81 @@ object QualityFilters {
   // is IVF's nprobe: the BENCHMARK side lives in its 1 nearest cell,
   // the training side probes its top-`SemDecontProbes` cells, and
   // recall rises with the probe count at probe-count× cost — never
-  // corpus × benchmark. P = 4 of the 10 cells reaches 58 % measured
-  // recall here; P = k recovers the exact compare (the spec pins both
-  // the ⊆-of-exact property and the measured floor). Cost shape: the
-  // only new exchange is the train-side top-P rank over its k-row
-  // candidate frame (partitioned by vec, k rows per partition); the
-  // pairwise compare stays cell-local.
+  // corpus × benchmark. P = k recovers the exact compare (the spec
+  // pins both the ⊆-of-exact property and the measured floor). Cost
+  // shape: the only new exchange is the train-side top-P rank over
+  // its k-row candidate frame (partitioned by vec, k rows per
+  // partition); the pairwise compare stays cell-local.
+  //
+  // The codebook is CORPUS-SIZED: k = max(10, ⌈√n⌉) — the round-8
+  // scale defect was a FIXED 10-cell label codebook, under which cell
+  // membership grows linearly with the corpus and the cell-local
+  // pairwise stage is quadratic at fixed k (measured 33× time at ×100
+  // data). With k ~ √n both the broadcast assignment (n·k compares,
+  // map-side, no shuffle amplification) and the cell-local pairwise
+  // (cells of ~√n rows) grow as n^1.5 ops on an all-near-dup corpus —
+  // the standard FAISS IVF balance point — and the codebook itself
+  // stays broadcastable (√(25 B vectors) ≈ 160 k rows · 64 dims).
   private val SemDecontTau = 0.3
   private val SemDecontProbes = 4
+  private val SemDecontMinK = 10
+
+  /** Corpus-derived codebook size: k = max(10, ⌈√n⌉). */
+  private[operators] def semanticDecontK(e: DataFrame): Long =
+    math.max(SemDecontMinK.toLong,
+      math.ceil(math.sqrt(e.count().toDouble)).toLong)
+
+  /** The k-cell coarse codebook: k seed vectors (vec_id < k — the
+    * `q_kmeans_train` seeding convention) refined by ONE Lloyd
+    * mean-update. The assignment argmax is a map-side-combined
+    * `max(struct(csim, -cl, …))` so the k candidate rows per vector
+    * collapse BEFORE any exchange; the mean-update exchange carries
+    * ≤ k·dim rows regardless of corpus size. Cells that attract no
+    * vectors simply drop out — both engines agree by construction.
+    */
+  /** Materialize a (cl, cvec) codebook frame as driver-side sorted
+    * arrays for the [[VectorFunctions.topCells]] kernel. Bounded by
+    * construction (k = ⌈√n⌉), the same size class as a broadcast —
+    * the only mid-plan actions in the semantic pass are this and the
+    * corpus count, both k/1-row sized.
+    */
+  private def collectCodebook(cb: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = cb.select(col("cl"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  private[operators] def semanticDecontCodebook(e: DataFrame, k: Long): DataFrame = {
+    val seedRows = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    // nearest-seed assignment as ONE kernel call per row — no candidate
+    // row ever exists, let alone shuffles; the only exchange in the
+    // whole training step is the mean-update's ≤ k·dim rows.
+    val a0 = e.select(
+      element_at(VectorFunctions.topCells(col("embedding"),
+        seedRows.map(_._1), seedRows.map(_._2), 1), 1).as("cl"),
+      col("embedding"))
+    ScalePatterns.meanCentroids(a0, col("cl"), col("embedding"), "cl")
+  }
 
   /** Distinct (train vec, bench vec, sim ≥ τ) hit pairs at a given
     * probe count — exposed for the spec's recall/subset pinning
-    * (probes = k recovers the exact all-pairs compare).
+    * (probes ≥ k recovers the exact all-pairs compare: topCells clamps
+    * the probe count at k, so every cell is probed).
     */
   private[operators] def semanticDecontHits(e: DataFrame, probes: Int): DataFrame = {
-    val cb = ScalePatterns.meanCentroids(e, col("label"), col("embedding"), "cl")
-      .select(col("cl"), col("cvec"))
-    val ranked = e.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("embedding"), col("cl"),
-        round(VectorFunctions.cosineHof(col("embedding"), col("cvec")), 4).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cl"))))
-    val bench = ranked.filter(col("vec_id") % 13 === 0 && col("rn") === 1)
-      .select(col("cl"), col("vec_id").as("bench_id"), col("embedding").as("bv"))
-    ranked.filter(col("vec_id") % 13 =!= 0 && col("rn") <= probes)
-      .select(col("cl"), col("vec_id"), col("embedding"))
+    val (cellIds, cells) = collectCodebook(
+      semanticDecontCodebook(e, semanticDecontK(e)))
+    val ranked = e.select(col("vec_id"), col("embedding"),
+      VectorFunctions.topCells(col("embedding"), cellIds, cells, probes).as("cls"))
+    val bench = ranked.filter(col("vec_id") % 13 === 0)
+      .select(element_at(col("cls"), 1).as("cl"),
+        col("vec_id").as("bench_id"), col("embedding").as("bv"))
+    ranked.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"), col("embedding"), explode(col("cls")).as("cl"))
       .join(bench, Seq("cl"))
       .withColumn("sim", round(VectorFunctions.cosine(col("embedding"), col("bv")), 4))
       .filter(col("sim") >= SemDecontTau)
@@ -345,14 +395,26 @@ object QualityFilters {
   }
 
   private val decontaminateSemanticSql =
-    s"""WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH el AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |kk AS (
+       |  SELECT greatest($SemDecontMinK, cast(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM el),
+       |seeds AS (
+       |  SELECT vec_id AS cl, v AS cv FROM el WHERE vec_id < (SELECT k FROM kk)),
+       |a0 AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT el.vec_id, s.cl,
+       |      row_number() OVER (PARTITION BY el.vec_id
+       |        ORDER BY round(list_cosine_similarity(el.v, s.cv), 4) DESC, s.cl) AS rn
+       |    FROM el CROSS JOIN seeds s) t
+       |  WHERE rn = 1),
        |cen AS (
-       |  SELECT label AS cl, list(c ORDER BY pos) AS cv FROM (
-       |    SELECT label, pos, round(avg(v[pos]), 6) AS c
-       |    FROM el CROSS JOIN
+       |  SELECT cl, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT a0.cl, pos, round(avg(el.v[pos]), 6) AS c
+       |    FROM a0 JOIN el USING (vec_id) CROSS JOIN
        |      (SELECT unnest(generate_series(1, 64)) AS pos) g
-       |    GROUP BY label, pos)
-       |  GROUP BY label),
+       |    GROUP BY a0.cl, pos)
+       |  GROUP BY cl),
        |ranked AS (
        |  SELECT el.vec_id, el.v, cen.cl,
        |    row_number() OVER (PARTITION BY el.vec_id

@@ -144,7 +144,12 @@ class SelectionSamplingSpec extends SparkSpec {
 
   test("multi-probe semantic decontamination: subset of exact, recall above the measured floor") {
     val e = Tables.embeddings(spark, Sf01)
-    val k = e.select("label").distinct().count().toInt
+    // The codebook is corpus-sized now (k = max(10, ceil(sqrt n))) —
+    // the fixed-k quadratic-at-scale defect round 8 flagged. k comes
+    // from the codebook itself (empty seed cells drop out).
+    val k = QualityFilters
+      .semanticDecontCodebook(e, QualityFilters.semanticDecontK(e))
+      .count().toInt
     def hitSet(p: Int) = QualityFilters.semanticDecontHits(e, p)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val probed = hitSet(4)
@@ -153,7 +158,11 @@ class SelectionSamplingSpec extends SparkSpec {
     val exact = hitSet(k)
     assert(probed.subsetOf(exact), "probed hits not a subset of the exact compare")
     val recall = probed.size.toDouble / exact.size
-    assert(recall >= 0.5,
+    // Measured: P=4 of the ~sqrt(n)-cell codebook on this corpus.
+    // Finer cells than the old 10-label codebook concentrate true
+    // tau=0.3 neighbors less per cell, so the per-probe floor is lower
+    // than the old 10-cell 58% — the production recall knob is nprobe.
+    assert(recall >= 0.3,
       s"P=4 recall $recall below the measured floor (${probed.size}/${exact.size})")
     assert(recall < 1.0, "P=4 unexpectedly exhaustive — blocking is not blocking")
   }
