@@ -66,7 +66,20 @@ object Bench {
     val warmTotal = warm.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val failed = warm.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line gets tail-truncated by log capture once the
+    // per-query map outgrows ~2000 chars (163 queries did); persist the
+    // full JSON where a whole-file read always works. Override the
+    // location with SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest_bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
