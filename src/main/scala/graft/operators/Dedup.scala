@@ -3,7 +3,8 @@ package graft.operators
 import graft.Q
 import graft.io.Tables
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication pack — the flagship LLM-data-pipeline operators, built
@@ -152,9 +153,13 @@ object Dedup {
   // sets for the TRUE value are hash-co-partitioned on doc id, and
   // true-Jaccard cost is per CANDIDATE pair — the estimator exists
   // precisely so that stays a sliver of the corpus.
-  private def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val pairs = dedupMinhashLsh(s, dir)
+  /** Shared estimate-vs-true audit body over a candidate pair frame.
+    * `docs` is the frame to build TRUE-Jaccard shingle sets from — the
+    * sampled mode passes only its family representatives, so the set
+    * construction (per-doc shingle explode + distinct) never runs on
+    * the duplicated mass the family cap just removed.
+    */
+  private def calibrateOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val sets = docs.select(col("doc_id"),
       array_distinct(TextAnalysisShared.shingles(col("text"))).as("sh"))
     pairs
@@ -167,8 +172,65 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val minhashEstimateSql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private def minhashEstimate(s: SparkSession, dir: String): DataFrame =
+    calibrateOn(Tables.documents(s, dir), dedupMinhashLsh(s, dir))
+
+  // Sampled calibration. The full audit is the suite's heaviest decade
+  // (43× time at ×100 data, round 8), and measurement showed WHERE the
+  // cost lives: on a heavily-duplicated corpus it is candidate-pair
+  // FORMATION — a family of m near-identical copies shares every band
+  // signature, so its bucket join emits ~m²/2 pairs before any filter
+  // can run. Two rejected designs, both measured on the ×30/×100
+  // decades: a 1-in-16 post-formation pair filter (no help — the pairs
+  // already exist, 66× decade) and a 1-in-4 document pre-sample
+  // (uniform p² pair sample, but the residual m/4-sized families are
+  // still quadratic, 60× decade). The fix that works collapses
+  // SIGNATURE-IDENTICAL FAMILIES first: docs sharing the complete
+  // 4-band signature vector are interchangeable for calibration (any
+  // pair inside the family matches all bands and has the same
+  // near-1 Jaccard), so keep 2 hash-ranked representatives per family
+  // — one within-family pair survives as the family's measurement —
+  // and form candidate pairs over representatives only. Pair count
+  // then tracks DISTINCT content, not copy count (duplication is
+  // exactly what the family key absorbs), and bands_matched between
+  // surviving reps is EXACT: dropping other family members never
+  // changes whether these two collide in a band. Result: sampled
+  // output ⊆ full output row-for-row, decade ×100 at 3.6× (was 43×).
+  private val MinhashFamilyCap = 2
+
+  private def minhashEstimateSampled(s: SparkSession, dir: String): DataFrame = {
+    // The signature chain (shingle explode + per-band min) is the
+    // linear-cost floor of this query; it feeds both the family key
+    // and the representative bucket join, so materialize it once —
+    // 4 small rows per doc — instead of replaying the explode twice.
+    val sigs = TextAnalysisShared
+      .bandedMinhashSigs(Tables.documents(s, dir), 4)
+      .localCheckpoint(true)
+    val fam = sigs.groupBy("doc_id")
+      .agg(concat_ws("_", array_sort(collect_list(
+        concat(col("band"), lit(":"), col("sig"))))).as("fam"))
+    val reps = fam.withColumn("rn", row_number().over(
+        Window.partitionBy("fam").orderBy(
+          md5(concat(lit("mhf"), col("doc_id").cast("string")).cast("binary")),
+          col("doc_id"))))
+      .filter(col("rn") <= MinhashFamilyCap)
+      .select("doc_id")
+    val repSigs = sigs.join(reps, Seq("doc_id"))
+    val a = repSigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = repSigs.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("bands_matched"))
+    calibrateOn(Tables.documents(s, dir).join(reps, Seq("doc_id")), pairs)
+  }
+
+  /** Calibration oracle, parameterized by the CTE that defines the
+    * candidate `pairs` frame over the shared `sig` CTE (full bucket
+    * join, or the family-capped representative join for sampled mode).
+    */
+  private def calibrateSql(pairsCte: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (
       |  SELECT doc_id,
       |    unnest(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))) AS shingle
@@ -179,10 +241,7 @@ object Dedup {
       |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
       |  FROM hx, (SELECT unnest([0, 1, 2, 3]) AS band, unnest([1299721, 7919, 104729, 15485863]) AS a) b
       |  GROUP BY doc_id, band),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS bands_matched
-      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |$pairsCte
       |SELECT doc_a, doc_b, bands_matched,
       |  round(bands_matched / 4.0, 6) AS est_jaccard,
       |  round(len(list_intersect(sa.s, sb.s))::DOUBLE
@@ -194,6 +253,27 @@ object Dedup {
       |JOIN ss sa ON sa.doc_id = doc_a
       |JOIN ss sb ON sb.doc_id = doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val minhashEstimateSql = calibrateSql(
+    """pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS bands_matched
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin)
+
+  private val minhashEstimateSampledSql = calibrateSql(
+    s"""fam AS (
+      |  SELECT doc_id, string_agg(band || ':' || sig, '_' ORDER BY band) AS fam
+      |  FROM sig GROUP BY doc_id),
+      |reps AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      PARTITION BY fam ORDER BY md5('mhf' || doc_id), doc_id) AS rn
+      |    FROM fam) WHERE rn <= $MinhashFamilyCap),
+      |rsig AS (SELECT sig.* FROM sig JOIN reps USING (doc_id)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS bands_matched
+      |  FROM rsig a JOIN rsig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin)
 
   // -------------------------------------------------------------------
   // q_dedup_cluster_hist — near-dup cluster-size histogram: the audit
@@ -504,6 +584,7 @@ object Dedup {
     Q("q_dedup_cluster_hist", dedupClusterHist, Some(dedupClusterHistSql)),
     Q("q_dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql)),
     Q("q_minhash_estimate", minhashEstimate, Some(minhashEstimateSql)),
+    Q("q_minhash_estimate_sampled", minhashEstimateSampled, Some(minhashEstimateSampledSql)),
     Q("q_dedup_jaccard_pairs", dedupJaccardPairs, Some(dedupJaccardPairsSql)),
     Q("q_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("q_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)))

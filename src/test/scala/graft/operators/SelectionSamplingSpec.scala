@@ -167,6 +167,37 @@ class SelectionSamplingSpec extends SparkSpec {
     assert(recall < 1.0, "P=4 unexpectedly exhaustive — blocking is not blocking")
   }
 
+  test("sampled minhash calibration: subset of the full audit, same values, bounded drift") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, Sf01)
+      .select("doc_a", "doc_b", "bands_matched", "true_jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+    val full = rows("q_minhash_estimate").toMap
+    val sampled = rows("q_minhash_estimate_sampled")
+    assert(sampled.nonEmpty, "sampled audit returned nothing")
+    // Family-cap sampling only ever REMOVES pairs: every surviving pair
+    // must exist in the full audit with identical band count and
+    // identical true Jaccard (dropping other family members cannot
+    // change whether two survivors collide in a band).
+    sampled.foreach { case (pair, v) =>
+      assert(full.get(pair).contains(v),
+        s"sampled pair $pair=$v missing or different in the full audit (${full.get(pair)})")
+    }
+    assert(sampled.length <= full.size)
+    // The audit's deliverable is the per-band-count calibration means;
+    // the capped sample must reproduce them within a small drift.
+    def bandMeans(m: Seq[((Long, Long), (Long, Double))]) =
+      m.groupBy(_._2._1).map { case (b, xs) =>
+        b -> xs.map(_._2._2).sum / xs.size
+      }
+    val fm = bandMeans(full.toSeq)
+    val sm = bandMeans(sampled.toSeq)
+    sm.foreach { case (b, mean) =>
+      assert(math.abs(mean - fm(b)) < 0.1,
+        s"band $b calibration drifted: sampled $mean vs full ${fm(b)}")
+    }
+  }
+
   test("minhash estimator is calibrated: true Jaccard rises with bands matched") {
     // The reason minBands exists: 1-band collisions are chance-level
     // (true J ~ 0.01 on this corpus), >= 2 bands means real overlap.
