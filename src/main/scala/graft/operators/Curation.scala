@@ -280,6 +280,66 @@ object Curation {
        |FROM e CROSS JOIN t ORDER BY e.source""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_doremi_resample — the DoReMi loop CLOSED: the learned mixture
+  // weights feed the deterministic fractional-copy resampler
+  // (q_mixture_resample's machinery, 'dmx'-salted), so the output IS
+  // the reweighted training corpus — each source's documents emitted
+  // round(weight x corpus / n_source)-ish times via integer
+  // rate_pct = per-doc copies x 100, fractional copies decided by a
+  // per-doc hash bucket. Hard sources (high excess LM loss) upsample,
+  // easy sources thin out; docs in a sub-1x source with an unlucky
+  // bucket drop entirely. Scale shape: the weights frame is
+  // sources-sized (broadcast); the corpus is touched once, no shuffle
+  // beyond the LM chain it inherits.
+  private def doremiResample(s: SparkSession, dir: String): DataFrame = {
+    val w = doremiWeights(s, dir).select(col("source"), col("n_docs"), col("weight"))
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_total"))
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(concat('dmx', cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint) % 100")
+    Tables.documents(s, dir).select("doc_id", "source")
+      .join(broadcast(w), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("w_pm", expr("cast(round(weight * 1000) as bigint)"))
+      .withColumn("rate_pct", expr("(((n_total * w_pm) div 1000) * 100) div n_docs"))
+      .withColumn("bucket", bucket)
+      .withColumn("n_copies",
+        expr("rate_pct div 100 + (case when bucket < rate_pct % 100 then 1L else 0L end)"))
+      .withColumn("copy_no",
+        explode(when(col("n_copies") >= 1L, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))))
+      .select("doc_id", "source", "rate_pct", "copy_no")
+      .orderBy("doc_id", "copy_no")
+  }
+
+  private val doremiResampleSql =
+    s"""$lmScoredCte,
+       |ps AS (
+       |  SELECT d.source, count(*)::BIGINT AS n_docs,
+       |    round(avg(sc.xent), 6) AS mean_xent
+       |  FROM sc JOIN documents d USING (doc_id) GROUP BY 1),
+       |b AS (SELECT min(mean_xent) AS min_xent FROM ps),
+       |e AS (SELECT ps.*, exp((mean_xent - b.min_xent) / $DoremiT) AS e
+       |      FROM ps CROSS JOIN b),
+       |t AS (SELECT sum(e) AS te FROM e),
+       |w AS (SELECT e.source, e.n_docs, round(e.e / t.te, 4) AS weight
+       |      FROM e CROSS JOIN t),
+       |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+       |r AS (
+       |  SELECT d.doc_id, d.source,
+       |    ((((tot.n_total * cast(round(w.weight * 1000) AS BIGINT)) // 1000) * 100)
+       |      // w.n_docs)::BIGINT AS rate_pct,
+       |    (('0x' || substr(md5('dmx' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 100) AS bucket
+       |  FROM documents d JOIN w USING (source) CROSS JOIN tot),
+       |x AS (
+       |  SELECT doc_id, source, rate_pct,
+       |    (rate_pct // 100
+       |      + CASE WHEN bucket < rate_pct % 100 THEN 1 ELSE 0 END)::BIGINT AS n_copies
+       |  FROM r)
+       |SELECT doc_id, source, rate_pct,
+       |  unnest(generate_series(1, n_copies))::BIGINT AS copy_no
+       |FROM x ORDER BY doc_id, copy_no""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_lm_filter — the end-to-end quality cut: keep documents at or
   // below the corpus p75 cross-entropy (the fluent three quarters).
   // Operates on the scored (≥ 1 bigram) corpus — see lmScored's
@@ -841,6 +901,7 @@ object Curation {
     Q("q_lm_quality", lmQuality, Some(lmQualitySql)),
     Q("q_lm_kneser_ney", lmKneserNey, Some(lmKneserNeySql)),
     Q("q_doremi_weights", doremiWeights, Some(doremiWeightsSql)),
+    Q("q_doremi_resample", doremiResample, Some(doremiResampleSql)),
     Q("q_lm_filter", lmFilter, Some(lmFilterSql)),
     Q("q_lm_filter_approx", lmFilterApprox, Some(lmFilterApproxSql)),
     Q("q_ppl_buckets", pplBuckets, Some(pplBucketsSql)),

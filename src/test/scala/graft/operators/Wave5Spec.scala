@@ -288,4 +288,38 @@ class Wave5Spec extends SparkSpec {
       && !plan.contains("ObjectHashAggregate"),
       "repetition signals are per-doc folds; an aggregate means a gram shuffle returned")
   }
+
+  test("doremi loop closure: resample realizes the learned mixture weights") {
+    val weights = run("q_doremi_weights")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap // source -> (n_docs, mean_xent, weight)
+    val out = run("q_doremi_resample")
+    val copies = out.groupBy(_.getString(1)).map { case (src, rows) =>
+      src -> rows.length.toLong
+    }
+    val total = graft.io.Tables.documents(spark, Sf).count()
+    // Every source with a positive integer rate appears; realized copy
+    // counts track weight * corpus within the per-doc rounding slack
+    // (each doc rounds its fractional copy by one hash bucket, so the
+    // source-level error is bounded by its doc count's worth of
+    // bucket noise — use a generous 20% + 2 band).
+    copies.foreach { case (src, n) =>
+      val target = weights(src)._3 * total
+      // Integer floors in rate_pct bias small sources low; the band is
+      // rounding slack, not a precision claim.
+      assert(math.abs(n - target) <= math.max(5.0, 0.3 * target),
+        s"$src realized $n copies vs target ~$target")
+    }
+    // The loop's point: the hardest source (max mean_xent) must be
+    // upsampled RELATIVE to its corpus share more than the easiest.
+    val hardest = weights.maxBy(_._2._2)._1
+    val easiest = weights.minBy(_._2._2)._1
+    def epochs(src: String) = copies.getOrElse(src, 0L).toDouble / weights(src)._1
+    assert(epochs(hardest) > epochs(easiest),
+      s"hardest $hardest epochs ${epochs(hardest)} not above easiest $easiest ${epochs(easiest)}")
+    // Total output stays near the corpus budget (sum of weights = 1).
+    val outTotal = out.length.toLong
+    assert(math.abs(outTotal - total) <= 0.1 * total,
+      s"resampled corpus $outTotal drifted from budget $total")
+  }
 }
