@@ -99,6 +99,38 @@ object TextHashWorker {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** Per-band MinHash signatures in ONE pass over the doc's 3-token
+    * shingles: x = 60-bit md5 prefix mod P per shingle (digested once),
+    * sig_b = min over shingles of (x*A(b) + b) mod P — the exact values
+    * the explode + groupBy formulation computes, per row, with no
+    * shingle row ever existing. Null when the doc has < 3 tokens (the
+    * explode form emits no row for such docs; callers filter nulls to
+    * preserve that absence).
+    */
+  def minhashSigs(text: String, as: Array[Long], p: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(" ", -1)
+    val nh = toks.length - 2
+    if (nh <= 0) return null
+    val nBands = as.length
+    val sigs = new Array[Long](nBands)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nh) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+      val x = java.lang.Long.parseLong(md5Hex(sb.toString).substring(0, 15), 16) % p
+      var b = 0
+      while (b < nBands) {
+        val v = (x * as(b) + b) % p
+        if (v < sigs(b)) sigs(b) = v
+        b += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
   /** 16-bit SimHash over per-token md5 nibbles: for hex position p
     * (1..16), +1 when the nibble's high bit is set, else −1; bit = 1
     * when the sum is ≥ 0. One digest per token, no token ever shuffles.
@@ -135,6 +167,8 @@ final class TextHashBridge extends Serializable {
   def simhash(t: UTF8String): UTF8String = TextHashWorker.simhashBits(t.toString)
   def winnow(t: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.ArrayData =
     TextHashWorker.winnowPrints(t.toString, w)
+  def minhash(t: UTF8String, as: Array[Long], p: Long): org.apache.spark.sql.catalyst.util.ArrayData =
+    TextHashWorker.minhashSigs(t.toString, as, p)
 }
 
 abstract class TextHashExpr extends UnaryExpression {
@@ -186,6 +220,30 @@ case class SimhashBits(child: Expression) extends TextHashExpr {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("textHash", bridge, classOf[TextHashBridge].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.simhash($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Compiled per-band MinHash signature vector (null for < 3 tokens) —
+  * the per-row replacement for the shingle explode + multi-min groupBy
+  * that fed every LSH consumer: at ×100 corpus scale the explode form
+  * pushes ~60 M shingle rows through codegen'd md5 plus an exchange,
+  * this is one projection of one array per doc.
+  */
+case class MinhashSigsExpr(child: Expression, bandMixes: Array[Long], p: Long)
+  extends TextHashExpr {
+  override def prettyName: String = "minhash_sigs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    bridge.minhash(input.asInstanceOf[UTF8String], bandMixes, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textHash", bridge, classOf[TextHashBridge].getName)
+    val mixes = ctx.addReferenceObj("bandMixes", bandMixes, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.minhash($c, $mixes, ${p}L);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -669,14 +669,36 @@ private[graft] object TextAnalysisShared {
   val MinhashA: Seq[Long] =
     Seq(1299721L, 7919L, 104729L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L)
 
-  /** Per-(doc, band) MinHash signatures: min over per-band mixes of the
-    * shingle hash. Explode + one codegen'd md5 per shingle + a single
-    * map-side-combined groupBy whose aggregate computes every band's
-    * min at once — no band explosion ever reaches the shuffle, so the
-    * exchange carries exactly one row per (doc, band) at any corpus
-    * size.
+  /** Per-(doc, band) MinHash signatures via the compiled
+    * [[graft.functions.expressions.MinhashSigsExpr]] kernel: ONE
+    * projection computes every band's min in a single pass over the
+    * doc's shingles, then a narrow posexplode emits the (band, sig)
+    * rows — no shingle row ever exists and NO exchange at all (the
+    * prior explode + groupBy form shuffled one row per (doc, band);
+    * this shuffles nothing). Values are bit-identical to the explode
+    * formulation (same md5-prefix hash, same (x·A+b) mod P mixes,
+    * `DedupSemanticsSpec` pins kernel == explode on the real corpus),
+    * so every oracle downstream is unchanged. Docs with < 3 tokens
+    * yield a null vector and are filtered — the explode form's
+    * absent-row semantics.
     */
   def bandedMinhashSigs(docs: DataFrame, nBands: Int): DataFrame = {
+    require(nBands <= MinhashA.size, s"at most ${MinhashA.size} bands")
+    val sigsCol = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.MinhashSigsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+        MinhashA.take(nBands).toArray, MinhashP))
+    Tables.spread(docs)
+      .select(col("doc_id"), sigsCol.as("sigs"))
+      .filter(col("sigs").isNotNull)
+      .select(col("doc_id"), posexplode(col("sigs")))
+      .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("sig"))
+  }
+
+  /** The pre-kernel explode + multi-min-groupBy formulation, kept as
+    * the parity twin the spec checks the kernel against.
+    */
+  private[operators] def bandedMinhashSigsExploded(docs: DataFrame, nBands: Int): DataFrame = {
     require(nBands <= MinhashA.size, s"at most ${MinhashA.size} bands")
     val hashed = Tables.spread(docs)
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))

@@ -61,4 +61,26 @@ class DedupSemanticsSpec extends SparkSpec {
       .select("qid", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
+
+  test("compiled minhash signature kernel equals the explode+groupBy formulation") {
+    // The kernel replaced the shingle explode + multi-min groupBy in
+    // bandedMinhashSigs; every LSH consumer inherits it, so the values
+    // must be bit-identical on the real corpus — including absent rows
+    // for sub-3-token docs.
+    val docs = graft.io.Tables.documents(spark,
+      "/root/testdata/sf0.01")
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kernel = sigSet(TextAnalysisShared.bandedMinhashSigs(docs, 4))
+    val exploded = sigSet(TextAnalysisShared.bandedMinhashSigsExploded(docs, 4))
+    assert(kernel == exploded,
+      s"kernel diverged: ${(kernel diff exploded).take(3)} vs ${(exploded diff kernel).take(3)}")
+    assert(kernel.nonEmpty)
+    // Null-vector semantics: a doc below the shingle threshold is
+    // absent, not zero-filled.
+    import spark.implicits._
+    val tiny = Seq((1L, "only two"), (2L, "three token doc")).toDF("doc_id", "text")
+    val t = sigSet(TextAnalysisShared.bandedMinhashSigs(tiny, 4))
+    assert(t.map(_._1) == Set(2L))
+  }
 }
