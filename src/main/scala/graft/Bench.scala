@@ -20,17 +20,21 @@ object Bench {
     // override (SPARK_GRAFT_SHUFFLE) the way a cluster job would size
     // partitions with the data rather than pinning them at 1× scale.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen/parquet-reader paths once so the first
-    // measured query doesn't absorb session startup.
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // Warm up the JVM/codegen/parquet-reader paths once so the first
+      // measured query doesn't absorb session startup.
+      s.range(1000000).selectExpr("sum(id)").collect()
+      s.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+      s
+    }
+    var spark = newSession()
 
     // Execute the query's OWN physical plan and count its InternalRows.
     // A DataFrame .count() would instead optimize a count-rewritten
@@ -46,6 +50,16 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: " + e.getMessage)
+        // If the failure took the SparkContext down with it (an OOM on
+        // an oversized run did exactly this once: every later query
+        // "failed" in milliseconds against a dead context), rebuild the
+        // session so one query's crash can't poison the rest of the
+        // sweep's measurements.
+        if (spark.sparkContext.isStopped) {
+          System.err.println(s"[bench] SparkContext died during $name - restarting session")
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          spark = newSession()
+        }
         // A failed query reports -1.0 so it cannot hide inside a
         // healthy-looking total.
         -1.0

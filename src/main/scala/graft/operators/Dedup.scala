@@ -93,9 +93,19 @@ object Dedup {
   // blocked similarity self-join. Block-local pairs only.
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    // The label domain is ~10 values, so joining on label alone hashes
+    // the whole corpus onto ~10 shuffle keys and each label's quadratic
+    // pair scan serializes into one task. Salt the `a` side by
+    // hash(vec_a) and replicate `b` once per salt: every (a, b) pair
+    // still meets in exactly one (label, salt) partition — identical
+    // pair set, label-count × salts tasks. (Same pattern as
+    // Selection.semanticDedup's PairSalts.)
+    val salts = 16
     val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+      .withColumn("salt", pmod(hash(col("vec_a")), lit(salts)))
     val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
-    a.join(b, Seq("label"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    a.join(b, Seq("label", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= 0.3)

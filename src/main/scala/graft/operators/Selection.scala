@@ -317,6 +317,19 @@ object Selection {
       .select(col("vec_id"), (-col("m.ncl")).as("cluster"),
         col("m.csim").as("csim"), col("m.embedding").as("embedding"))
 
+  /** Salt count for the cluster-local pair join. The join key proper is
+    * the cluster id and there are only k clusters — few BY DESIGN (k
+    * bounds cell membership, not cell count) — so an unsalted pair join
+    * hashes the whole corpus onto k shuffle keys and each cluster's
+    * quadratic pair scan serializes into ONE task (measured: 10 busy
+    * partitions out of 64, 68 s at ×30). Salting the anchor side by
+    * hash(vec_id) and replicating the other side once per salt spreads
+    * every cluster across k·S tasks; each (anchor, other) pair still
+    * meets in exactly one (cluster, salt) partition, so the pair set —
+    * and the oracle result — is unchanged.
+    */
+  private val PairSalts = 16
+
   private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val asg = assigned(Tables.embeddings(s, dir))
     // A member is dropped when a same-cluster near-identical member
@@ -324,10 +337,14 @@ object Selection {
     // (strictly lower csim, id as the tie-break) — so each duplicate
     // neighborhood keeps exactly its (csim, id)-minimal member, the
     // diversity-preserving choice. Cluster-local pairs only: the join
-    // key is the cluster id, never a corpus-wide cross.
+    // key is the cluster id, never a corpus-wide cross (salted: see
+    // [[PairSalts]]).
     val other = asg.select(col("cluster"), col("vec_id").as("o_id"),
       col("csim").as("o_csim"), col("embedding").as("o_emb"))
-    val dropped = asg.join(other, Seq("cluster"))
+      .withColumn("salt", explode(sequence(lit(0), lit(PairSalts - 1))))
+    val dropped = asg
+      .withColumn("salt", pmod(hash(col("vec_id")), lit(PairSalts)))
+      .join(other, Seq("cluster", "salt"))
       .filter(col("o_id") =!= col("vec_id"))
       .filter(round(VectorFunctions.cosine(col("embedding"), col("o_emb")), 4) >= SemTau)
       .filter(col("o_csim") < col("csim") ||
