@@ -1,9 +1,9 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared per-row md5 text kernels (the fingerprint/simhash hot paths):
@@ -131,6 +131,87 @@ object TextHashWorker {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
 
+  /** 60-bit md5 hash per n-token span, one entry per start position in
+    * document order — the compiled twin of `transform(ngrams(text, n),
+    * hash64)`, so values are bit-identical to the oracles'
+    * `('0x' || substr(md5(span), 1, 15))::BIGINT`. `distinct = true`
+    * collapses repeats in first-seen order (the per-doc set the dup
+    * audit counts), which lets callers explode an already-distinct
+    * array instead of paying a corpus-wide `.distinct()` exchange.
+    * Empty array when the doc has < n tokens (the HOF twin emits an
+    * empty array there too, so explode drops the doc either way).
+    */
+  def spanHashes(text: String, n: Int, distinct: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val sb = new java.lang.StringBuilder
+    def hashAt(i: Int): Long = {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      java.lang.Long.parseLong(md5Hex(sb.toString).substring(0, 15), 16)
+    }
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < m) { seen.add(hashAt(i)); i += 1 }
+      val arr = new Array[Long](seen.size)
+      val it = seen.iterator
+      var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    } else {
+      val arr = new Array[Long](m)
+      var i = 0
+      while (i < m) { arr(i) = hashAt(i); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+  }
+
+  /** Substring-scrub worker (the removal leg of the duplicated-span
+    * audit): given a doc's text and the 1-based start positions of its
+    * cross-document-duplicated n-token spans, one linear sweep computes
+    * [n_toks, n_removed] and the surviving tokens re-joined in position
+    * order — the per-doc replacement for exploding every token into a
+    * (doc_id, pos) row and joining against an exploded covered-position
+    * set. Starts arrive in collect_list (shuffle) order; sorted here,
+    * then coverage is a two-pointer sweep: a position is covered when
+    * some start ≤ pos has start + n - 1 ≥ pos.
+    */
+  def spanScrub(text: String, startsIn: Array[Long], n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.split(" ", -1)
+    val starts = startsIn.clone()
+    java.util.Arrays.sort(starts)
+    val sb = new java.lang.StringBuilder
+    var removed = 0L
+    var j = 0
+    var end = 0L
+    var first = true
+    var pos = 1
+    while (pos <= toks.length) {
+      while (j < starts.length && starts(j) <= pos) {
+        val e = starts(j) + (n - 1)
+        if (e > end) end = e
+        j += 1
+      }
+      if (pos <= end) removed += 1
+      else {
+        if (!first) sb.append(' ')
+        sb.append(toks(pos - 1))
+        first = false
+      }
+      pos += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, removed, UTF8String.fromString(sb.toString)))
+  }
+
   /** 16-bit SimHash over per-token md5 nibbles: for hex position p
     * (1..16), +1 when the nibble's high bit is set, else −1; bit = 1
     * when the sum is ≥ 0. One digest per token, no token ever shuffles.
@@ -169,6 +250,10 @@ final class TextHashBridge extends Serializable {
     TextHashWorker.winnowPrints(t.toString, w)
   def minhash(t: UTF8String, as: Array[Long], p: Long): org.apache.spark.sql.catalyst.util.ArrayData =
     TextHashWorker.minhashSigs(t.toString, as, p)
+  def spanHashes(t: UTF8String, n: Int, distinct: Boolean): org.apache.spark.sql.catalyst.util.ArrayData =
+    TextHashWorker.spanHashes(t.toString, n, distinct)
+  def spanScrub(t: UTF8String, starts: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow =
+    TextHashWorker.spanScrub(t.toString, starts.toLongArray(), n)
 }
 
 abstract class TextHashExpr extends UnaryExpression {
@@ -247,4 +332,53 @@ case class MinhashSigsExpr(child: Expression, bandMixes: Array[Long], p: Long)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Compiled n-token span hash array (optionally per-doc distinct) — one
+  * md5 pass per document replacing the `transform(ngrams(·), hash64)`
+  * HOF chain that materialized every span string as a Catalyst array
+  * element before hashing it.
+  */
+case class SpanHashesExpr(child: Expression, n: Int, distinct: Boolean)
+  extends TextHashExpr {
+  override def prettyName: String = "span_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    bridge.spanHashes(input.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textHash", bridge, classOf[TextHashBridge].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.spanHashes($c, $n, $distinct);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Compiled substring scrub: (text, dup-span starts) →
+  * struct(n_toks, n_removed, clean_text) in one linear sweep per
+  * document — the per-doc replacement for the token-level
+  * posexplode + (doc_id, pos) join + array_sort(collect_list(struct))
+  * rebuild, whose exchanges carried one row per TOKEN of the corpus.
+  */
+case class SpanScrubExpr(left: Expression, right: Expression, n: Int)
+  extends BinaryExpression {
+  override def prettyName: String = "span_scrub"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<bigint>), got (${l.catalogString}, ${r.catalogString})")
+  }
+  @transient private lazy val bridge = new TextHashBridge
+  override def nullSafeEval(t: Any, s: Any): Any =
+    bridge.spanScrub(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textHash", bridge, classOf[TextHashBridge].getName)
+    nullSafeCodeGen(ctx, ev, (t, s) => s"${ev.value} = $ref.spanScrub($t, $s, $n);")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -6,6 +6,7 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 
 /** Corpus-curation pack beyond the reference — the remaining operations
   * a 100 TB pretraining pipeline runs between raw dedup and training:
@@ -527,14 +528,22 @@ object Curation {
   // first groupBy.
   private val SpanTokens = 8
 
-  private def spanHashes(textCol: Column): Column =
-    transform(TextAnalysisShared.ngrams(textCol, SpanTokens),
-      s => TextAnalysisShared.hash64(s))
+  /** Compiled span-hash array for one document; `distinct = true` is
+    * per-doc first-seen distinct, so exploding it yields the distinct
+    * (doc_id, h) set WITHOUT a corpus-wide `.distinct()` exchange.
+    * Values are the same 60-bit md5 prefixes the HOF form and the
+    * DuckDB oracles compute.
+    */
+  private def spanHashes(textCol: Column, distinct: Boolean): Column =
+    ExpressionUtils.column(graft.functions.expressions.SpanHashesExpr(
+      ExpressionUtils.expression(textCol), SpanTokens, distinct))
 
   private def spanDedup(s: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(spanHashes(col("text"))).as("h"))
-      .distinct() // a span repeated INSIDE one doc counts once
+    // Per-doc-distinct span hashes from the kernel: the explode output
+    // IS the distinct (doc_id, h) set, so the old post-explode
+    // .distinct() exchange (one row per span occurrence) is gone.
+    val sp = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(spanHashes(col("text"), distinct = true)).as("h"))
     val dup = sp.groupBy("h").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
     sp.join(dup, Seq("h"), "left")
@@ -576,37 +585,37 @@ object Curation {
   // occurrences only, and the rebuild is one per-doc aggregate whose
   // collect_list is bounded by document length, never corpus size.
   private def spanScrub(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     // Every span occurrence WITH its 1-based start position (the audit
     // query distincts these away; removal needs each occurrence).
-    val sp = Tables.spread(docs)
-      .select(col("doc_id"), posexplode(spanHashes(col("text"))).as(Seq("p", "h")))
+    val sp = docs
+      .select(col("doc_id"), posexplode(spanHashes(col("text"), distinct = false)).as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("start"), col("h"))
-    val dup = sp.select("doc_id", "h").distinct()
+    // Dup detection from the per-doc-distinct kernel arrays — the
+    // distinct (doc_id, h) set exists at explode time, no exchange.
+    val dup = docs
+      .select(col("doc_id"), explode(spanHashes(col("text"), distinct = true)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2).select("h")
-    val covered = sp.join(dup, Seq("h"))
+    // One row per doc: the start positions of its duplicated spans
+    // (bounded by the doc's own span count, never corpus size). The
+    // scrub itself is then a per-doc compiled sweep — the former
+    // token-level (doc_id, pos) join + covered-position explode
+    // shuffled one row per TOKEN (plus ×8 covered fanout); these
+    // exchanges carried the whole corpus and are gone.
+    val dupStarts = sp.join(dup, Seq("h"))
+      .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
+    docs.join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + lit(SpanTokens - 1))).as("pos"))
-      .distinct()
-      .withColumn("cov", lit(1))
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
-      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("tok"))
-    toks.join(covered, Seq("doc_id", "pos"), "left")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_toks"),
-        count(col("cov")).as("n_removed"),
-        // Surviving tokens reassembled in position order: collect_list
-        // skips the nulls the `when` leaves on covered positions, and
-        // array_sort on (pos, tok) structs restores document order
-        // regardless of shuffle arrival order.
-        concat_ws(" ",
-          transform(
-            array_sort(collect_list(when(col("cov").isNull,
-              struct(col("pos"), col("tok"))))),
-            x => x.getField("tok"))).as("clean_text"))
+        ExpressionUtils.column(graft.functions.expressions.SpanScrubExpr(
+          ExpressionUtils.expression(col("text")),
+          ExpressionUtils.expression(
+            coalesce(col("starts"), array().cast("array<long>"))),
+          SpanTokens)).as("r"))
+      .select(col("doc_id"),
+        col("r.n_toks").as("n_toks"),
+        col("r.n_removed").as("n_removed"),
+        col("r.clean_text").as("clean_text"))
       .orderBy("doc_id")
   }
 
