@@ -65,6 +65,44 @@ object KernelProps extends Properties("compiled-kernels") {
       Prop(got == expected) :| s"text='$text' got=$got exp=$expected"
     }
 
+  property("minhash sigs == brute-force per-band min over mixed hashes") =
+    Prop.forAll(textGen, Gen.listOfN(4, Gen.choose(1L, 1000000L)), Gen.oneOf(2147483647L, 1000000007L)) {
+      (text, mixes, p) =>
+        val as = mixes.toArray
+        val sh = shingles(text)
+        val expected: Option[Seq[Long]] =
+          if (sh.isEmpty) None
+          else Some(as.indices.map { b =>
+            sh.map(s => ((hash60(s) % p) * as(b) + b) % p).min
+          })
+        val got = Option(TextHashWorker.minhashSigs(text, as, p)).map(_.toLongArray.toSeq)
+        Prop(got == expected) :| s"text='$text' got=$got exp=$expected"
+    }
+
+  property("span hashes == brute-force n-gram md5 prefixes (ordered / distinct)") =
+    Prop.forAll(textGen, Gen.choose(1, 5), Gen.oneOf(false, true)) { (text, n, distinct) =>
+      val toks = text.split(" ", -1)
+      val all =
+        if (toks.length < n) Seq.empty[Long]
+        else (0 to toks.length - n).map(i => hash60(toks.slice(i, i + n).mkString(" ")))
+      val expected = if (distinct) all.distinct else all
+      val got = TextHashWorker.spanHashes(text, n, distinct).toLongArray.toSeq
+      Prop(got == expected) :| s"text='$text' n=$n distinct=$distinct got=$got exp=$expected"
+    }
+
+  property("span scrub == brute-force covered-position removal") =
+    Prop.forAll(textGen, Gen.choose(1, 5), Gen.choose(0, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(1L, 45L)))) { (text, n, starts) =>
+      val toks = text.split(" ", -1)
+      val covered = (1 to toks.length).filter(pos =>
+        starts.exists(s0 => s0 <= pos && pos <= s0 + n - 1)).toSet
+      val kept = (1 to toks.length).filterNot(covered).map(p0 => toks(p0 - 1))
+      val row = TextHashWorker.spanScrub(text, starts.toArray, n)
+      val got = (row.getLong(0), row.getLong(1), row.getUTF8String(2).toString)
+      val expected = (toks.length.toLong, covered.size.toLong, kept.mkString(" "))
+      Prop(got == expected) :| s"text='$text' n=$n starts=$starts got=$got exp=$expected"
+    }
+
   property("gopher stats == brute-force gram counting") =
     Prop.forAll(textGen) { text =>
       val worker = new graft.functions.expressions.GopherRepWorker(
