@@ -159,31 +159,78 @@ object Dedup {
   // calibrated against exactly this histogram by hand in an earlier
   // round — now it's a named, oracle-checked pass instead of a
   // notebook). Scale shape: the pair set comes from the bucket-local
-  // LSH join (never all-pairs); the two text joins that fetch shingle
-  // sets for the TRUE value are hash-co-partitioned on doc id, and
-  // true-Jaccard cost is per CANDIDATE pair — the estimator exists
-  // precisely so that stays a sliver of the corpus.
-  /** Shared estimate-vs-true audit body over a candidate pair frame.
-    * `docs` is the frame to build TRUE-Jaccard shingle sets from — the
-    * sampled mode passes only its family representatives, so the set
-    * construction (per-doc shingle explode + distinct) never runs on
-    * the duplicated mass the family cap just removed.
+  // LSH join (never all-pairs); the TRUE value is computed inside that
+  // join where both docs' shingle-hash sets are co-located (see
+  // [[calibratePairs]]), so set arrays ride only the linear per-doc
+  // signature shuffle, and true-Jaccard COMPUTE is per CANDIDATE
+  // pair — the estimator exists precisely so that stays a sliver of
+  // the corpus.
+  /** Per-doc (band, sig, shingle-hash set) frame for the calibration
+    * audits: ONE kernel projection per document computes every band's
+    * min signature ([[graft.functions.expressions.MinhashSigsExpr]])
+    * AND the distinct 60-bit shingle-hash set
+    * ([[graft.functions.expressions.SpanHashesExpr]], n=3, distinct —
+    * a 3-token shingle IS a 3-token span, and the kernel's
+    * `parseLong(md5hex[0,15), 16)` is exactly the oracles'
+    * `('0x' || substr(md5(shingle), 1, 15))::BIGINT`), then a narrow
+    * posexplode emits the 4 band rows with the set alongside.
     */
-  private def calibrateOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"),
-      array_distinct(TextAnalysisShared.shingles(col("text"))).as("sh"))
-    pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+  private def sigSetFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sigsCol = ColumnBridge.column(
+      graft.functions.expressions.MinhashSigsExpr(
+        ColumnBridge.expression(col("text")),
+        TextAnalysisShared.MinhashA.take(4).toArray, TextAnalysisShared.MinhashP))
+    val shCol = ColumnBridge.column(
+      graft.functions.expressions.SpanHashesExpr(
+        ColumnBridge.expression(col("text")), 3, distinct = true))
+    Tables.spread(docs)
+      .select(col("doc_id"), sigsCol.as("sigs"), shCol.as("sh"))
+      .filter(col("sigs").isNotNull)
+      .select(col("doc_id"), col("sh"), posexplode(col("sigs")))
+      .select(col("doc_id"), col("sh"),
+        col("pos").cast("long").as("band"), col("col").as("sig"))
+  }
+
+  /** Shared estimate-vs-true audit body: bucket-local pair formation
+    * with TRUE Jaccard computed AT THE JOIN, where both docs' sets are
+    * co-located. The previous shape (form (doc_a, doc_b, bands) pairs,
+    * then join each side's set back in) shipped a ~hundred-element
+    * array per CANDIDATE PAIR through two exchanges — on the ×100
+    * upsample (~400 M candidate pairs off ~96 %-near-dup data) that is
+    * hundreds of GB of shuffle spill, measured to literal disk
+    * exhaustion ("no space left on device"). Here the set arrays ride
+    * only the 4-per-doc signature shuffle (linear in the corpus); the
+    * pair-grouping exchange and everything after carry scalars. The
+    * Jaccard is computed once per MATCHING BAND (≤ 4× per pair,
+    * identical value each time — max() picks it deterministically):
+    * redundant compute is the price of never re-shuffling an array,
+    * and it is the cheap side of that trade at every measured decade.
+    * True Jaccard is over the distinct 60-bit shingle-hash sets (the
+    * dedup family's identity notion, same as q_span_dedup's spans) —
+    * equal to string-set Jaccard unless two of a pair's ~10² shingles
+    * collide in 60 bits (p ≈ 10⁻¹⁴); the oracle defines it the same
+    * way, so the contract is identical by construction.
+    */
+  private def calibratePairs(sigSets: DataFrame): DataFrame = {
+    val a = sigSets.select(col("band"), col("sig"),
+      col("doc_id").as("doc_a"), col("sh").as("sa"))
+    val b = sigSets.select(col("band"), col("sig"),
+      col("doc_id").as("doc_b"), col("sh").as("sb"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(TextAnalysisShared.jaccardSets(col("sa"), col("sb")), 6).as("tj"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("bands_matched"), max(col("tj")).as("true_jaccard"))
       .select(col("doc_a"), col("doc_b"), col("bands_matched"),
-        round(col("bands_matched") / 4.0, 6).as("est_jaccard"),
-        round(TextAnalysisShared.jaccardSets(col("sa"), col("sb")), 6).as("true_jaccard"))
+        round(col("bands_matched") / 4.0, 6).as("est_jaccard"), col("true_jaccard"))
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("true_jaccard")), 6))
       .orderBy("doc_a", "doc_b")
   }
 
   private def minhashEstimate(s: SparkSession, dir: String): DataFrame =
-    calibrateOn(Tables.documents(s, dir), dedupMinhashLsh(s, dir))
+    calibratePairs(sigSetFrame(Tables.documents(s, dir)))
 
   // Sampled calibration. The full audit is the suite's heaviest decade
   // (43× time at ×100 data, round 8), and measurement showed WHERE the
@@ -225,14 +272,10 @@ object Dedup {
           col("doc_id"))))
       .filter(col("rn") <= MinhashFamilyCap)
       .select("doc_id")
-    val repSigs = sigs.join(reps, Seq("doc_id"))
-    val a = repSigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = repSigs.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("bands_matched"))
-    calibrateOn(Tables.documents(s, dir).join(reps, Seq("doc_id")), pairs)
+    // Pair formation + true Jaccard over representatives only, through
+    // the same join-local audit body as full mode (the rep kernel pass
+    // re-derives the same signatures the family key was built from).
+    calibratePairs(sigSetFrame(Tables.documents(s, dir).join(reps, Seq("doc_id"))))
   }
 
   /** Calibration oracle, parameterized by the CTE that defines the
@@ -245,7 +288,7 @@ object Dedup {
       |  SELECT doc_id,
       |    unnest(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))) AS shingle
       |  FROM t),
-      |ss AS (SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY 1),
+      |ss AS (SELECT doc_id, list_distinct(list(('0x' || substr(md5(shingle), 1, 15))::BIGINT)) AS s FROM sh GROUP BY 1),
       |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x FROM sh),
       |sig AS (
       |  SELECT doc_id, band, min((x * a + band) % 2147483647) AS sig
