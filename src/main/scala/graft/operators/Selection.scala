@@ -336,24 +336,48 @@ object Selection {
     // (pairwise cosine ≥ τ) exists that is FARTHER from the centroid
     // (strictly lower csim, id as the tie-break) — so each duplicate
     // neighborhood keeps exactly its (csim, id)-minimal member, the
-    // diversity-preserving choice. Cluster-local pairs only: the join
-    // key is the cluster id, never a corpus-wide cross (salted: see
-    // [[PairSalts]]).
-    val other = asg.select(col("cluster"), col("vec_id").as("o_id"),
-      col("csim").as("o_csim"), col("embedding").as("o_emb"))
+    // diversity-preserving choice.
+    //
+    // The drop rule sees a member only through (cluster, csim,
+    // pairwise cosine), and all three are functions of the embedding
+    // ARRAY — members with bit-identical vectors are interchangeable
+    // to every comparison in the rule. So the quadratic stage runs on
+    // one representative per distinct (cluster, vector) FAMILY and the
+    // verdict expands back to members in one linear join: on a corpus
+    // where near-dups are mostly exact copies (the upsampled decades
+    // here; any crawl corpus before exact dedup) that is families²
+    // instead of members² pair work. Per family B the aggregate keeps
+    //   drop_all — ∃ family A, cos ≥ τ, csim_A < csim_B: all of B drops;
+    //   thr — min fmin_A over A with cos ≥ τ, csim_A = csim_B: the
+    //     member tie-break applied at the family floor, b drops iff
+    //     b.id > thr. B's SELF-pair (cos(v,v) ≥ τ barring degenerate
+    //     zero vectors, which the cosine filter keeps faithful) feeds
+    //     thr its own fmin, which is exactly the within-family rule —
+    //     everything above the family's minimal id drops.
+    // Pairs stay cluster-local and salted ([[PairSalts]]) — family
+    // count is corpus-sized when nothing repeats, so the join must
+    // still spread across tasks.
+    val fam = asg.groupBy("cluster", "embedding")
+      .agg(first("csim").as("csim"), min("vec_id").as("fmin"))
+      .localCheckpoint(true) // read 3x: both pair sides + expansion
+    val famA = fam.select(col("cluster"), col("csim").as("a_csim"),
+      col("fmin").as("a_fmin"), col("embedding").as("a_emb"))
       .withColumn("salt", explode(sequence(lit(0), lit(PairSalts - 1))))
-    val dropped = asg
-      .withColumn("salt", pmod(hash(col("vec_id")), lit(PairSalts)))
-      .join(other, Seq("cluster", "salt"))
-      .filter(col("o_id") =!= col("vec_id"))
-      .filter(round(VectorFunctions.cosine(col("embedding"), col("o_emb")), 4) >= SemTau)
-      .filter(col("o_csim") < col("csim") ||
-        (col("o_csim") === col("csim") && col("o_id") < col("vec_id")))
-      .select("vec_id").distinct()
-      .withColumn("is_dropped", lit(1))
-    asg.join(dropped, Seq("vec_id"), "left")
+    val verdicts = fam
+      .withColumn("salt", pmod(hash(col("fmin")), lit(PairSalts)))
+      .join(famA, Seq("cluster", "salt"))
+      .filter(col("a_csim") <= col("csim"))
+      .filter(round(VectorFunctions.cosine(col("embedding"), col("a_emb")), 4) >= SemTau)
+      .groupBy("cluster", "fmin")
+      .agg(
+        max(when(col("a_csim") < col("csim"), lit(1)).otherwise(lit(0))).as("drop_all"),
+        min(when(col("a_csim") === col("csim"), col("a_fmin"))).as("thr"))
+    asg.join(fam.select("cluster", "embedding", "fmin"), Seq("cluster", "embedding"))
+      .join(verdicts, Seq("cluster", "fmin"), "left")
       .select(col("vec_id"), col("cluster"), col("csim"),
-        when(col("is_dropped").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+        when(col("drop_all") === 1 ||
+          (col("thr").isNotNull && col("vec_id") > col("thr")), lit(0))
+          .otherwise(lit(1)).as("kept"))
       .orderBy("vec_id")
   }
 
