@@ -79,11 +79,8 @@ object FlbRunner {
     val json = jsonLine(runs, mode, seed, providerName)
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_FLB_OUT", "bench/latest_flb.json")
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, json + "\n")
-    } catch { case e: Throwable =>
+    try graft.io.ArtifactWriter.writeAtomic(outPath, json + "\n")
+    catch { case e: Throwable =>
       System.err.println(s"[flb] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()

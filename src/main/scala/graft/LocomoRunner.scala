@@ -74,11 +74,8 @@ object LocomoRunner {
     val json = sweepJson(sweep, providerName, topK)
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_LOCOMO_OUT", "bench/latest_locomo.json")
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, json + "\n")
-    } catch { case e: Throwable =>
+    try graft.io.ArtifactWriter.writeAtomic(outPath, json + "\n")
+    catch { case e: Throwable =>
       System.err.println(s"[locomo] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()

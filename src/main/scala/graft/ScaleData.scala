@@ -19,10 +19,21 @@ import org.apache.spark.sql.functions._
   * quadratic in `factor`, and the scaling curve measures the artifact
   * instead of the operator.
   *
-  * Usage: runMain graft.ScaleData <srcDir> <dstDir> [factor=10] [tables-csv]
+  * Usage: runMain graft.ScaleData <srcDir> <dstDir> [factor=10] [tables-csv] [exact]
   * With a tables list, only those fact tables are upsampled; every other
   * table copies verbatim (the dir stays valid for every query, and a
   * ×100 run for one operator family doesn't pay to upsample lineitem).
+  *
+  * A trailing `exact` arg (tables-csv may be `-` for "all") DISABLES
+  * the near-dup perturbation: ids still shift but text and vectors copy
+  * verbatim, so every source row becomes a `factor`-sized family of
+  * bit-identical near-dup content. That is the regime exact-duplicate
+  * collapse optimizations (Selection.semanticDedup's family collapse,
+  * the minhash family cap) exist for — and the regime the perturbed
+  * decades deliberately CANNOT produce, so proving a families²-vs-
+  * members² claim needs an exact-mode dir. Never use exact dirs for
+  * whole-suite sweeps: every pairwise query's output contract goes
+  * quadratic in `factor` by construction.
   */
 object ScaleData {
 
@@ -30,7 +41,9 @@ object ScaleData {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    val only = if (args.length > 3) args(3).split(',').map(_.trim).toSet else Set.empty[String]
+    val only = if (args.length > 3 && args(3) != "-")
+      args(3).split(',').map(_.trim).toSet else Set.empty[String]
+    val perturb = !(args.length > 4 && args(4) == "exact")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -42,7 +55,7 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, dst, factor, only)
+    scale(spark, src, dst, factor, only, perturb)
     spark.stop()
   }
 
@@ -64,7 +77,7 @@ object ScaleData {
     "embeddings" -> Set("documents"))
 
   def scale(spark: SparkSession, src: String, dst: String, factor: Int,
-      only: Set[String] = Set.empty): Unit = {
+      only: Set[String] = Set.empty, perturb: Boolean = true): Unit = {
     if (only.nonEmpty) {
       val missing = only.flatMap(t => FkParents.getOrElse(t, Set.empty)) -- only
       require(missing.isEmpty,
@@ -117,7 +130,7 @@ object ScaleData {
       // Shard 0 is the source verbatim; other shards append a shard tag
       // so duplicate structure per shard matches the source corpus.
       .withColumn("text",
-        if (i == 0) col("text") else concat(col("text"), lit(s" shard$i")))
+        if (i == 0 || !perturb) col("text") else concat(col("text"), lit(s" shard$i")))
       .withColumn("n_chars", length(col("text")).cast("long")))
     shifted("embeddings")((d, i) => d
       .withColumn("vec_id", bump("vec_id", docVecOff, i))
@@ -128,7 +141,7 @@ object ScaleData {
       // factor with the multiplier would repeat shards periodically and
       // reintroduce the exact cross-shard duplicates this avoids.
       .withColumn("embedding",
-        if (i == 0) col("embedding")
+        if (i == 0 || !perturb) col("embedding")
         else transform(col("embedding"),
           (x, j) => (x + ((lit(i * 30) + j) % 97 - lit(48)).cast("double") * lit(1e-4)).cast("float"))))
   }

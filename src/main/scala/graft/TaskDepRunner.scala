@@ -50,11 +50,8 @@ object TaskDepRunner {
     val json = s"""{"metric":"task_dependency","cyclic_rejected":$cyclicRejected,"all_ok":${results.forall(_.ok)},"results":$rows}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_TASKDEP_OUT", "bench/latest_taskdep.json")
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, json + "\n")
-    } catch { case e: Throwable =>
+    try graft.io.ArtifactWriter.writeAtomic(outPath, json + "\n")
+    catch { case e: Throwable =>
       System.err.println(s"[taskdep] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()

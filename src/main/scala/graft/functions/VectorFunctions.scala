@@ -61,9 +61,15 @@ object VectorFunctions {
     * rationale.
     */
   def topCells(a: Column, cellIds: Array[Long], cells: Array[Array[Double]],
-      probes: Int): Column =
-    ExpressionUtils.column(TopCellsF32(
-      ExpressionUtils.expression(a), cellIds, cells, probes))
+      probes: Int): Column = {
+    // One broadcast per codebook: every expression instance built from
+    // this call shares the handle, so tasks ship a reference (the
+    // codebook bytes move once per executor) and Catalyst can
+    // canonicalize repeated topCells calls over the same book.
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast((cellIds, cells))
+    ExpressionUtils.column(TopCellsF32(ExpressionUtils.expression(a), bc, probes))
+  }
 
   /** Reference HOF formulation of dot — CodegenFallback; kept for
     * kernel-parity tests only.

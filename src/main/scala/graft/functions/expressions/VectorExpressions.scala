@@ -171,18 +171,25 @@ case class CosineSimF32(left: Expression, right: Expression) extends FloatVector
   * NaN), and HALF_UP BigDecimal rounding at 4 decimals — bit-identical
   * to `round(cosineHof(...), 4)`.
   *
-  * The codebook rides in the expression (it is bounded: ⌈√n⌉ rows —
-  * ~160 k × 64 doubles even at 25 B vectors); at cluster scale the same
-  * kernel would take a Broadcast handle instead of a literal array —
-  * a mechanical swap, the plan shape is already the right one.
+  * The codebook rides as a Broadcast handle, not literal arrays: the
+  * book is bounded (⌈√n⌉ rows — ~160 k × 64 doubles ≈ 80 MB at 25 B
+  * vectors) but embedding it in the expression would serialize that
+  * payload into EVERY task's plan; the handle ships bytes per executor
+  * once via the block manager instead. The handle also restores
+  * expression canonicalization: two TopCellsF32 nodes over the same
+  * broadcast compare equal by case-class equality (one shared handle
+  * per codebook), where raw Array fields compared by reference and
+  * never matched — so subexpression elimination works again.
   */
 case class TopCellsF32(
     child: Expression,
-    cellIds: Array[Long],
-    cells: Array[Array[Double]],
+    codebook: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])],
     probes: Int)
   extends UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  @transient private lazy val cellIds: Array[Long] = codebook.value._1
+  @transient private lazy val cells: Array[Array[Double]] = codebook.value._2
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable

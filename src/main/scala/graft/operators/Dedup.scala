@@ -98,14 +98,30 @@ object Dedup {
     // pair scan serializes into one task. Salt the `a` side by
     // hash(vec_a) and replicate `b` once per salt: every (a, b) pair
     // still meets in exactly one (label, salt) partition — identical
-    // pair set, label-count × salts tasks. (Same pattern as
-    // Selection.semanticDedup's PairSalts.)
-    val salts = 16
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+    // pair set, label-count × salts tasks. (Shared [[Salting]] pattern
+    // with Selection.semanticDedup; the count tracks session
+    // parallelism so a small session doesn't pay 16× replication it
+    // can't use.)
+    //
+    // The OUTPUT contract is every within-label pair ≥ 0.3 — quadratic
+    // in label population by definition, so [[PairGuard]] estimates
+    // Σ_label count² first; past the cap it sub-blocks each label by
+    // the 8-bit sign bucket (routed pairs ⊆ exact pairs, identical
+    // schema and sim values — the unsupervised q_dedup_embedding_lsh
+    // leg is the same idea without labels).
+    val exact = PairGuard.allowExact(s, "q_dedup_embedding") {
+      e.groupBy("label").count()
+        .agg(coalesce(sum(col("count") * col("count")), lit(0L)))
+        .head().getLong(0)
+    }
+    val e2 = e.withColumn("blk",
+      if (exact) lit(0L) else VectorFunctions.signBucket(col("embedding"), 8))
+    val salts = Salting.pairSalts(s)
+    val a = e2.select(col("label"), col("blk"), col("vec_id").as("vec_a"), col("embedding").as("va"))
       .withColumn("salt", pmod(hash(col("vec_a")), lit(salts)))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val b = e2.select(col("label"), col("blk"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    a.join(b, Seq("label", "salt"))
+    a.join(b, Seq("label", "blk", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= 0.3)
@@ -229,8 +245,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def minhashEstimate(s: SparkSession, dir: String): DataFrame =
-    calibratePairs(sigSetFrame(Tables.documents(s, dir)))
+  /** Hash-ranked representatives (≤ [[MinhashFamilyCap]] per complete-
+    * signature family) — the sampled leg's selection, shared with the
+    * guard-routed full leg. `sigs` is the (doc_id, band, sig) frame.
+    */
+  private def familyReps(sigs: DataFrame): DataFrame = {
+    val fam = sigs.groupBy("doc_id")
+      .agg(concat_ws("_", array_sort(collect_list(
+        concat(col("band"), lit(":"), col("sig"))))).as("fam"))
+    fam.withColumn("rn", row_number().over(
+        Window.partitionBy("fam").orderBy(
+          md5(concat(lit("mhf"), col("doc_id").cast("string")).cast("binary")),
+          col("doc_id"))))
+      .filter(col("rn") <= MinhashFamilyCap)
+      .select("doc_id")
+  }
+
+  private def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // The full calibration contract is one row per LSH CANDIDATE pair —
+    // Σ_bucket c·(c−1)/2 rows, quadratic in duplicate-family size (the
+    // round-9 ×100 disk death was exactly this volume). [[PairGuard]]
+    // prices the bucket census first (one linear signature pass + a
+    // group count); past the cap it routes to the family-capped
+    // representative selection the sampled leg pins — routed output ⊆
+    // full output row-for-row, each family still measured through one
+    // surviving within-family pair.
+    val exact = PairGuard.allowExact(s, "q_minhash_estimate") {
+      TextAnalysisShared.bandedMinhashSigs(docs, 4)
+        .groupBy("band", "sig").count()
+        .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
+        .head().getLong(0)
+    }
+    if (exact) calibratePairs(sigSetFrame(docs))
+    else {
+      val reps = familyReps(TextAnalysisShared.bandedMinhashSigs(docs, 4))
+      calibratePairs(sigSetFrame(docs.join(reps, Seq("doc_id"))))
+    }
+  }
 
   // Sampled calibration. The full audit is the suite's heaviest decade
   // (43× time at ×100 data, round 8), and measurement showed WHERE the
@@ -263,15 +315,7 @@ object Dedup {
     val sigs = TextAnalysisShared
       .bandedMinhashSigs(Tables.documents(s, dir), 4)
       .localCheckpoint(true)
-    val fam = sigs.groupBy("doc_id")
-      .agg(concat_ws("_", array_sort(collect_list(
-        concat(col("band"), lit(":"), col("sig"))))).as("fam"))
-    val reps = fam.withColumn("rn", row_number().over(
-        Window.partitionBy("fam").orderBy(
-          md5(concat(lit("mhf"), col("doc_id").cast("string")).cast("binary")),
-          col("doc_id"))))
-      .filter(col("rn") <= MinhashFamilyCap)
-      .select("doc_id")
+    val reps = familyReps(sigs)
     // Pair formation + true Jaccard over representatives only, through
     // the same join-local audit body as full mode (the rep kernel pass
     // re-derives the same signatures the family key was built from).

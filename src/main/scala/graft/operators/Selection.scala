@@ -317,18 +317,14 @@ object Selection {
       .select(col("vec_id"), (-col("m.ncl")).as("cluster"),
         col("m.csim").as("csim"), col("m.embedding").as("embedding"))
 
-  /** Salt count for the cluster-local pair join. The join key proper is
-    * the cluster id and there are only k clusters — few BY DESIGN (k
-    * bounds cell membership, not cell count) — so an unsalted pair join
-    * hashes the whole corpus onto k shuffle keys and each cluster's
-    * quadratic pair scan serializes into ONE task (measured: 10 busy
-    * partitions out of 64, 68 s at ×30). Salting the anchor side by
-    * hash(vec_id) and replicating the other side once per salt spreads
-    * every cluster across k·S tasks; each (anchor, other) pair still
-    * meets in exactly one (cluster, salt) partition, so the pair set —
-    * and the oracle result — is unchanged.
+  /** Measurement toggle: `false` disables the exact-vector family
+    * collapse so the members² pair join the collapse replaces can be
+    * timed head-to-head on an exact-copy upsample (ScaleData `exact`
+    * mode). Output is oracle-identical either way — the collapse is a
+    * pure work-reduction, this conf only exists so the claim stays
+    * measurable.
     */
-  private val PairSalts = 16
+  private val FamilyCollapseConf = "graft.semdedup.familyCollapse"
 
   private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val asg = assigned(Tables.embeddings(s, dir))
@@ -354,25 +350,47 @@ object Selection {
     //     zero vectors, which the cosine filter keeps faithful) feeds
     //     thr its own fmin, which is exactly the within-family rule —
     //     everything above the family's minimal id drops.
-    // Pairs stay cluster-local and salted ([[PairSalts]]) — family
-    // count is corpus-sized when nothing repeats, so the join must
-    // still spread across tasks.
-    val fam = asg.groupBy("cluster", "embedding")
-      .agg(first("csim").as("csim"), min("vec_id").as("fmin"))
+    // Pairs stay cluster-local and salted ([[Salting.pairSalts]]) —
+    // family count is corpus-sized when nothing repeats, so the join
+    // must still spread across tasks.
+    val collapse = s.conf.get(FamilyCollapseConf, "true").toBoolean
+    val fam = (if (collapse)
+        asg.groupBy("cluster", "embedding")
+          .agg(first("csim").as("csim"), min("vec_id").as("fmin"))
+      else asg.select(col("cluster"), col("embedding"), col("csim"),
+        col("vec_id").as("fmin")))
       .localCheckpoint(true) // read 3x: both pair sides + expansion
-    val famA = fam.select(col("cluster"), col("csim").as("a_csim"),
+    // Post-collapse candidate volume decides whether the exact
+    // families² contract may run blind ([[PairGuard]]): Σ_cluster
+    // families² off the already-materialized family frame. Routed mode
+    // sub-blocks each cluster by the 8-bit sign bucket — pairs whose
+    // hyperplane signs agree still collide, so routed drops ⊆ exact
+    // drops within the SAME output schema (the standard LSH recall
+    // trade; q_semantic_dedup_blocked is the member-level contract of
+    // the same idea).
+    val exact = PairGuard.allowExact(s, "q_semantic_dedup") {
+      fam.groupBy("cluster").count()
+        .agg(coalesce(sum(col("count") * col("count")), lit(0L)))
+        .head().getLong(0)
+    }
+    val famB = fam.withColumn("blk",
+      if (exact) lit(0L) else VectorFunctions.signBucket(col("embedding"), 8))
+    val salts = Salting.pairSalts(s)
+    val famA = famB.select(col("cluster"), col("blk"), col("csim").as("a_csim"),
       col("fmin").as("a_fmin"), col("embedding").as("a_emb"))
-      .withColumn("salt", explode(sequence(lit(0), lit(PairSalts - 1))))
-    val verdicts = fam
-      .withColumn("salt", pmod(hash(col("fmin")), lit(PairSalts)))
-      .join(famA, Seq("cluster", "salt"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val verdicts = famB
+      .withColumn("salt", pmod(hash(col("fmin")), lit(salts)))
+      .join(famA, Seq("cluster", "blk", "salt"))
       .filter(col("a_csim") <= col("csim"))
       .filter(round(VectorFunctions.cosine(col("embedding"), col("a_emb")), 4) >= SemTau)
       .groupBy("cluster", "fmin")
       .agg(
         max(when(col("a_csim") < col("csim"), lit(1)).otherwise(lit(0))).as("drop_all"),
         min(when(col("a_csim") === col("csim"), col("a_fmin"))).as("thr"))
-    asg.join(fam.select("cluster", "embedding", "fmin"), Seq("cluster", "embedding"))
+    (if (collapse)
+        asg.join(fam.select("cluster", "embedding", "fmin"), Seq("cluster", "embedding"))
+      else asg.withColumn("fmin", col("vec_id")))
       .join(verdicts, Seq("cluster", "fmin"), "left")
       .select(col("vec_id"), col("cluster"), col("csim"),
         when(col("drop_all") === 1 ||

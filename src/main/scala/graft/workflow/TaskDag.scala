@@ -105,10 +105,12 @@ object TaskDag {
       // union grows the partition count by the frontier's every round —
       // unpinned, a 100-wave chain accumulates thousands of partitions
       // and per-wave cost climbs superlinearly (measured: 2.2 s/wave by
-      // wave 100 vs 0.1 s/wave pinned). Coalesce back before the
-      // checkpoint; at cluster scale pin to the executor count instead.
+      // wave 100 vs 0.1 s/wave pinned). Coalesce back to the session's
+      // parallelism before the checkpoint: that IS the executor-slot
+      // count on a cluster, so wide frontiers keep every slot busy
+      // instead of funneling each peel round through a fixed pin.
       doneWaves = doneWaves.unionByName(frontier)
-        .coalesce(spark.sparkContext.defaultParallelism.min(8))
+        .coalesce(spark.sparkContext.defaultParallelism)
         .localCheckpoint(true)
       val newCount = doneWaves.count()
       if (newCount == doneCount) {

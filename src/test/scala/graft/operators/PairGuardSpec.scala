@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the pair-volume guard contracts ([[PairGuard]]): the three
+  * exact quadratic legs must not run blind past the configured pair
+  * cap, and what the guard routes to must relate to the exact output
+  * the way the Scaladoc promises — never an arbitrary different answer.
+  */
+class PairGuardSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  /** Run `body` with guard confs set, restoring prior state after. */
+  private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def forceRoute(body: => Unit): Unit =
+    withConf(PairGuard.MaxPairsConf -> "0", PairGuard.ModeConf -> "route")(body)
+
+  test("guard default leaves small corpora on the exact contract (oracle parity path)") {
+    // sf0.001 volumes are far under the default cap, so the plain runs
+    // in every other spec — and the sf0.01 oracle gate — exercise the
+    // exact legs; this just pins that the default really is permissive
+    // here (routed-vs-exact diffs below would otherwise test nothing).
+    val exactPairs = run("q_dedup_embedding").count()
+    forceRoute {
+      val routed = run("q_dedup_embedding").count()
+      assert(routed < exactPairs,
+        s"cap=0 must route to sub-blocked pairs (routed=$routed exact=$exactPairs)")
+    }
+  }
+
+  test("routed q_dedup_embedding is a subset of the exact pair list, sims identical") {
+    val exact = run("q_dedup_embedding")
+    forceRoute {
+      val routed = run("q_dedup_embedding")
+      assert(routed.columns.toSeq == exact.columns.toSeq, "schema must not change")
+      assert(routed.join(exact, Seq("label", "vec_a", "vec_b", "sim"), "left_anti").count() == 0,
+        "every routed pair (including its sim) must appear in the exact output")
+      assert(routed.count() > 0, "sub-blocking must keep sign-agreeing near-dups")
+    }
+  }
+
+  test("routed q_semantic_dedup: same rows, drops are a subset of exact drops") {
+    val exact = run("q_semantic_dedup").select(col("vec_id"), col("kept").as("k_exact"))
+    forceRoute {
+      val routed = run("q_semantic_dedup")
+      assert(routed.columns.toSeq == Seq("vec_id", "cluster", "csim", "kept"))
+      val joined = routed.join(exact, Seq("vec_id"))
+      assert(joined.count() == exact.count(), "row set (one per vector) must not change")
+      // Routed pairs ⊆ exact pairs ⇒ routed drop evidence ⊆ exact drop
+      // evidence: nothing the routed leg drops may survive the exact leg.
+      assert(joined.filter(col("kept") === 0 && col("k_exact") === 1).count() == 0,
+        "routed mode dropped a vector the exact contract keeps")
+    }
+  }
+
+  test("routed q_minhash_estimate equals the family-capped sampled leg, subset of full") {
+    val full = run("q_minhash_estimate")
+    val sampled = run("q_minhash_estimate_sampled")
+    forceRoute {
+      val routed = run("q_minhash_estimate")
+      assert(routed.columns.toSeq == full.columns.toSeq)
+      assert(routed.exceptAll(sampled).count() == 0 && sampled.exceptAll(routed).count() == 0,
+        "routed full leg must produce exactly the pinned sampled-leg output")
+      assert(routed.join(full,
+        Seq("doc_a", "doc_b", "bands_matched", "est_jaccard", "true_jaccard", "abs_err"),
+        "left_anti").count() == 0, "routed rows must appear row-for-row in the full output")
+    }
+  }
+
+  test("mode=fail refuses loudly; mode=exact overrides the cap") {
+    withConf(PairGuard.MaxPairsConf -> "0", PairGuard.ModeConf -> "fail") {
+      val e = intercept[IllegalStateException](run("q_dedup_embedding"))
+      assert(e.getMessage.contains("q_dedup_embedding"))
+    }
+    val exact = run("q_dedup_embedding")
+    withConf(PairGuard.MaxPairsConf -> "0", PairGuard.ModeConf -> "exact") {
+      val forced = run("q_dedup_embedding")
+      assert(forced.exceptAll(exact).count() == 0 && exact.exceptAll(forced).count() == 0,
+        "mode=exact must reproduce the exact contract regardless of cap")
+    }
+  }
+
+  test("family collapse toggle is output-invariant (work reduction, not a semantics change)") {
+    def canon(df: DataFrame): DataFrame = df.orderBy("vec_id")
+    val on = canon(run("q_semantic_dedup"))
+    withConf("graft.semdedup.familyCollapse" -> "false") {
+      val off = canon(run("q_semantic_dedup"))
+      assert(on.exceptAll(off).count() == 0 && off.exceptAll(on).count() == 0,
+        "familyCollapse=false must be bit-identical — it exists only to measure the win")
+    }
+  }
+}
