@@ -16,7 +16,8 @@ object SparkEntry {
       Lifecycle.all ++ Compression.all ++ ScalePatterns.all ++ Analytics.all ++ Sessionize.all ++
       Entities.all ++ graft.sources.Normalizer.all ++ QualityFilters.all ++ Contracts.all ++
       Curation.all ++ Selection.all ++ Layout.all ++ Sketches.all ++ Pq.all ++
-      TokenizerTrain.all ++ Profiling.all
+      TokenizerTrain.all ++ Profiling.all ++ Progress.all ++ OpsMetrics.all ++
+      DomainValidate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's read path (filter → kNN → score → threshold → top-k)

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Progress-tracker query surface (reference: alma/progress/tracker.py:1-607,
+  * alma/progress/types.py:1-250): work items with status / priority /
+  * blocking relationships, the four next-item selection strategies, and
+  * the per-project progress summary.
+  *
+  * The reference tracks items in a driver-side dict and answers these
+  * questions with Python loops; here the same contracts are one
+  * DataFrame plan each over a work-item frame derived deterministically
+  * from `events` (the same synthesis idiom as Contracts/Scoring), so a
+  * 10-million-item tracker costs one scan + one edge aggregation
+  * instead of a driver loop:
+  *
+  *   - `q_work_items` — the item ledger with blocking degree
+  *     (blocked_by/unblocks counts from the dependency edge frame) and
+  *     the reference's actionability rule
+  *     (tracker.py:124-127 `is_actionable`: status ∈ {pending,
+  *     in_progress} AND no blockers);
+  *   - `q_next_action` — `get_next_item` (tracker.py:287-334) for ALL
+  *     four strategies × projects in one pass: priority (highest
+  *     first), blocked_unblock (max items unblocked), quick_win
+  *     (fewest acceptance criteria), fifo (earliest created). The
+  *     reference's Python sorts are stable over dict insertion order =
+  *     creation order = ascending id, so every strategy tie-breaks by
+  *     item_id ascending — pinned identically in Spark, oracle, and
+  *     `ProgressSpec`;
+  *   - `q_progress_summary` — `get_progress_summary`
+  *     (tracker.py:338-396): status counts, completion_rate,
+  *     success_rate = done/(done+failed), time totals.
+  *
+  * Scale shape: the edge frame is derived narrow (item_id, blocker);
+  * blocking degrees are two linear group-counts joined back on item_id
+  * — no self-join materializes item pairs, and the strategy windows
+  * partition by project (bounded groups), never a global sort.
+  */
+object Progress {
+
+  /** Deterministic work-item synthesis shared by all three queries
+    * (and mirrored in each oracle CTE):
+    * item_id=event_id, project = user_id%7, nullable agent (user_id%4==0
+    * ⇒ unassigned, as the reference allows), type from event_type,
+    * priority 0-100, status from event_id%10 (3 pending / 2 in_progress
+    * / 1 blocked / 1 review / 2 done / 1 failed), acceptance-criteria
+    * count event_id%6, created_at = ts.
+    */
+  private[operators] def workItems(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").as("item_id"),
+      concat(lit("proj_"), col("user_id") % 7).as("project"),
+      when(col("user_id") % 4 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("agent_"), col("user_id") % 5)).as("agent"),
+      when(col("event_type") === "error", lit("bug"))
+        .when(col("event_type") === "purchase", lit("feature"))
+        .when(col("event_type") === "view", lit("research_question"))
+        .otherwise(lit("task")).as("item_type"),
+      ((col("event_id") * 37) % 101).as("priority"),
+      when(col("event_id") % 10 <= 2, lit("pending"))
+        .when(col("event_id") % 10 <= 4, lit("in_progress"))
+        .when(col("event_id") % 10 === 5, lit("blocked"))
+        .when(col("event_id") % 10 === 6, lit("review"))
+        .when(col("event_id") % 10 <= 8, lit("done"))
+        .otherwise(lit("failed")).as("status"),
+      (col("event_id") % 6).as("n_criteria"),
+      ((col("event_id") * 131) % 7200000).as("time_spent_ms"),
+      col("ts").as("created_at"))
+
+  private val workItemsSql =
+    """items AS (
+      |  SELECT event_id AS item_id,
+      |    'proj_' || (user_id % 7) AS project,
+      |    CASE WHEN user_id % 4 = 0 THEN NULL
+      |         ELSE 'agent_' || (user_id % 5) END AS agent,
+      |    CASE event_type WHEN 'error' THEN 'bug' WHEN 'purchase' THEN 'feature'
+      |         WHEN 'view' THEN 'research_question' ELSE 'task' END AS item_type,
+      |    (event_id * 37) % 101 AS priority,
+      |    CASE WHEN event_id % 10 <= 2 THEN 'pending'
+      |         WHEN event_id % 10 <= 4 THEN 'in_progress'
+      |         WHEN event_id % 10 = 5 THEN 'blocked'
+      |         WHEN event_id % 10 = 6 THEN 'review'
+      |         WHEN event_id % 10 <= 8 THEN 'done'
+      |         ELSE 'failed' END AS status,
+      |    event_id % 6 AS n_criteria,
+      |    (event_id * 131) % 7200000 AS time_spent_ms,
+      |    ts AS created_at
+      |  FROM events)""".stripMargin
+
+  /** Dependency edges (item_id blocked_by blocker): every 13th item
+    * blocks on a deterministic earlier item, every 26th on a second one
+    * — targets stay inside the contiguous id domain at any SF.
+    */
+  private[operators] def blockedByEdges(items: DataFrame): DataFrame = {
+    val e1 = items.filter(col("item_id") % 13 === 0 && col("item_id") >= 13)
+      .select(col("item_id"), (col("item_id") - 1 - (col("item_id") % 7)).as("blocker"))
+    val e2 = items.filter(col("item_id") % 26 === 0 && col("item_id") >= 26)
+      .select(col("item_id"), (col("item_id") - 5).as("blocker"))
+    e1.unionByName(e2)
+  }
+
+  private val edgesSql =
+    """edges AS (
+      |  SELECT item_id, item_id - 1 - (item_id % 7) AS blocker
+      |  FROM items WHERE item_id % 13 = 0 AND item_id >= 13
+      |  UNION ALL
+      |  SELECT item_id, item_id - 5 AS blocker
+      |  FROM items WHERE item_id % 26 = 0 AND item_id >= 26)""".stripMargin
+
+  /** Items + blocking degree + actionability: the ledger every other
+    * progress query (and the reference's get_* filters) reads off.
+    */
+  private[operators] def itemLedger(s: SparkSession, dir: String): DataFrame = {
+    val items = workItems(s, dir)
+    val edges = blockedByEdges(items)
+    val blockedBy = edges.groupBy("item_id").agg(count(lit(1)).as("blocked_by_count"))
+    val unblocks = edges.groupBy("blocker").agg(count(lit(1)).as("unblocks"))
+      .withColumnRenamed("blocker", "item_id")
+    items
+      .join(blockedBy, Seq("item_id"), "left")
+      .join(unblocks, Seq("item_id"), "left")
+      .na.fill(0L, Seq("blocked_by_count", "unblocks"))
+      .withColumn("actionable",
+        (col("status").isin("pending", "in_progress") &&
+          col("blocked_by_count") === 0).cast("int"))
+  }
+
+  private val ledgerSql =
+    s"""$workItemsSql,
+       |$edgesSql,
+       |ledger AS (
+       |  SELECT i.*,
+       |    coalesce(b.c, 0)::BIGINT AS blocked_by_count,
+       |    coalesce(u.c, 0)::BIGINT AS unblocks,
+       |    (i.status IN ('pending','in_progress')
+       |      AND coalesce(b.c, 0) = 0)::INT AS actionable
+       |  FROM items i
+       |  LEFT JOIN (SELECT item_id, count(*) AS c FROM edges GROUP BY 1) b
+       |    ON b.item_id = i.item_id
+       |  LEFT JOIN (SELECT blocker, count(*) AS c FROM edges GROUP BY 1) u
+       |    ON u.blocker = i.item_id)""".stripMargin
+
+  private def workItemsQuery(s: SparkSession, dir: String): DataFrame =
+    itemLedger(s, dir)
+      .select("item_id", "project", "agent", "item_type", "priority", "status",
+        "n_criteria", "blocked_by_count", "unblocks", "actionable")
+      .orderBy("item_id")
+
+  private val workItemsQuerySql =
+    s"""WITH $ledgerSql
+       |SELECT item_id, project, agent, item_type, priority, status,
+       |  n_criteria, blocked_by_count, unblocks, actionable
+       |FROM ledger ORDER BY item_id""".stripMargin
+
+  /** All four selection strategies at once: one actionable frame, four
+    * project-partitioned window ranks (same shuffle key, so the four
+    * sorts share one exchange), unpivot the winners.
+    */
+  private def nextAction(s: SparkSession, dir: String): DataFrame = {
+    val act = itemLedger(s, dir).filter(col("actionable") === 1)
+    def rk(order: org.apache.spark.sql.Column*) =
+      row_number().over(Window.partitionBy("project").orderBy(order: _*))
+    val ranked = act
+      .withColumn("rk_priority", rk(col("priority").desc, col("item_id")))
+      .withColumn("rk_blocked_unblock", rk(col("unblocks").desc, col("item_id")))
+      .withColumn("rk_quick_win", rk(col("n_criteria").asc, col("item_id")))
+      .withColumn("rk_fifo", rk(col("created_at").asc, col("item_id")))
+    ranked.select(col("project"), col("item_id"), col("priority"),
+        col("unblocks"), col("n_criteria"),
+        expr("""stack(4,
+          'priority', rk_priority,
+          'blocked_unblock', rk_blocked_unblock,
+          'quick_win', rk_quick_win,
+          'fifo', rk_fifo) AS (strategy, rk)"""))
+      .filter(col("rk") === 1)
+      .select("project", "strategy", "item_id", "priority", "unblocks", "n_criteria")
+      .orderBy("project", "strategy")
+  }
+
+  private val nextActionSql =
+    s"""WITH $ledgerSql,
+       |act AS (SELECT * FROM ledger WHERE actionable = 1),
+       |ranked AS (
+       |  SELECT project, item_id, priority, unblocks, n_criteria,
+       |    row_number() OVER (PARTITION BY project ORDER BY priority DESC, item_id) AS rk_priority,
+       |    row_number() OVER (PARTITION BY project ORDER BY unblocks DESC, item_id) AS rk_blocked_unblock,
+       |    row_number() OVER (PARTITION BY project ORDER BY n_criteria ASC, item_id) AS rk_quick_win,
+       |    row_number() OVER (PARTITION BY project ORDER BY created_at ASC, item_id) AS rk_fifo
+       |  FROM act),
+       |unp AS (
+       |  SELECT project, 'priority' AS strategy, item_id, priority, unblocks, n_criteria
+       |  FROM ranked WHERE rk_priority = 1
+       |  UNION ALL
+       |  SELECT project, 'blocked_unblock', item_id, priority, unblocks, n_criteria
+       |  FROM ranked WHERE rk_blocked_unblock = 1
+       |  UNION ALL
+       |  SELECT project, 'quick_win', item_id, priority, unblocks, n_criteria
+       |  FROM ranked WHERE rk_quick_win = 1
+       |  UNION ALL
+       |  SELECT project, 'fifo', item_id, priority, unblocks, n_criteria
+       |  FROM ranked WHERE rk_fifo = 1)
+       |SELECT * FROM unp ORDER BY project, strategy""".stripMargin
+
+  /** Per-project get_progress_summary: status counts + rates + time.
+    * Rates rounded at 6 in both engines; avg time is per DONE item as
+    * the reference computes it (tracker.py:360-363).
+    */
+  private def progressSummary(s: SparkSession, dir: String): DataFrame = {
+    def cnt(status: String) =
+      sum(when(col("status") === status, 1L).otherwise(0L)).as(status)
+    workItems(s, dir).groupBy("project")
+      .agg(count(lit(1)).as("total"),
+        cnt("done"), cnt("in_progress"), cnt("blocked"), cnt("pending"),
+        cnt("failed"),
+        sum("time_spent_ms").as("total_time_ms"))
+      .withColumn("completion_rate", round(col("done") / col("total"), 6))
+      .withColumn("success_rate",
+        when(col("done") + col("failed") === 0, lit(0.0))
+          .otherwise(round(col("done") / (col("done") + col("failed")), 6)))
+      .withColumn("avg_time_per_item_ms",
+        when(col("done") === 0, lit(0.0))
+          .otherwise(round(col("total_time_ms") / col("done"), 6)))
+      .orderBy("project")
+  }
+
+  private val progressSummarySql =
+    s"""WITH $workItemsSql
+       |SELECT project, count(*)::BIGINT AS total,
+       |  sum((status = 'done')::INT)::BIGINT AS done,
+       |  sum((status = 'in_progress')::INT)::BIGINT AS in_progress,
+       |  sum((status = 'blocked')::INT)::BIGINT AS blocked,
+       |  sum((status = 'pending')::INT)::BIGINT AS pending,
+       |  sum((status = 'failed')::INT)::BIGINT AS failed,
+       |  sum(time_spent_ms)::BIGINT AS total_time_ms,
+       |  round(sum((status = 'done')::INT)::DOUBLE / count(*), 6) AS completion_rate,
+       |  CASE WHEN sum((status IN ('done','failed'))::INT) = 0 THEN 0.0
+       |       ELSE round(sum((status = 'done')::INT)::DOUBLE
+       |                  / sum((status IN ('done','failed'))::INT), 6) END AS success_rate,
+       |  CASE WHEN sum((status = 'done')::INT) = 0 THEN 0.0
+       |       ELSE round(sum(time_spent_ms)::DOUBLE
+       |                  / sum((status = 'done')::INT), 6) END AS avg_time_per_item_ms
+       |FROM items GROUP BY project ORDER BY project""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_work_items", workItemsQuery, Some(workItemsQuerySql)),
+    Q("q_next_action", nextAction, Some(nextActionSql)),
+    Q("q_progress_summary", progressSummary, Some(progressSummarySql)))
+}

@@ -1,0 +1,74 @@
+package graft.observability
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end pin of the metrics surface: a real QueryExecutionListener
+  * capturing real query executions, flushed to a real parquet side
+  * table, rolled up by the same [[Metrics.rollup]] the oracle-checked
+  * q_op_metrics runs — so the listener plumbing and the report query
+  * are verified as ONE path, not two halves.
+  */
+class ObservabilitySpec extends SparkSpec {
+
+  private def awaitRecords(sink: MetricsSink, op: String, n: Int): Unit = {
+    // Listener callbacks post on the async listener bus; poll briefly.
+    val deadline = System.nanoTime() + 10000000000L
+    while (sink.snapshot().count(_.op == op) < n && System.nanoTime() < deadline)
+      Thread.sleep(50)
+  }
+
+  test("listener captures labeled ops with wall time and shuffle bytes; rollup reports them") {
+    val sink = new MetricsSink
+    spark.listenerManager.register(sink)
+    try {
+      Metrics.withOp(spark, "spec_shuffle_op") {
+        spark.range(100000).withColumn("k", col("id") % 7)
+          .groupBy("k").agg(sum("id")).collect()
+      }
+      Metrics.withOp(spark, "spec_narrow_op") {
+        spark.range(1000).select(col("id") * 2).collect()
+      }
+      awaitRecords(sink, "spec_shuffle_op", 1)
+      awaitRecords(sink, "spec_narrow_op", 1)
+      val recs = sink.snapshot()
+      val shuffleRec = recs.find(_.op == "spec_shuffle_op").get
+      assert(shuffleRec.status == "ok")
+      assert(shuffleRec.wall_ms >= 0)
+      assert(shuffleRec.shuffle_bytes > 0, "a groupBy must report shuffle write bytes")
+      val narrowRec = recs.find(_.op == "spec_narrow_op").get
+      assert(narrowRec.shuffle_bytes == 0, "a narrow scan must not report shuffle bytes")
+
+      // withOp restores the prior label: an unlabeled query after the
+      // blocks must NOT inherit a spec label.
+      spark.range(10).collect()
+      awaitRecords(sink, "collect", 1)
+      assert(sink.snapshot().forall(r =>
+        !(r.op.startsWith("spec_") && r.op != "spec_shuffle_op" && r.op != "spec_narrow_op")))
+
+      // Flush → side table → rollup: the q_op_metrics report over the
+      // REAL capture.
+      val dir = java.nio.file.Files.createTempDirectory("opmetrics").toString + "/ops"
+      sink.flush(spark, dir)
+      assert(sink.snapshot().isEmpty, "flush must drain the buffer")
+      val table = spark.read.parquet(dir)
+      val report = Metrics.rollup(table)
+      assert(report.columns.toSeq == Seq("op", "calls", "ok_calls", "err_calls",
+        "total_wall_ms", "avg_wall_ms", "p50_wall_ms", "max_wall_ms",
+        "total_rows", "total_shuffle_bytes"))
+      val row = report.filter(col("op") === "spec_shuffle_op").head()
+      assert(row.getAs[Long]("calls") >= 1L && row.getAs[Long]("err_calls") == 0L)
+      assert(row.getAs[Long]("total_shuffle_bytes") > 0L)
+      // Second flush appends (history accumulates like the reference's
+      // long-lived collector).
+      Metrics.withOp(spark, "spec_shuffle_op") {
+        spark.range(1000).withColumn("k", col("id") % 3).groupBy("k").count().collect()
+      }
+      awaitRecords(sink, "spec_shuffle_op", 1)
+      sink.flush(spark, dir)
+      val calls2 = Metrics.rollup(spark.read.parquet(dir))
+        .filter(col("op") === "spec_shuffle_op").head().getAs[Long]("calls")
+      assert(calls2 > row.getAs[Long]("calls"))
+    } finally spark.listenerManager.unregister(sink)
+  }
+}
