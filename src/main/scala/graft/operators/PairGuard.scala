@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * the frame it was about to pair-join — the same idiom as
   * `Curation.incrementalCandidates`) and consults this guard:
   *
-  *   - volume ≤ `graft.pair.guard.maxPairs` (default 2·10⁸): run the
+  *   - volume ≤ `spark.graft.pair.guard.maxPairs` (default 2·10⁸): run the
   *     exact contract as written;
   *   - above the cap, mode `route` (default): run the query's bounded
   *     sibling INSIDE the same schema — sign-LSH sub-blocking for the
@@ -37,8 +37,8 @@ import org.apache.spark.sql.SparkSession
   */
 object PairGuard {
 
-  val MaxPairsConf = "graft.pair.guard.maxPairs"
-  val ModeConf = "graft.pair.guard.mode"
+  val MaxPairsConf = "spark.graft.pair.guard.maxPairs"
+  val ModeConf = "spark.graft.pair.guard.mode"
 
   /** Default cap: 2·10⁸ candidate pairs ≈ 10 GB of pair-row shuffle at
     * ~50 B/row — the comfortable end of one machine's exchange, and two

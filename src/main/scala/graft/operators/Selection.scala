@@ -324,7 +324,7 @@ object Selection {
     * pure work-reduction, this conf only exists so the claim stays
     * measurable.
     */
-  private val FamilyCollapseConf = "graft.semdedup.familyCollapse"
+  private val FamilyCollapseConf = "spark.graft.semdedup.familyCollapse"
 
   private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val asg = assigned(Tables.embeddings(s, dir))

@@ -95,7 +95,7 @@ class PairGuardSpec extends SparkSpec {
   test("family collapse toggle is output-invariant (work reduction, not a semantics change)") {
     def canon(df: DataFrame): DataFrame = df.orderBy("vec_id")
     val on = canon(run("q_semantic_dedup"))
-    withConf("graft.semdedup.familyCollapse" -> "false") {
+    withConf("spark.graft.semdedup.familyCollapse" -> "false") {
       val off = canon(run("q_semantic_dedup"))
       assert(on.exceptAll(off).count() == 0 && off.exceptAll(on).count() == 0,
         "familyCollapse=false must be bit-identical — it exists only to measure the win")
