@@ -248,4 +248,52 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
     }
   }
+
+  test("next-action strategies share ONE window exchange; every window is project-partitioned") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q_next_action")(spark, Sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.length == 4, s"expected the 4 strategy windows:\n$exec")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"strategy window must partition by project:\n$exec"))
+    // Shuffles: two edge-degree aggregations, ONE window partitioning
+    // shared by all four strategy sorts, the final orderBy — a plan
+    // where each strategy re-exchanged would show 7.
+    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 4, s"strategy windows must share one exchange:\n$exec")
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
+
+  test("domain validation is one scan + broadcast requirement table (no agg, no shuffle but the sort)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exec = SparkEntry.queries("q_domain_validate")(spark, Sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val p = exec.toString
+    assert(p.contains("BroadcastHashJoin"), s"requirement table must broadcast:\n$p")
+    assert(!p.contains("HashAggregate"), s"validation needs no aggregate:\n$p")
+    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 1, s"only the final orderBy may exchange:\n$p")
+  }
+
+  test("work-item ledger never forms an item-pair join") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exec = SparkEntry.queries("q_work_items")(spark, Sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    assert(!exec.toString.contains("CartesianProduct"))
+    // Blocking degrees are two linear aggregations joined back on
+    // item_id — bounded exchange count, nothing quadratic.
+    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 5, s"ledger shuffles exceed the two-agg + sort budget:\n$exec")
+  }
 }
