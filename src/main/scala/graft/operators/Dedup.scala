@@ -39,9 +39,28 @@ object Dedup {
     * the similarity self-join.
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // The output contract is one row per LSH candidate pair — on a
+    // duplicate-heavy corpus that is quadratic in family size (a family
+    // of m copies shares every band, so its buckets emit ~m²/2 pairs;
+    // measured 122 s at ×100 on the ~96 %-near-dup upsample). Same
+    // [[PairGuard]] discipline as the calibration leg: price the bucket
+    // census, and past the cap pair only the ≤2 hash-ranked
+    // representatives per complete-signature family — routed rows ⊆
+    // exact rows row-for-row, and bands_matched between surviving reps
+    // is EXACT (dropping other family members never changes whether two
+    // docs collide in a band).
     val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
-    val a = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    val exact = PairGuard.allowExact(s, "q_dedup_minhash_lsh") {
+      sigs.groupBy("band", "sig").count()
+        .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
+        .head().getLong(0)
+    }
+    val src = if (exact) sigs else {
+      val kept = sigs.localCheckpoint(true) // reused: family key + pair join
+      kept.join(familyReps(kept), Seq("doc_id"))
+    }
+    val a = src.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = src.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

@@ -79,6 +79,17 @@ class PairGuardSpec extends SparkSpec {
     }
   }
 
+  test("routed q_dedup_minhash_lsh is a row-for-row subset of the full pair list") {
+    val full = run("q_dedup_minhash_lsh")
+    forceRoute {
+      val routed = run("q_dedup_minhash_lsh")
+      assert(routed.columns.toSeq == full.columns.toSeq)
+      assert(routed.join(full, Seq("doc_a", "doc_b", "bands_matched"), "left_anti").count() == 0,
+        "routed pairs (bands_matched included) must appear verbatim in the full output")
+      assert(routed.count() > 0, "family reps must keep one within-family pair per family")
+    }
+  }
+
   test("mode=fail refuses loudly; mode=exact overrides the cap") {
     withConf(PairGuard.MaxPairsConf -> "0", PairGuard.ModeConf -> "fail") {
       val e = intercept[IllegalStateException](run("q_dedup_embedding"))
