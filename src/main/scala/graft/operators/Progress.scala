@@ -245,8 +245,51 @@ object Progress {
        |                  / sum((status = 'done')::INT), 6) END AS avg_time_per_item_ms
        |FROM items GROUP BY project ORDER BY project""".stripMargin
 
+  /** Progress history (tracker.py:398-453 log_progress /
+    * get_progress_history): the reference STORES a snapshot row per
+    * session and replays the stored list; the engine reconstructs the
+    * same curve from the item timestamps instead — per (project, day),
+    * the day's intake and the cumulative totals/completion rate, one
+    * grouped aggregate plus a project-partitioned running-sum window.
+    * (Items count toward the day they were created; status is the
+    * current one, which is exactly what a stored snapshot taken today
+    * would also report for past items.)
+    */
+  private def progressHistory(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("project").orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    workItems(s, dir)
+      .groupBy(col("project"),
+        unix_micros(date_trunc("day", col("created_at"))).as("day_us"))
+      .agg(count(lit(1)).as("created"),
+        sum(when(col("status") === "done", 1L).otherwise(0L)).as("done_created"))
+      .withColumn("items_total", sum("created").over(w))
+      .withColumn("items_done", sum("done_created").over(w))
+      .withColumn("completion_rate",
+        round(col("items_done") / col("items_total"), 6))
+      .orderBy("project", "day_us")
+  }
+
+  private val progressHistorySql =
+    s"""WITH $workItemsSql,
+       |byday AS (
+       |  SELECT project, epoch_us(date_trunc('day', created_at)) AS day_us,
+       |    count(*)::BIGINT AS created,
+       |    sum((status = 'done')::INT)::BIGINT AS done_created
+       |  FROM items GROUP BY 1, 2)
+       |SELECT project, day_us, created, done_created,
+       |  sum(created) OVER w::BIGINT AS items_total,
+       |  sum(done_created) OVER w::BIGINT AS items_done,
+       |  round((sum(done_created) OVER w)::DOUBLE / (sum(created) OVER w), 6)
+       |    AS completion_rate
+       |FROM byday
+       |WINDOW w AS (PARTITION BY project ORDER BY day_us
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY project, day_us""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_work_items", workItemsQuery, Some(workItemsQuerySql)),
     Q("q_next_action", nextAction, Some(nextActionSql)),
-    Q("q_progress_summary", progressSummary, Some(progressSummarySql)))
+    Q("q_progress_summary", progressSummary, Some(progressSummarySql)),
+    Q("q_progress_history", progressHistory, Some(progressHistorySql)))
 }

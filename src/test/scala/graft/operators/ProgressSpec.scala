@@ -80,6 +80,27 @@ class ProgressSpec extends SparkSpec {
     }
   }
 
+  test("progress history: cumulative curve is monotone and lands on the summary totals") {
+    val hist = run("q_progress_history").collect()
+      .map(r => (r.getAs[String]("project"), r.getAs[Long]("day_us"),
+        r.getAs[Long]("items_total"), r.getAs[Long]("items_done")))
+    assert(hist.nonEmpty)
+    hist.groupBy(_._1).foreach { case (p, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // Cumulative totals never decrease, done never exceeds total.
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 >= a._3 && b._4 >= a._4, s"$p history not monotone")
+        case _ =>
+      }
+      ordered.foreach(r => assert(r._4 <= r._3))
+      // The last point IS the summary's (total, done) — one source of truth.
+      val items = ledger.filter(_.project == p)
+      assert(ordered.last._3 == items.size.toLong, s"$p final total")
+      assert(ordered.last._4 == items.count(_.status == "done").toLong, s"$p final done")
+    }
+  }
+
   test("blocking degree comes from the edge frame, not status labels") {
     val out = run("q_work_items")
     // Every 13th id (>= 13) has at least one blocker; ids that are
