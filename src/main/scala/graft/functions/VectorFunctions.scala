@@ -60,14 +60,32 @@ object VectorFunctions {
     * see [[graft.functions.expressions.TopCellsF32]] for the scale
     * rationale.
     */
+  /** One broadcast per codebook INSTANCE, memoized: repeated topCells
+    * calls over the same driver arrays (multi-iteration Bench passes,
+    * long-lived sessions rebuilding the same plan) share one handle —
+    * so Catalyst canonicalizes the expressions AND the driver stops
+    * accumulating a fresh ~MB broadcast per call. Weak keys: when the
+    * caller drops the codebook arrays, the entry (and with it the last
+    * strong reference to the Broadcast) becomes collectable and Spark's
+    * ContextCleaner reclaims the blocks — no explicit destroy needed.
+    */
+  private val codebookBroadcasts =
+    new java.util.WeakHashMap[Array[Long],
+      (Array[Array[Double]],
+       org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])])]()
+
   def topCells(a: Column, cellIds: Array[Long], cells: Array[Array[Double]],
       probes: Int): Column = {
-    // One broadcast per codebook: every expression instance built from
-    // this call shares the handle, so tasks ship a reference (the
-    // codebook bytes move once per executor) and Catalyst can
-    // canonicalize repeated topCells calls over the same book.
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast((cellIds, cells))
+    val bc = codebookBroadcasts.synchronized {
+      val hit = codebookBroadcasts.get(cellIds)
+      if (hit != null && (hit._1 eq cells)) hit._2
+      else {
+        val b = org.apache.spark.sql.SparkSession.active.sparkContext
+          .broadcast((cellIds, cells))
+        codebookBroadcasts.put(cellIds, (cells, b))
+        b
+      }
+    }
     ExpressionUtils.column(TopCellsF32(ExpressionUtils.expression(a), bc, probes))
   }
 

@@ -54,14 +54,16 @@ final class MetricsSink extends QueryExecutionListener {
   /** Persist the buffered records to the side table and clear the
     * buffer. Append mode: successive flushes accumulate history the
     * roll-up query reads, like the reference's get_all_metrics over a
-    * long-lived collector.
+    * long-lived collector. Drains with poll() — exactly the removed
+    * records get written — because snapshot-then-clear would silently
+    * drop any record the listener bus enqueues between the two calls
+    * (queries completing concurrently with a flush).
     */
   def flush(spark: SparkSession, path: String): Unit = {
-    val rows = snapshot()
+    val rows = Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
     if (rows.nonEmpty) {
       import spark.implicits._
       rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(path)
-      clear()
     }
   }
 }

@@ -78,8 +78,36 @@ object Curation {
   // construction at ANY corpus size (a web-scale vocabulary is
   // unbounded; tokens cut from the table score through the smoothing
   // floor like any unseen word).
-  private def lmScored(s: SparkSession, dir: String): DataFrame =
-    lmScoredOn(Tables.documents(s, dir))
+  /** Per-(session, dir) memo of the scored frame: six named queries
+    * (lm_quality, lm_filter, lm_filter_approx, ppl_buckets,
+    * doremi_weights, doremi_resample) consume the SAME add-one LM
+    * scores over the raw table, and each used to rebuild the model +
+    * re-run the scoring pass (~2 s each at sf0.1, 5× redundant in one
+    * Bench/Verify session). The first consumer computes the chain and
+    * localCheckpoints the (doc_id, n_bigrams, xent) result — narrow,
+    * linear rows — and the rest reuse it. Weak session keys: a stopped
+    * session's entry (and its checkpoint blocks) become collectable
+    * with it. Disable with spark.graft.lm.scoreCache=false for a
+    * session that mutates the table under a fixed path.
+    */
+  private val lmScoreCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def lmScored(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.get("spark.graft.lm.scoreCache", "true").toBoolean)
+      return lmScoredOn(Tables.documents(s, dir))
+    val perSession = lmScoreCache.synchronized {
+      var m = lmScoreCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        lmScoreCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir,
+      _ => lmScoredOn(Tables.documents(s, dir)).localCheckpoint(true))
+  }
 
   /** LM scorer over an arbitrary (doc_id, text, lang) frame — the
     * pipeline capstone trains on ITS stage-1 survivors, not the raw
@@ -485,7 +513,13 @@ object Curation {
   }
 
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    // The signature chain is the query's linear floor and is read FOUR
+    // times downstream (the broadcast-decision count, the batch side of
+    // both candidate joins, and the index side) — materialize it once;
+    // the joins then re-read 4 small rows per doc instead of replaying
+    // the text scan + md5 kernel per consumer.
     val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
+      .localCheckpoint(true)
     val batch = sigs.filter(col("doc_id") % 5 === 0)
     val index = sigs.filter(col("doc_id") % 5 =!= 0)
     incrementalCandidates(batch, index)

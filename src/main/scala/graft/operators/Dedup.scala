@@ -33,6 +33,17 @@ object Dedup {
     """SELECT md5(text) AS fp, count(*)::BIGINT AS cnt, min(doc_id) AS first_doc
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
+  /** Candidate-pair volume of the (band, sig) bucket self-join —
+    * Σ_bucket c·(c−1)/2 — the number [[PairGuard]] prices before any
+    * LSH pair contract may run exact. One group-count + one sum over an
+    * already-materialized signature frame; runs as a driver-blocking
+    * job labeled `pair_guard_census` in the metrics sink.
+    */
+  private def lshPairCensus(sigs: DataFrame): Long =
+    sigs.groupBy("band", "sig").count()
+      .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
+      .head().getLong(0)
+
   /** MinHash-LSH candidate pairs: 4 bands, signature = min md5 over
     * salted 3-token shingles. Docs collide only within a (band, sig)
     * bucket, so the self-join is bucket-local — the scale-safe shape of
@@ -49,16 +60,18 @@ object Dedup {
     // exact rows row-for-row, and bands_matched between surviving reps
     // is EXACT (dropping other family members never changes whether two
     // docs collide in a band).
+    //
+    // The signature chain (shingle scan + per-band min) is the dominant
+    // linear cost, so it is materialized ONCE and the census, the pair
+    // join, and (routed) the family key all derive from the same frame.
+    // The round-10 shape recomputed the chain for the census and again
+    // for the exact join — doubling the floor precisely in the common
+    // small-corpus case the cap waves through (measured: sf0.1 best-of
+    // 0.86 → 1.44 s).
     val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
-    val exact = PairGuard.allowExact(s, "q_dedup_minhash_lsh") {
-      sigs.groupBy("band", "sig").count()
-        .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
-        .head().getLong(0)
-    }
-    val src = if (exact) sigs else {
-      val kept = sigs.localCheckpoint(true) // reused: family key + pair join
-      kept.join(familyReps(kept), Seq("doc_id"))
-    }
+      .localCheckpoint(true)
+    val exact = PairGuard.allowExact(s, "q_dedup_minhash_lsh")(lshPairCensus(sigs))
+    val src = if (exact) sigs else sigs.join(familyReps(sigs), Seq("doc_id"))
     val a = src.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = src.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
@@ -209,8 +222,15 @@ object Dedup {
     * `parseLong(md5hex[0,15), 16)` is exactly the oracles'
     * `('0x' || substr(md5(shingle), 1, 15))::BIGINT`), then a narrow
     * posexplode emits the 4 band rows with the set alongside.
+    *
+    * Split per-doc / explode so the ONE-row-per-doc stage (sh stored
+    * once, not 4×) is what gets localCheckpoint'ed: the census, the
+    * exact pair join, the family key, and the routed rep join all
+    * re-read the checkpoint instead of replaying the text scan + md5
+    * kernel chain (the round-10 shape ran that chain twice on the
+    * exact path and twice again in sampled mode).
     */
-  private def sigSetFrame(docs: DataFrame): DataFrame = {
+  private def sigSetPerDoc(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val sigsCol = ColumnBridge.column(
       graft.functions.expressions.MinhashSigsExpr(
@@ -222,10 +242,14 @@ object Dedup {
     Tables.spread(docs)
       .select(col("doc_id"), sigsCol.as("sigs"), shCol.as("sh"))
       .filter(col("sigs").isNotNull)
+  }
+
+  /** (doc_id, sh, band, sig) rows off a [[sigSetPerDoc]] frame. */
+  private def explodeSigSet(perDoc: DataFrame): DataFrame =
+    perDoc
       .select(col("doc_id"), col("sh"), posexplode(col("sigs")))
       .select(col("doc_id"), col("sh"),
         col("pos").cast("long").as("band"), col("col").as("sig"))
-  }
 
   /** Shared estimate-vs-true audit body: bucket-local pair formation
     * with TRUE Jaccard computed AT THE JOIN, where both docs' sets are
@@ -289,17 +313,17 @@ object Dedup {
     // group count); past the cap it routes to the family-capped
     // representative selection the sampled leg pins — routed output ⊆
     // full output row-for-row, each family still measured through one
-    // surviving within-family pair.
-    val exact = PairGuard.allowExact(s, "q_minhash_estimate") {
-      TextAnalysisShared.bandedMinhashSigs(docs, 4)
-        .groupBy("band", "sig").count()
-        .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
-        .head().getLong(0)
-    }
-    if (exact) calibratePairs(sigSetFrame(docs))
+    // surviving within-family pair. One kernel pass total: census,
+    // family key, and both branches' pair joins read the per-doc
+    // checkpoint (see [[sigSetPerDoc]]).
+    val perDoc = sigSetPerDoc(docs).localCheckpoint(true)
+    val sigSets = explodeSigSet(perDoc)
+    val exact = PairGuard.allowExact(s, "q_minhash_estimate")(
+      lshPairCensus(sigSets.select("doc_id", "band", "sig")))
+    if (exact) calibratePairs(sigSets)
     else {
-      val reps = familyReps(TextAnalysisShared.bandedMinhashSigs(docs, 4))
-      calibratePairs(sigSetFrame(docs.join(reps, Seq("doc_id"))))
+      val reps = familyReps(sigSets.select("doc_id", "band", "sig"))
+      calibratePairs(explodeSigSet(perDoc.join(reps, Seq("doc_id"))))
     }
   }
 
@@ -327,18 +351,14 @@ object Dedup {
   private val MinhashFamilyCap = 2
 
   private def minhashEstimateSampled(s: SparkSession, dir: String): DataFrame = {
-    // The signature chain (shingle explode + per-band min) is the
-    // linear-cost floor of this query; it feeds both the family key
-    // and the representative bucket join, so materialize it once —
-    // 4 small rows per doc — instead of replaying the explode twice.
-    val sigs = TextAnalysisShared
-      .bandedMinhashSigs(Tables.documents(s, dir), 4)
-      .localCheckpoint(true)
-    val reps = familyReps(sigs)
-    // Pair formation + true Jaccard over representatives only, through
-    // the same join-local audit body as full mode (the rep kernel pass
-    // re-derives the same signatures the family key was built from).
-    calibratePairs(sigSetFrame(Tables.documents(s, dir).join(reps, Seq("doc_id"))))
+    // The signature chain is the linear-cost floor of this query; the
+    // per-doc checkpoint feeds the family key AND the representatives'
+    // pair join, so the text scan + md5 kernel runs ONCE (the prior
+    // shape checkpointed sigs for the family key but re-ran the whole
+    // kernel chain to rebuild the reps' shingle sets).
+    val perDoc = sigSetPerDoc(Tables.documents(s, dir)).localCheckpoint(true)
+    val sigs = explodeSigSet(perDoc).select("doc_id", "band", "sig")
+    calibratePairs(explodeSigSet(perDoc.join(familyReps(sigs), Seq("doc_id"))))
   }
 
   /** Calibration oracle, parameterized by the CTE that defines the
@@ -511,20 +531,61 @@ object Dedup {
   // on doc_id/(anchor, neg) — nothing is all-pairs.
   private val CtrPosPerAnchor = 4
 
+  /** Routed-mode family cap for the pair queries: keep the top
+    * `CtrPosPerAnchor + 1` members of each complete-signature family,
+    * ranked by the SAME positive-only key ([[posRankKey]]) the
+    * per-anchor positive window orders by. +1 because an anchor's own
+    * family contributes the anchor itself as a surviving member: any
+    * candidate in an anchor's exact top-4 sits at rank ≤ 5 inside its
+    * family — were it ranked 6th or worse, ≥ 5 better-keyed family
+    * mates (at most one of which is the anchor) would precede it in
+    * the anchor's window and it could not be top-4.
+    */
+  private val CtrFamilyCap = CtrPosPerAnchor + 1
+
+  /** The positive-ranking key: a hash of the POSITIVE id alone. A
+    * pair-dependent key (round 10 hashed `anchor>positive`) makes the
+    * per-anchor winners depend on which candidates were formed, so no
+    * bounded formation can preserve them; a positive-only key makes
+    * the top-4 a property of the candidate SET, and family-capped
+    * formation (cap ≥ top-k + 1, same key) provably contains every
+    * anchor's exact winners — the routed ⊆ exact contract the other
+    * guarded legs pin.
+    */
+  private def posRankKey(c: Column): Column =
+    TextAnalysisShared.hash64(c.cast("string"))
+
   /** Both orientations of the ≥ 2-band LSH pairs, CAPPED at
     * `CtrPosPerAnchor` positives per anchor (deterministic spread by
-    * the shared hash, not first-ids). On a heavily duplicated corpus an
-    * anchor can have hundreds of near-dup partners — a training set
-    * neither needs nor survives the quadratic emission (measured: the
-    * uncapped pair frame put q_contrastive_pairs at 93 s and
-    * q_hard_negatives at 167 s on the ~96%-near-dup ×30 upsample; the
-    * cap bounds per-anchor work at ANY duplication factor).
+    * the shared hash of the positive id, not first-ids). On a heavily
+    * duplicated corpus an anchor can have hundreds of near-dup
+    * partners — a training set neither needs nor survives the
+    * quadratic emission (measured: the uncapped pair frame put
+    * q_contrastive_pairs at 93 s and q_hard_negatives at 167 s on the
+    * ~96%-near-dup ×30 upsample; the cap bounds per-anchor OUTPUT at
+    * any duplication factor).
+    *
+    * Candidate-pair FORMATION is still quadratic in family size before
+    * the cap can drop anything (m²/2 per m-copy family; 128/126 s at
+    * ×100, and unbounded on a pre-dedup crawl), so it runs behind
+    * [[PairGuard]] like every other pair contract: past the cap,
+    * pairs form over the ≤ [[CtrFamilyCap]] best-keyed members of each
+    * complete-signature family. Family members share every band
+    * signature, so an anchor's candidate set is a union of whole
+    * families and collision (≥ 2 bands) is family-level; with
+    * formation capped at top-5 per family BY THE POSITIVE KEY, every
+    * surviving anchor's top-4 positives are provably the exact ones —
+    * routed output = exact output restricted to surviving anchors,
+    * row-for-row (`PairGuardSpec` pins it).
     */
-  private def cappedAnchorPairs(docs: DataFrame): DataFrame = {
+  private def cappedAnchorPairs(s: SparkSession, docs: DataFrame,
+      query: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
-    val pairs = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-      .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4).localCheckpoint(true)
+    val exact = PairGuard.allowExact(s, query)(lshPairCensus(sigs))
+    val src = if (exact) sigs else sigs.join(pairFamilyReps(sigs), Seq("doc_id"))
+    val pairs = src.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(src.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
         Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(countDistinct("band").as("bands"))
@@ -532,10 +593,25 @@ object Dedup {
     pairs.select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
       .union(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("positive")))
       .withColumn("prn", row_number().over(Window.partitionBy("anchor")
-        .orderBy(TextAnalysisShared.hash64(concat(col("anchor").cast("string"),
-          lit(">"), col("positive").cast("string"))), col("positive"))))
+        .orderBy(posRankKey(col("positive")), col("positive"))))
       .filter(col("prn") <= CtrPosPerAnchor)
       .select("anchor", "positive")
+  }
+
+  /** Top-[[CtrFamilyCap]] members of each complete-signature family by
+    * ([[posRankKey]], doc_id) — the routed-mode formation set for the
+    * training-pair queries. Same family key as [[familyReps]], but the
+    * rank key MUST match the positive window's or the preservation
+    * argument above collapses.
+    */
+  private def pairFamilyReps(sigs: DataFrame): DataFrame = {
+    val fam = sigs.groupBy("doc_id")
+      .agg(concat_ws("_", array_sort(collect_list(
+        concat(col("band"), lit(":"), col("sig"))))).as("fam"))
+    fam.withColumn("rn", row_number().over(
+        Window.partitionBy("fam").orderBy(posRankKey(col("doc_id")), col("doc_id"))))
+      .filter(col("rn") <= CtrFamilyCap)
+      .select("doc_id")
   }
 
   /** The capped-pair CTE chain (through `pos`), shared by both pair
@@ -564,7 +640,7 @@ object Dedup {
        |pos AS (
        |  SELECT anchor, positive FROM (
        |    SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY
-       |      ('0x' || substr(md5(anchor || '>' || positive), 1, 15))::BIGINT,
+       |      ('0x' || substr(md5(positive::VARCHAR), 1, 15))::BIGINT,
        |      positive) AS prn
        |    FROM posu)
        |  WHERE prn <= $CtrPosPerAnchor)""".stripMargin
@@ -575,7 +651,8 @@ object Dedup {
   private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val pos = cappedAnchorPairs(docs).localCheckpoint(true) // read 2x (cand + anti)
+    val pos = cappedAnchorPairs(s, docs, "q_contrastive_pairs")
+      .localCheckpoint(true) // read 2x (cand + anti)
     val nd = docs.agg(count(lit(1)).as("n"))
     val cand = pos
       .select(col("anchor"), col("positive"),
@@ -633,7 +710,8 @@ object Dedup {
   private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val pos = cappedAnchorPairs(docs).localCheckpoint(true) // read 2x (cand + anti)
+    val pos = cappedAnchorPairs(s, docs, "q_hard_negatives")
+      .localCheckpoint(true) // read 2x (cand + anti)
     val buckets = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         graft.functions.VectorFunctions.signBucket(col("embedding"), 8).as("bucket"))

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Guard rails for the exact all-pairs query contracts.
   *
-  * Three queries in the suite carry an EXACT quadratic output contract
-  * (`q_semantic_dedup`, `q_dedup_embedding`, `q_minhash_estimate`):
+  * Six queries in the suite carry a quadratic pair stage
+  * (`q_semantic_dedup`, `q_dedup_embedding`, `q_minhash_estimate`,
+  * `q_dedup_minhash_lsh`, `q_contrastive_pairs`, `q_hard_negatives`):
   * their pair volume grows with the square of the duplicate-family /
   * block size, which is precisely the quantity a 100 TB corpus is worst
   * at. Round 9 measured the failure concretely — the calibration pair
@@ -33,7 +34,10 @@ import org.apache.spark.sql.SparkSession
   * The estimate itself is linear (a group-count + one sum) and runs as
   * a driver-blocking job at plan-construction time, so Bench timings
   * charge it to the guarded query — the guard is part of the query's
-  * honest cost.
+  * honest cost. The census job is labeled `pair_guard_census` in the
+  * metrics sink ([[graft.observability.Metrics.withOp]]) so an
+  * op-metrics roll-up attributes guard overhead to the guard, not to
+  * the query body it protects.
   */
 object PairGuard {
 
@@ -54,7 +58,7 @@ object PairGuard {
     val mode = s.conf.get(ModeConf, "route")
     if (mode == "exact") return true
     val cap = s.conf.get(MaxPairsConf, DefaultMaxPairs.toString).toLong
-    val est = estimate
+    val est = graft.observability.Metrics.withOp(s, "pair_guard_census")(estimate)
     if (est <= cap) true
     else if (mode == "fail") {
       throw new IllegalStateException(

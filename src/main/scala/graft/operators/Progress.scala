@@ -93,13 +93,18 @@ object Progress {
 
   /** Dependency edges (item_id blocked_by blocker): every 13th item
     * blocks on a deterministic earlier item, every 26th on a second one
-    * — targets stay inside the contiguous id domain at any SF.
+    * — targets stay inside the contiguous id domain at any SF. The
+    * second edge's offset is 9: e1's offset is 1 + id % 7 ∈ [1, 8], so
+    * the two blockers can never coincide and blocked_by_count always
+    * counts DISTINCT blockers (an earlier offset of 5 collided with e1
+    * whenever id % 7 = 4 — ids 130, 312, 494, … double-counted one
+    * blocker).
     */
   private[operators] def blockedByEdges(items: DataFrame): DataFrame = {
     val e1 = items.filter(col("item_id") % 13 === 0 && col("item_id") >= 13)
       .select(col("item_id"), (col("item_id") - 1 - (col("item_id") % 7)).as("blocker"))
     val e2 = items.filter(col("item_id") % 26 === 0 && col("item_id") >= 26)
-      .select(col("item_id"), (col("item_id") - 5).as("blocker"))
+      .select(col("item_id"), (col("item_id") - 9).as("blocker"))
     e1.unionByName(e2)
   }
 
@@ -108,7 +113,7 @@ object Progress {
       |  SELECT item_id, item_id - 1 - (item_id % 7) AS blocker
       |  FROM items WHERE item_id % 13 = 0 AND item_id >= 13
       |  UNION ALL
-      |  SELECT item_id, item_id - 5 AS blocker
+      |  SELECT item_id, item_id - 9 AS blocker
       |  FROM items WHERE item_id % 26 = 0 AND item_id >= 26)""".stripMargin
 
   /** Items + blocking degree + actionability: the ledger every other

@@ -50,7 +50,11 @@ class ObservabilitySpec extends SparkSpec {
       // REAL capture.
       val dir = java.nio.file.Files.createTempDirectory("opmetrics").toString + "/ops"
       sink.flush(spark, dir)
-      assert(sink.snapshot().isEmpty, "flush must drain the buffer")
+      // flush drains with poll(), so records enqueued DURING the flush
+      // (e.g. the flush's own parquet write) may land after it — only
+      // the pre-flush spec records must be gone.
+      assert(sink.snapshot().forall(r => !r.op.startsWith("spec_")),
+        "flush must drain the buffered records")
       val table = spark.read.parquet(dir)
       val report = Metrics.rollup(table)
       assert(report.columns.toSeq == Seq("op", "calls", "ok_calls", "err_calls",
@@ -69,6 +73,22 @@ class ObservabilitySpec extends SparkSpec {
       val calls2 = Metrics.rollup(spark.read.parquet(dir))
         .filter(col("op") === "spec_shuffle_op").head().getAs[Long]("calls")
       assert(calls2 > row.getAs[Long]("calls"))
+    } finally spark.listenerManager.unregister(sink)
+  }
+
+  test("pair-guard census surfaces as its own labeled op") {
+    // The guard's volume estimate is a driver-blocking job at plan
+    // time; it must be attributed to `pair_guard_census`, not to the
+    // query body it protects, so bench deltas on guarded queries can
+    // separate guard overhead from query cost.
+    val sink = new MetricsSink
+    spark.listenerManager.register(sink)
+    try {
+      graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, Sf).collect()
+      awaitRecords(sink, "pair_guard_census", 1)
+      val rec = sink.snapshot().find(_.op == "pair_guard_census")
+      assert(rec.nonEmpty, "guard census must appear under its own op label")
+      assert(rec.get.status == "ok")
     } finally spark.listenerManager.unregister(sink)
   }
 }

@@ -90,10 +90,37 @@ class PairGuardSpec extends SparkSpec {
     }
   }
 
+  test("routed training-pair queries: exact rows, complete per surviving anchor") {
+    // The positive-only rank key makes each anchor's top-4 positives a
+    // property of the candidate SET, and the top-5-per-family formation
+    // cap (same key) provably contains every anchor's winners — so the
+    // routed output must be the exact output RESTRICTED to surviving
+    // anchors, bit-for-bit: a row-for-row subset overall, and for every
+    // anchor the routed leg keeps, ALL of that anchor's exact rows.
+    for (name <- Seq("q_contrastive_pairs", "q_hard_negatives")) {
+      val exact = run(name)
+      forceRoute {
+        val routed = run(name)
+        assert(routed.columns.toSeq == exact.columns.toSeq, s"$name schema")
+        assert(routed.join(exact, routed.columns.toSeq, "left_anti").count() == 0,
+          s"$name: routed rows must appear verbatim in the exact output")
+        val anchors = routed.select("anchor").distinct()
+        val exactForSurvivors = exact.join(anchors, Seq("anchor"))
+          .select(routed.columns.map(col): _*)
+        assert(exactForSurvivors.exceptAll(routed).count() == 0 &&
+          routed.exceptAll(exactForSurvivors).count() == 0,
+          s"$name: a surviving anchor lost or changed one of its exact rows")
+        assert(routed.count() > 0, s"$name: family reps must keep some anchors")
+      }
+    }
+  }
+
   test("mode=fail refuses loudly; mode=exact overrides the cap") {
     withConf(PairGuard.MaxPairsConf -> "0", PairGuard.ModeConf -> "fail") {
       val e = intercept[IllegalStateException](run("q_dedup_embedding"))
       assert(e.getMessage.contains("q_dedup_embedding"))
+      val e2 = intercept[IllegalStateException](run("q_contrastive_pairs"))
+      assert(e2.getMessage.contains("q_contrastive_pairs"))
     }
     val exact = run("q_dedup_embedding")
     withConf(PairGuard.MaxPairsConf -> "0", PairGuard.ModeConf -> "exact") {

@@ -114,4 +114,18 @@ class ProgressSpec extends SparkSpec {
     val unblockSum = out.agg(sum("unblocks")).head().getLong(0)
     assert(unblockSum == edgeCount)
   }
+
+  test("edges are distinct blockers: both of a 26-multiple's edges differ") {
+    // e1's offset is 1 + id % 7; e2's is 9 — never equal, so every
+    // 26-multiple counts exactly 2 DISTINCT blockers (the old offset 5
+    // collided at id % 7 = 4 and double-counted one blocker).
+    val edges = Progress.blockedByEdges(Progress.workItems(spark, Sf))
+    val dup = edges.groupBy("item_id", "blocker").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0, "duplicate (item, blocker) edge")
+    val out = run("q_work_items")
+    assert(out.filter(col("item_id") % 26 === 0 && col("item_id") >= 26 &&
+      col("blocked_by_count") =!= 2).count() == 0,
+      "every 26-multiple must have exactly 2 distinct blockers")
+  }
 }
