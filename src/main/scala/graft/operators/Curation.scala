@@ -520,8 +520,28 @@ object Curation {
     // the text scan + md5 kernel per consumer.
     val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
       .localCheckpoint(true)
-    val batch = sigs.filter(col("doc_id") % 5 === 0)
-    val index = sigs.filter(col("doc_id") % 5 =!= 0)
+    // The candidate OUTPUT is one row per (batch doc, bucket partner) —
+    // quadratic in duplicate-family size like every LSH pair contract
+    // (measured: the join, not the sig build, was 50 of the 57 s at
+    // ×100 — the sig+census floor is ~6 s in the sibling queries). Same
+    // [[PairGuard]] discipline: price Σ_bucket (b·i + b·(b−1)/2) off
+    // the checkpointed frame; past the cap, dedupe the batch through
+    // the ≤2 hash-ranked representatives per complete-signature family
+    // ([[Dedup.familyReps]]) — pairs between survivors keep exact
+    // bands_matched and origin, so routed rows ⊆ exact rows
+    // row-for-row, each family still detected through one surviving
+    // candidate pair.
+    val exact = PairGuard.allowExact(s, "q_dedup_incremental") {
+      sigs.withColumn("isb", (col("doc_id") % 5 === 0).cast("long"))
+        .groupBy("band", "sig")
+        .agg(sum(col("isb")).as("b"), sum(lit(1L) - col("isb")).as("i"))
+        .agg(coalesce(sum(col("b") * col("i") +
+          expr("b * (b - 1) DIV 2")), lit(0L)))
+        .head().getLong(0)
+    }
+    val src = if (exact) sigs else sigs.join(Dedup.familyReps(sigs), Seq("doc_id"))
+    val batch = src.filter(col("doc_id") % 5 === 0)
+    val index = src.filter(col("doc_id") % 5 =!= 0)
     incrementalCandidates(batch, index)
       .groupBy("doc_new", "doc_other", "origin")
       .agg(count(lit(1)).as("bands_matched"))

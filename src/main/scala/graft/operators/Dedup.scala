@@ -292,7 +292,7 @@ object Dedup {
     * signature family) — the sampled leg's selection, shared with the
     * guard-routed full leg. `sigs` is the (doc_id, band, sig) frame.
     */
-  private def familyReps(sigs: DataFrame): DataFrame = {
+  private[operators] def familyReps(sigs: DataFrame): DataFrame = {
     val fam = sigs.groupBy("doc_id")
       .agg(concat_ws("_", array_sort(collect_list(
         concat(col("band"), lit(":"), col("sig"))))).as("fam"))

@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Guard rails for the exact all-pairs query contracts.
   *
-  * Six queries in the suite carry a quadratic pair stage
+  * Seven queries in the suite carry a quadratic pair stage
   * (`q_semantic_dedup`, `q_dedup_embedding`, `q_minhash_estimate`,
-  * `q_dedup_minhash_lsh`, `q_contrastive_pairs`, `q_hard_negatives`):
+  * `q_dedup_minhash_lsh`, `q_contrastive_pairs`, `q_hard_negatives`,
+  * `q_dedup_incremental`):
   * their pair volume grows with the square of the duplicate-family /
   * block size, which is precisely the quantity a 100 TB corpus is worst
   * at. Round 9 measured the failure concretely — the calibration pair

@@ -115,6 +115,18 @@ class PairGuardSpec extends SparkSpec {
     }
   }
 
+  test("routed q_dedup_incremental is a row-for-row subset of the exact candidates") {
+    val full = run("q_dedup_incremental")
+    forceRoute {
+      val routed = run("q_dedup_incremental")
+      assert(routed.columns.toSeq == full.columns.toSeq)
+      assert(routed.join(full,
+        Seq("doc_new", "doc_other", "origin", "bands_matched"), "left_anti").count() == 0,
+        "routed candidates (bands_matched and origin included) must appear verbatim in the exact output")
+      assert(routed.count() > 0, "family reps must keep some candidate pairs")
+    }
+  }
+
   test("mode=fail refuses loudly; mode=exact overrides the cap") {
     withConf(PairGuard.MaxPairsConf -> "0", PairGuard.ModeConf -> "fail") {
       val e = intercept[IllegalStateException](run("q_dedup_embedding"))
