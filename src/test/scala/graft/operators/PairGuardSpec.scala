@@ -127,6 +127,46 @@ class PairGuardSpec extends SparkSpec {
     }
   }
 
+  test("routed training pairs preserve winners when families EXCEED the formation cap") {
+    // The sf0.001 corpus's largest complete-signature family has 4
+    // members — under the top-5-per-family cap — so the subset test
+    // above never actually drops anyone. This corpus does: every
+    // document duplicated into a 12-copy exact family (ids shifted by
+    // k·n, text verbatim), the regime the preservation argument is FOR
+    // (any exact top-4 member must sit at family rank ≤ 5 by the
+    // shared positive key; ranks 6–12 are droppable by construction).
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pairfam").toString
+    val docs = graft.io.Tables.documents(spark, Sf)
+    val emb = graft.io.Tables.embeddings(spark, Sf)
+    val n = docs.count()
+    val copies = 12
+    val up = (0 until copies).map(k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * n)))
+      .reduce(_ unionByName _)
+    up.write.parquet(s"$dir/documents.parquet")
+    (0 until copies).map(k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * n)))
+      .reduce(_ unionByName _)
+      .write.parquet(s"$dir/embeddings.parquet")
+    for (name <- Seq("q_contrastive_pairs", "q_hard_negatives")) {
+      val exact = SparkEntry.queries(name)(spark, dir)
+      forceRoute {
+        val routed = SparkEntry.queries(name)(spark, dir)
+        val survivors = routed.select("anchor").distinct()
+        assert(survivors.count() > 0 && survivors.count() < exact.select("anchor").distinct().count(),
+          s"$name: the cap must actually drop some anchors on 12-copy families")
+        assert(routed.join(exact, routed.columns.toSeq, "left_anti").count() == 0,
+          s"$name: routed rows must appear verbatim in the exact output")
+        val exactForSurvivors = exact.join(survivors, Seq("anchor"))
+          .select(routed.columns.map(col): _*)
+        assert(exactForSurvivors.exceptAll(routed).count() == 0 &&
+          routed.exceptAll(exactForSurvivors).count() == 0,
+          s"$name: a surviving anchor lost or changed one of its exact rows")
+      }
+    }
+  }
+
   test("mode=fail refuses loudly; mode=exact overrides the cap") {
     withConf(PairGuard.MaxPairsConf -> "0", PairGuard.ModeConf -> "fail") {
       val e = intercept[IllegalStateException](run("q_dedup_embedding"))
