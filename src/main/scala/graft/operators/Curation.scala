@@ -517,9 +517,9 @@ object Curation {
     // times downstream (the broadcast-decision count, the batch side of
     // both candidate joins, and the index side) — materialize it once;
     // the joins then re-read 4 small rows per doc instead of replaying
-    // the text scan + md5 kernel per consumer.
-    val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
-      .localCheckpoint(true)
+    // the text scan + md5 kernel per consumer (session-memoized:
+    // [[TextAnalysisShared.cachedDocSigs]]).
+    val sigs = TextAnalysisShared.cachedDocSigs(s, dir)
     // The candidate OUTPUT is one row per (batch doc, bucket partner) —
     // quadratic in duplicate-family size like every LSH pair contract
     // (measured: the join, not the sig build, was 50 of the 57 s at

@@ -67,9 +67,9 @@ object Dedup {
     // The round-10 shape recomputed the chain for the census and again
     // for the exact join — doubling the floor precisely in the common
     // small-corpus case the cap waves through (measured: sf0.1 best-of
-    // 0.86 → 1.44 s).
-    val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(s, dir), 4)
-      .localCheckpoint(true)
+    // 0.86 → 1.44 s). Session-memoized: five queries sign the same raw
+    // table ([[TextAnalysisShared.cachedDocSigs]]).
+    val sigs = TextAnalysisShared.cachedDocSigs(s, dir)
     val exact = PairGuard.allowExact(s, "q_dedup_minhash_lsh")(lshPairCensus(sigs))
     val src = if (exact) sigs else sigs.join(familyReps(sigs), Seq("doc_id"))
     val a = src.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
@@ -244,6 +244,31 @@ object Dedup {
       .filter(col("sigs").isNotNull)
   }
 
+  /** Per-(session, dir) memo of the CHECKPOINTED per-doc (sigs, sh)
+    * frame over the raw table — both calibration legs
+    * (q_minhash_estimate, q_minhash_estimate_sampled) consume it, and
+    * each used to replay the text-scan + two-kernel projection per
+    * construction. Same discipline and opt-out conf as
+    * [[TextAnalysisShared.cachedDocSigs]].
+    */
+  private val sigSetCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def cachedSigSetPerDoc(s: SparkSession, dir: String): DataFrame = {
+    def build() = sigSetPerDoc(Tables.documents(s, dir)).localCheckpoint(true)
+    if (!s.conf.get("spark.graft.sig.cache", "true").toBoolean) return build()
+    val perSession = sigSetCache.synchronized {
+      var m = sigSetCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        sigSetCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ => build())
+  }
+
   /** (doc_id, sh, band, sig) rows off a [[sigSetPerDoc]] frame. */
   private def explodeSigSet(perDoc: DataFrame): DataFrame =
     perDoc
@@ -315,8 +340,9 @@ object Dedup {
     // full output row-for-row, each family still measured through one
     // surviving within-family pair. One kernel pass total: census,
     // family key, and both branches' pair joins read the per-doc
-    // checkpoint (see [[sigSetPerDoc]]).
-    val perDoc = sigSetPerDoc(docs).localCheckpoint(true)
+    // checkpoint (see [[sigSetPerDoc]]; session-memoized with the
+    // sampled leg).
+    val perDoc = cachedSigSetPerDoc(s, dir)
     val sigSets = explodeSigSet(perDoc)
     val exact = PairGuard.allowExact(s, "q_minhash_estimate")(
       lshPairCensus(sigSets.select("doc_id", "band", "sig")))
@@ -355,8 +381,9 @@ object Dedup {
     // per-doc checkpoint feeds the family key AND the representatives'
     // pair join, so the text scan + md5 kernel runs ONCE (the prior
     // shape checkpointed sigs for the family key but re-ran the whole
-    // kernel chain to rebuild the reps' shingle sets).
-    val perDoc = sigSetPerDoc(Tables.documents(s, dir)).localCheckpoint(true)
+    // kernel chain to rebuild the reps' shingle sets). Session-memoized
+    // with the full leg.
+    val perDoc = cachedSigSetPerDoc(s, dir)
     val sigs = explodeSigSet(perDoc).select("doc_id", "band", "sig")
     calibratePairs(explodeSigSet(perDoc.join(familyReps(sigs), Seq("doc_id"))))
   }
@@ -578,10 +605,10 @@ object Dedup {
     * routed output = exact output restricted to surviving anchors,
     * row-for-row (`PairGuardSpec` pins it).
     */
-  private def cappedAnchorPairs(s: SparkSession, docs: DataFrame,
+  private def cappedAnchorPairs(s: SparkSession, dir: String,
       query: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4).localCheckpoint(true)
+    val sigs = TextAnalysisShared.cachedDocSigs(s, dir)
     val exact = PairGuard.allowExact(s, query)(lshPairCensus(sigs))
     val src = if (exact) sigs else sigs.join(pairFamilyReps(sigs), Seq("doc_id"))
     val pairs = src.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
@@ -651,7 +678,7 @@ object Dedup {
   private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val pos = cappedAnchorPairs(s, docs, "q_contrastive_pairs")
+    val pos = cappedAnchorPairs(s, dir, "q_contrastive_pairs")
       .localCheckpoint(true) // read 2x (cand + anti)
     val nd = docs.agg(count(lit(1)).as("n"))
     val cand = pos
@@ -710,7 +737,7 @@ object Dedup {
   private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val pos = cappedAnchorPairs(s, docs, "q_hard_negatives")
+    val pos = cappedAnchorPairs(s, dir, "q_hard_negatives")
       .localCheckpoint(true) // read 2x (cand + anti)
     val buckets = Tables.embeddings(s, dir)
       .select(col("vec_id"),
@@ -887,6 +914,38 @@ private[graft] object TextAnalysisShared {
       .filter(col("sigs").isNotNull)
       .select(col("doc_id"), posexplode(col("sigs")))
       .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("sig"))
+  }
+
+  /** Per-(session, dir) memo of the CHECKPOINTED 4-band signature
+    * frame over the raw documents table — the same discipline as
+    * `Curation.lmScored`'s score cache: five named queries
+    * (dedup_minhash_lsh, dedup_incremental, contrastive_pairs,
+    * hard_negatives, and the estimate legs via [[graft.operators]]
+    * callers) each rebuild the identical text-scan + md5 kernel chain
+    * per construction; within one session the first consumer pays and
+    * the rest re-read 4 small rows per doc. Weak session keys;
+    * `spark.graft.sig.cache=false` opts out for a session that mutates
+    * the table under a fixed path. Only the raw-table chain is memoized
+    * — callers signing a DERIVED frame (pipeline stages, streaming
+    * batches) still call [[bandedMinhashSigs]] directly.
+    */
+  private val sigCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def cachedDocSigs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    def build() =
+      bandedMinhashSigs(Tables.documents(s, dir), 4).localCheckpoint(true)
+    if (!s.conf.get("spark.graft.sig.cache", "true").toBoolean) return build()
+    val perSession = sigCache.synchronized {
+      var m = sigCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        sigCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ => build())
   }
 
   /** The pre-kernel explode + multi-min-groupBy formulation, kept as
