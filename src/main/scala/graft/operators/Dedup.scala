@@ -454,7 +454,8 @@ object Dedup {
   // two bounded aggregates.
   private def dedupClusterHist(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val labeled = Lifecycle.minhashCcLabels(docs)
+    val labeled = Lifecycle.minhashCcLabelsFromSigs(
+      TextAnalysisShared.cachedDocSigs(s, dir))
     val sizes = docs.select(col("doc_id"))
       .join(labeled, col("doc_id") === col("node"), "left")
       .select(coalesce(col("comp"), col("doc_id")).as("comp"))
@@ -918,12 +919,13 @@ private[graft] object TextAnalysisShared {
 
   /** Per-(session, dir) memo of the CHECKPOINTED 4-band signature
     * frame over the raw documents table — the same discipline as
-    * `Curation.lmScored`'s score cache: five named queries
+    * `Curation.lmScored`'s score cache: seven named queries
     * (dedup_minhash_lsh, dedup_incremental, contrastive_pairs,
-    * hard_negatives, and the estimate legs via [[graft.operators]]
-    * callers) each rebuild the identical text-scan + md5 kernel chain
-    * per construction; within one session the first consumer pays and
-    * the rest re-read 4 small rows per doc. Weak session keys;
+    * hard_negatives, and the three CC cluster-family queries via
+    * `Lifecycle.minhashCcLabelsFromSigs`) each rebuilt the identical
+    * text-scan + md5 kernel chain per construction; within one session
+    * the first consumer pays and the rest re-read 4 small rows per
+    * doc. Weak session keys;
     * `spark.graft.sig.cache=false` opts out for a session that mutates
     * the table under a fixed path. Only the raw-table chain is memoized
     * — callers signing a DERIVED frame (pipeline stages, streaming

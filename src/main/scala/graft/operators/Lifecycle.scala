@@ -126,8 +126,15 @@ object Lifecycle {
     * not duplicate candidates). Shared by the consolidation merge here
     * and Selection's canonical-doc pick.
     */
-  private[operators] def minhashCcLabels(docs: DataFrame): DataFrame = {
-    val sigs = TextAnalysisShared.bandedMinhashSigs(docs, 4)
+  private[operators] def minhashCcLabels(docs: DataFrame): DataFrame =
+    minhashCcLabelsFromSigs(TextAnalysisShared.bandedMinhashSigs(docs, 4))
+
+  /** Same, over a pre-built (doc_id, band, sig) frame — the three
+    * cluster-family queries pass the session-memoized
+    * [[TextAnalysisShared.cachedDocSigs]] so the signature chain runs
+    * once per session instead of once per query.
+    */
+  private[operators] def minhashCcLabelsFromSigs(sigs: DataFrame): DataFrame = {
     val memberships = sigs
       .select(col("doc_id"), concat_ws("|", col("band"), col("sig")).as("bucket"))
     val sharedBuckets = memberships.groupBy("bucket")
@@ -162,7 +169,8 @@ object Lifecycle {
 
   private def consolidateMerge(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    minhashCcLabels(docs).join(docs, col("node") === col("doc_id"))
+    minhashCcLabelsFromSigs(TextAnalysisShared.cachedDocSigs(s, dir))
+      .join(docs, col("node") === col("doc_id"))
       .groupBy("comp")
       .agg(count(lit(1)).as("group_size"),
         min("doc_id").as("rep_doc"),

@@ -546,7 +546,8 @@ object Selection {
 
   private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val labeled = Lifecycle.minhashCcLabels(docs)
+    val labeled = Lifecycle.minhashCcLabelsFromSigs(
+      TextAnalysisShared.cachedDocSigs(s, dir))
       .join(docs, col("node") === col("doc_id"))
     // Per-cluster argmax by (n_chars desc, doc_id): the canonical copy
     // is the longest member, deterministically tie-broken. One
