@@ -94,6 +94,37 @@ object Curation {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
+  /** Per-(session, dir) memo of the top-64k bigram count table over the
+    * raw table's en slice — the ONE model table both the add-one chain
+    * and q_lm_kneser_ney derive every statistic from (identical cap and
+    * (count desc, bigram) order in both, and in both oracles). Shares
+    * the score cache's opt-out conf.
+    */
+  private val bigcCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def rawBigramCounts(docs: DataFrame): DataFrame =
+    docs.filter(col("lang") === "en")
+      .select(explode(bigrams(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("bigram"))
+      .limit(LmVocabCap)
+
+  private def cachedBigramCounts(s: SparkSession, dir: String): DataFrame = {
+    def build() = rawBigramCounts(Tables.documents(s, dir)).localCheckpoint(true)
+    if (!s.conf.get("spark.graft.lm.scoreCache", "true").toBoolean) return build()
+    val perSession = bigcCache.synchronized {
+      var m = bigcCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        bigcCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ => build())
+  }
+
   private def lmScored(s: SparkSession, dir: String): DataFrame = {
     if (!s.conf.get("spark.graft.lm.scoreCache", "true").toBoolean)
       return lmScoredOn(Tables.documents(s, dir))
@@ -106,14 +137,16 @@ object Curation {
       m
     }
     perSession.computeIfAbsent(dir,
-      _ => lmScoredOn(Tables.documents(s, dir)).localCheckpoint(true))
+      _ => lmScoredOn(Tables.documents(s, dir),
+        Some(cachedBigramCounts(s, dir))).localCheckpoint(true))
   }
 
   /** LM scorer over an arbitrary (doc_id, text, lang) frame — the
     * pipeline capstone trains on ITS stage-1 survivors, not the raw
     * table, so the model never sees documents an earlier gate dropped.
     */
-  private def lmScoredOn(docs: DataFrame): DataFrame = {
+  private def lmScoredOn(docs: DataFrame,
+      bigcIn: Option[DataFrame] = None): DataFrame = {
     val train = docs.filter(col("lang") === "en")
     val uni = train
       .select(explode(split(col("text"), " ")).as("w"))
@@ -121,11 +154,7 @@ object Curation {
       .orderBy(col("cu").desc, col("w"))
       .limit(LmVocabCap)
     val vocabSize = uni.agg(count(lit(1)).as("vsz"))
-    val bigc = train
-      .select(explode(bigrams(col("text"))).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("cb"))
-      .orderBy(col("cb").desc, col("bigram"))
-      .limit(LmVocabCap)
+    val bigc = bigcIn.getOrElse(rawBigramCounts(docs))
     docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("bigram"))
       .join(broadcast(bigc), Seq("bigram"), "left")
@@ -196,16 +225,12 @@ object Curation {
 
   private def lmKneserNey(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val train = docs.filter(col("lang") === "en")
-    val bigc = train
-      .select(explode(bigrams(col("text"))).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("cb"))
-      .orderBy(col("cb").desc, col("bigram"))
-      .limit(LmVocabCap)
+    // The session-memoized bigram table IS this model's base (same cap,
+    // same order); the w1/w2 splits are a 64k-row projection on top.
+    val bigc = cachedBigramCounts(s, dir)
       .select(col("bigram"), col("cb"),
         substring_index(col("bigram"), " ", 1).as("w1"),
         substring_index(col("bigram"), " ", -1).as("w2"))
-      .localCheckpoint(true) // three derived model tables read it
     val left = bigc.groupBy("w1")
       .agg(sum("cb").as("cw1"), count(lit(1)).as("n1f"))
     val right = bigc.groupBy("w2").agg(count(lit(1)).as("n1b"))
