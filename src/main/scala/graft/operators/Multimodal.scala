@@ -361,15 +361,24 @@ object Multimodal {
       .select(col("doc_id"), (col("doc_id") % 40).as("gid"),
         (expr("doc_id DIV 40") % 5).as("off"))
     val hashed = params.as[(Long, Long, Long)]
-      .mapPartitions(_.map { case (id, gid, off) =>
-        val px = Array.tabulate(64) { i =>
-          val (x, y) = (i % 8, i / 8)
-          ((gid * 37 + x * 7 + y * 13 + (x * y * (gid + 1)) % 97) % 251 + off).toInt
+      .mapPartitions { it =>
+        // ImageIO defaults to a DISK-backed stream cache: every read
+        // creates (and deletes) a temp file and serializes on the
+        // registry lock — with 32 threads × one read per row that is
+        // temp-file churn growing with corpus size, measured as
+        // run-over-run slowdowns at ×100. Heap-cache instead: these
+        // are 64-pixel stub images.
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, gid, off) =>
+          val px = Array.tabulate(64) { i =>
+            val (x, y) = (i % 8, i / 8)
+            ((gid * 37 + x * 7 + y * 13 + (x * y * (gid + 1)) % 97) % 251 + off).toInt
+          }
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bmpBytes(px)))
+          (id, off, aHashBits(img))
         }
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bmpBytes(px)))
-        (id, off, aHashBits(img))
-      })
+      }
       .toDF("doc_id", "off", "ahash")
     hashed.groupBy("ahash")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"),
