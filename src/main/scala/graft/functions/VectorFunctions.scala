@@ -60,29 +60,43 @@ object VectorFunctions {
     * see [[graft.functions.expressions.TopCellsF32]] for the scale
     * rationale.
     */
-  /** One broadcast per codebook INSTANCE, memoized: repeated topCells
-    * calls over the same driver arrays (multi-iteration Bench passes,
-    * long-lived sessions rebuilding the same plan) share one handle —
-    * so Catalyst canonicalizes the expressions AND the driver stops
-    * accumulating a fresh ~MB broadcast per call. Weak keys: when the
-    * caller drops the codebook arrays, the entry (and with it the last
-    * strong reference to the Broadcast) becomes collectable and Spark's
-    * ContextCleaner reclaims the blocks — no explicit destroy needed.
+  /** One broadcast per (SparkContext, codebook INSTANCE), memoized:
+    * repeated topCells calls over the same driver arrays
+    * (multi-iteration Bench passes, long-lived sessions rebuilding the
+    * same plan) share one handle — so Catalyst canonicalizes the
+    * expressions AND the driver stops accumulating a fresh ~MB
+    * broadcast per call. Scoped per SparkContext: a broadcast belongs
+    * to the context that created it, so after a context restart the
+    * same codebook arrays must get a FRESH broadcast (the old handle
+    * would fail at runtime); stopped contexts' entries are purged on
+    * access — the driver BlockManager pins broadcast values for the
+    * context's lifetime, so weak keys alone would never free anything
+    * while the context runs.
     */
   private val codebookBroadcasts =
-    new java.util.WeakHashMap[Array[Long],
-      (Array[Array[Double]],
-       org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])])]()
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      java.util.WeakHashMap[Array[Long],
+        (Array[Array[Double]],
+         org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])])]]()
 
   def topCells(a: Column, cellIds: Array[Long], cells: Array[Array[Double]],
       probes: Int): Column = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val bc = codebookBroadcasts.synchronized {
-      val hit = codebookBroadcasts.get(cellIds)
+      val it = codebookBroadcasts.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.isStopped) it.remove()
+      var perCtx = codebookBroadcasts.get(sc)
+      if (perCtx == null) {
+        perCtx = new java.util.WeakHashMap[Array[Long],
+          (Array[Array[Double]],
+           org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])])]()
+        codebookBroadcasts.put(sc, perCtx)
+      }
+      val hit = perCtx.get(cellIds)
       if (hit != null && (hit._1 eq cells)) hit._2
       else {
-        val b = org.apache.spark.sql.SparkSession.active.sparkContext
-          .broadcast((cellIds, cells))
-        codebookBroadcasts.put(cellIds, (cells, b))
+        val b = sc.broadcast((cellIds, cells))
+        perCtx.put(cellIds, (cells, b))
         b
       }
     }

@@ -1,0 +1,87 @@
+package graft.internal
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-(session, table-state) memo of an expensive derived frame —
+  * the one discipline behind the sig/LM session caches
+  * ([[graft.operators.Dedup]], [[graft.operators.Curation]]): within a
+  * session the first consumer of a shared chain pays the build
+  * (typically a `localCheckpoint(true)`) and later consumers re-read
+  * the materialized blocks.
+  *
+  * Three properties the ad-hoc per-file WeakHashMaps did NOT have:
+  *
+  *  - '''Mutation invalidation.''' The cache key folds in a fingerprint
+  *    of the table directory's file listing (name, length, mtime via
+  *    the Hadoop FileSystem, so it works on HDFS/S3 paths too). A
+  *    rewritten table misses naturally — no reliance on the opt-out
+  *    conf — and the superseded entry for the same path is evicted so
+  *    its checkpoint blocks can be unpersisted by GC/ContextCleaner.
+  *  - '''Eviction for stopped sessions.''' The memoized DataFrames
+  *    strongly reference their SparkSession, so a WeakHashMap keyed on
+  *    the session alone never collects (the value pins the key). Every
+  *    access purges entries whose SparkContext has stopped; their
+  *    checkpoint blocks died with the context, this just frees the
+  *    driver-side plans.
+  *  - '''Attribution.''' Builds run under a
+  *    [[graft.observability.Metrics.withOp]] label, so an op-metrics
+  *    sink charges the shared chain to its builder (the same contract
+  *    as `pair_guard_census`) instead of silently folding it into
+  *    whichever query happened to run first.
+  *
+  * The opt-out conf (`confKey=false`) bypasses the memo entirely —
+  * every call rebuilds, unlabeled, inside the consuming query — which
+  * is what per-query standalone-cost benchmarking wants.
+  */
+private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
+
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, V]]()
+
+  /** FNV-1a 64 over the recursive (name, length, mtime) listing. */
+  private def fingerprint(s: SparkSession, tablePath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = {
+      var i = 0
+      while (i < 8) { h ^= (x >>> (i * 8)) & 0xff; h *= 0x100000001b3L; i += 1 }
+    }
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        mix(st.getPath.getName.hashCode.toLong)
+        mix(st.getLen)
+        mix(st.getModificationTime)
+      }
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  def getOrBuild(s: SparkSession, tablePath: String)(build: => V): V = {
+    if (!s.conf.get(confKey, "true").toBoolean) return build
+    val perSession = cache.synchronized {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      var m = cache.get(s)
+      if (m == null) { m = new ConcurrentHashMap[String, V](); cache.put(s, m) }
+      m
+    }
+    val key = tablePath + "#" + fingerprint(s, tablePath)
+    val hit = perSession.get(key)
+    if (hit != null) return hit
+    // A changed fingerprint supersedes any prior entry for this path;
+    // drop the stale key before (re)building so the map stays one
+    // entry per live table state.
+    val stale = perSession.keys()
+    while (stale.hasMoreElements) {
+      val k = stale.nextElement()
+      if (k.startsWith(tablePath + "#") && k != key) perSession.remove(k)
+    }
+    perSession.computeIfAbsent(key,
+      _ => graft.observability.Metrics.withOp(s, opLabel)(build))
+  }
+}

@@ -57,13 +57,21 @@ final class MetricsSink extends QueryExecutionListener {
     * long-lived collector. Drains with poll() — exactly the removed
     * records get written — because snapshot-then-clear would silently
     * drop any record the listener bus enqueues between the two calls
-    * (queries completing concurrently with a flush).
+    * (queries completing concurrently with a flush). If the write
+    * itself fails, the drained records are put back so a transient
+    * sink error (full disk, flaky object store) defers history to the
+    * next flush instead of losing it.
     */
   def flush(spark: SparkSession, path: String): Unit = {
     val rows = Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
     if (rows.nonEmpty) {
       import spark.implicits._
-      rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(path)
+      try rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(path)
+      catch {
+        case e: Throwable =>
+          buf.addAll(rows.asJava)
+          throw e
+      }
     }
   }
 }

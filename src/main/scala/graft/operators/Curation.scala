@@ -85,14 +85,14 @@ object Curation {
     * re-run the scoring pass (~2 s each at sf0.1, 5× redundant in one
     * Bench/Verify session). The first consumer computes the chain and
     * localCheckpoints the (doc_id, n_bigrams, xent) result — narrow,
-    * linear rows — and the rest reuse it. Weak session keys: a stopped
-    * session's entry (and its checkpoint blocks) become collectable
-    * with it. Disable with spark.graft.lm.scoreCache=false for a
-    * session that mutates the table under a fixed path.
+    * linear rows — and the rest reuse it. Keyed on the table's
+    * file-listing fingerprint so a rewritten table misses naturally
+    * ([[graft.internal.SessionMemo]]); builds surface in op-metrics as
+    * `lm_score_cache_build`; spark.graft.lm.scoreCache=false opts out.
     */
   private val lmScoreCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new graft.internal.SessionMemo[DataFrame](
+      "spark.graft.lm.scoreCache", "lm_score_cache_build")
 
   /** Per-(session, dir) memo of the top-64k bigram count table over the
     * raw table's en slice — the ONE model table both the add-one chain
@@ -101,8 +101,8 @@ object Curation {
     * the score cache's opt-out conf.
     */
   private val bigcCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new graft.internal.SessionMemo[DataFrame](
+      "spark.graft.lm.scoreCache", "lm_bigram_cache_build")
 
   private def rawBigramCounts(docs: DataFrame): DataFrame =
     docs.filter(col("lang") === "en")
@@ -111,33 +111,15 @@ object Curation {
       .orderBy(col("cb").desc, col("bigram"))
       .limit(LmVocabCap)
 
-  private def cachedBigramCounts(s: SparkSession, dir: String): DataFrame = {
-    def build() = rawBigramCounts(Tables.documents(s, dir)).localCheckpoint(true)
-    if (!s.conf.get("spark.graft.lm.scoreCache", "true").toBoolean) return build()
-    val perSession = bigcCache.synchronized {
-      var m = bigcCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        bigcCache.put(s, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(dir, _ => build())
-  }
+  private def cachedBigramCounts(s: SparkSession, dir: String): DataFrame =
+    bigcCache.getOrBuild(s, s"$dir/documents.parquet")(
+      rawBigramCounts(Tables.documents(s, dir)).localCheckpoint(true))
 
   private def lmScored(s: SparkSession, dir: String): DataFrame = {
     if (!s.conf.get("spark.graft.lm.scoreCache", "true").toBoolean)
       return lmScoredOn(Tables.documents(s, dir))
-    val perSession = lmScoreCache.synchronized {
-      var m = lmScoreCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        lmScoreCache.put(s, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(dir,
-      _ => lmScoredOn(Tables.documents(s, dir),
+    lmScoreCache.getOrBuild(s, s"$dir/documents.parquet")(
+      lmScoredOn(Tables.documents(s, dir),
         Some(cachedBigramCounts(s, dir))).localCheckpoint(true))
   }
 
@@ -550,12 +532,15 @@ object Curation {
     // (measured: the join, not the sig build, was 50 of the 57 s at
     // ×100 — the sig+census floor is ~6 s in the sibling queries). Same
     // [[PairGuard]] discipline: price Σ_bucket (b·i + b·(b−1)/2) off
-    // the checkpointed frame; past the cap, dedupe the batch through
-    // the ≤2 hash-ranked representatives per complete-signature family
-    // ([[Dedup.familyReps]]) — pairs between survivors keep exact
-    // bands_matched and origin, so routed rows ⊆ exact rows
-    // row-for-row, each family still detected through one surviving
-    // candidate pair.
+    // the checkpointed frame; past the cap, dedupe through ≤2
+    // SIDE-STRATIFIED representatives per complete-signature family
+    // ([[Dedup.familyRepsStratified]]: top-ranked batch member + top-
+    // ranked index member, or top two of a one-sided family) — pairs
+    // between survivors keep exact bands_matched and origin, so routed
+    // rows ⊆ exact rows row-for-row, and every family holding a batch
+    // doc and any partner is still detected through one surviving
+    // candidate pair (an unstratified top-2 could land both reps on
+    // the index side and silently unreport that family's batch dups).
     val exact = PairGuard.allowExact(s, "q_dedup_incremental") {
       sigs.withColumn("isb", (col("doc_id") % 5 === 0).cast("long"))
         .groupBy("band", "sig")
@@ -564,7 +549,9 @@ object Curation {
           expr("b * (b - 1) DIV 2")), lit(0L)))
         .head().getLong(0)
     }
-    val src = if (exact) sigs else sigs.join(Dedup.familyReps(sigs), Seq("doc_id"))
+    val src = if (exact) sigs
+      else sigs.join(
+        Dedup.familyRepsStratified(sigs, col("doc_id") % 5 === 0), Seq("doc_id"))
     val batch = src.filter(col("doc_id") % 5 === 0)
     val index = src.filter(col("doc_id") % 5 =!= 0)
     incrementalCandidates(batch, index)

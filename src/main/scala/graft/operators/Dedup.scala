@@ -252,22 +252,12 @@ object Dedup {
     * [[TextAnalysisShared.cachedDocSigs]].
     */
   private val sigSetCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new graft.internal.SessionMemo[DataFrame](
+      "spark.graft.sig.cache", "sigset_cache_build")
 
-  private def cachedSigSetPerDoc(s: SparkSession, dir: String): DataFrame = {
-    def build() = sigSetPerDoc(Tables.documents(s, dir)).localCheckpoint(true)
-    if (!s.conf.get("spark.graft.sig.cache", "true").toBoolean) return build()
-    val perSession = sigSetCache.synchronized {
-      var m = sigSetCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        sigSetCache.put(s, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(dir, _ => build())
-  }
+  private def cachedSigSetPerDoc(s: SparkSession, dir: String): DataFrame =
+    sigSetCache.getOrBuild(s, s"$dir/documents.parquet")(
+      sigSetPerDoc(Tables.documents(s, dir)).localCheckpoint(true))
 
   /** (doc_id, sh, band, sig) rows off a [[sigSetPerDoc]] frame. */
   private def explodeSigSet(perDoc: DataFrame): DataFrame =
@@ -326,6 +316,36 @@ object Dedup {
           md5(concat(lit("mhf"), col("doc_id").cast("string")).cast("binary")),
           col("doc_id"))))
       .filter(col("rn") <= MinhashFamilyCap)
+      .select("doc_id")
+  }
+
+  /** Side-stratified representative selection for contracts whose
+    * detection promise is PER SIDE of a partition of the corpus (the
+    * incremental batch/index split): [[familyReps]] ranks a family's
+    * members by one unstratified hash, so with a 20/80 split both
+    * survivors land on the index side ~64 % of the time — and a
+    * family whose batch duplicates lost the rank lottery would emit
+    * NO candidate pair for them. Keep instead the top-ranked member
+    * of EACH side (ties broken by the same `mhf` hash key), falling
+    * back to the top TWO of whichever side exists for one-sided
+    * families — so every family holding a batch doc and any partner
+    * still yields at least one surviving candidate pair, and routed
+    * rows remain a verbatim subset of the exact output (survivor
+    * pairs carry exact bands_matched/origin). Output ≤ 2 doc_ids per
+    * complete-signature family, like [[familyReps]].
+    */
+  private[operators] def familyRepsStratified(sigs: DataFrame, side: Column): DataFrame = {
+    val fam = sigs.groupBy("doc_id")
+      .agg(concat_ws("_", array_sort(collect_list(
+        concat(col("band"), lit(":"), col("sig"))))).as("fam"))
+      .withColumn("s", side.cast("int"))
+    val bySide = Window.partitionBy("fam", "s").orderBy(
+      md5(concat(lit("mhf"), col("doc_id").cast("string")).cast("binary")),
+      col("doc_id"))
+    val byFam = Window.partitionBy("fam")
+    fam.withColumn("rn", row_number().over(bySide))
+      .withColumn("one_sided", min(col("s")).over(byFam) === max(col("s")).over(byFam))
+      .filter(col("rn") === 1 || (col("rn") === 2 && col("one_sided")))
       .select("doc_id")
   }
 
@@ -925,30 +945,20 @@ private[graft] object TextAnalysisShared {
     * `Lifecycle.minhashCcLabelsFromSigs`) each rebuilt the identical
     * text-scan + md5 kernel chain per construction; within one session
     * the first consumer pays and the rest re-read 4 small rows per
-    * doc. Weak session keys;
-    * `spark.graft.sig.cache=false` opts out for a session that mutates
-    * the table under a fixed path. Only the raw-table chain is memoized
-    * — callers signing a DERIVED frame (pipeline stages, streaming
-    * batches) still call [[bandedMinhashSigs]] directly.
+    * doc. Keyed on the table's file-listing fingerprint (a rewritten
+    * `documents.parquet` misses naturally — see
+    * [[graft.internal.SessionMemo]]); builds surface in op-metrics as
+    * `sig_cache_build`; `spark.graft.sig.cache=false` opts out. Only
+    * the raw-table chain is memoized — callers signing a DERIVED frame
+    * (pipeline stages, streaming batches) still call
+    * [[bandedMinhashSigs]] directly.
     */
   private val sigCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new graft.internal.SessionMemo[DataFrame]("spark.graft.sig.cache", "sig_cache_build")
 
-  def cachedDocSigs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    def build() =
-      bandedMinhashSigs(Tables.documents(s, dir), 4).localCheckpoint(true)
-    if (!s.conf.get("spark.graft.sig.cache", "true").toBoolean) return build()
-    val perSession = sigCache.synchronized {
-      var m = sigCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        sigCache.put(s, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(dir, _ => build())
-  }
+  def cachedDocSigs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    sigCache.getOrBuild(s, s"$dir/documents.parquet")(
+      bandedMinhashSigs(Tables.documents(s, dir), 4).localCheckpoint(true))
 
   /** The pre-kernel explode + multi-min-groupBy formulation, kept as
     * the parity twin the spec checks the kernel against.

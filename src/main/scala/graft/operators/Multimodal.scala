@@ -100,7 +100,12 @@ object Multimodal {
       val base = ByteStatDecoder.decode(payload)
       if (!looksLikeImage(payload)) return base
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // Heap-cached stream constructed directly: createImageInputStream
+        // consults the JVM-global useCache flag, whose default is a
+        // DISK-backed cache — one temp file per decoded row (see the
+        // q_image_phash rationale). Per-row decoders must never touch
+        // disk for stream caching.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -362,20 +367,25 @@ object Multimodal {
         (expr("doc_id DIV 40") % 5).as("off"))
     val hashed = params.as[(Long, Long, Long)]
       .mapPartitions { it =>
-        // ImageIO defaults to a DISK-backed stream cache: every read
-        // creates (and deletes) a temp file and serializes on the
-        // registry lock — with 32 threads × one read per row that is
-        // temp-file churn growing with corpus size, measured as
-        // run-over-run slowdowns at ×100. Heap-cache instead: these
-        // are 64-pixel stub images.
-        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, gid, off) =>
           val px = Array.tabulate(64) { i =>
             val (x, y) = (i % 8, i / 8)
             ((gid * 37 + x * 7 + y * 13 + (x * y * (gid + 1)) % 97) % 251 + off).toInt
           }
+          // ImageIO.read(InputStream) wraps the stream via the
+          // globally-configured cache — by default a DISK-backed one
+          // that creates (and deletes) a temp file per read and
+          // serializes on the registry lock: with 32 threads × one
+          // read per row that is temp-file churn growing with corpus
+          // size, measured as run-over-run slowdowns at ×100.
+          // Constructing the heap-cached stream DIRECTLY gets the
+          // in-memory behavior per call without mutating the
+          // JVM-global ImageIO.setUseCache default for every other
+          // ImageIO user in the process; read(ImageInputStream)
+          // closes the stream when done.
           val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bmpBytes(px)))
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bmpBytes(px))))
           (id, off, aHashBits(img))
         }
       }

@@ -27,6 +27,29 @@ class PairGuardSpec extends SparkSpec {
   private def forceRoute(body: => Unit): Unit =
     withConf(PairGuard.MaxPairsConf -> "0", PairGuard.ModeConf -> "route")(body)
 
+  /** The sf0.001 corpus upsampled into `copies`-member exact
+    * duplicate families (ids shifted by k·n, payloads verbatim) —
+    * the regime where the routed legs' family caps actually DROP
+    * members; sf0.001's own largest complete-signature family has 4.
+    * Built once, shared by every exceeds-the-cap test.
+    */
+  private lazy val twelveCopyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("pairfam").toString
+    val docs = graft.io.Tables.documents(spark, Sf)
+    val emb = graft.io.Tables.embeddings(spark, Sf)
+    val n = docs.count()
+    val copies = 12
+    (0 until copies).map(k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * n)))
+      .reduce(_ unionByName _)
+      .write.parquet(s"$dir/documents.parquet")
+    (0 until copies).map(k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * n)))
+      .reduce(_ unionByName _)
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   test("guard default leaves small corpora on the exact contract (oracle parity path)") {
     // sf0.001 volumes are far under the default cap, so the plain runs
     // in every other spec — and the sf0.01 oracle gate — exercise the
@@ -127,6 +150,54 @@ class PairGuardSpec extends SparkSpec {
     }
   }
 
+  test("routed q_dedup_incremental reports every family that holds a batch doc") {
+    // Corpus engineered for the failure mode side-stratified reps
+    // remove: 20 exact-duplicate families of 10 members each — ids
+    // f·100+j, so per family exactly two members are batch (j ∈ {0,5}
+    // ⇒ id % 5 == 0) and eight are index. An UNSTRATIFIED top-2 pick
+    // lands both survivors on the index side for ~64 % of families
+    // (index is 80 % of each family and the rank hash ignores sides),
+    // and such a family emits NO candidate pair — its batch duplicates
+    // silently vanish from the routed report. The stratified pick
+    // keeps the top member of EACH side, so every family with a batch
+    // doc and any partner must surface at least one within-family pair.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("incfam").toString
+    val base = graft.io.Tables.documents(spark, Sf).orderBy("doc_id").limit(20)
+    base.crossJoin(spark.range(10).select(col("id").as("j")))
+      .withColumn("doc_id", col("doc_id") * 100 + col("j")).drop("j")
+      .write.parquet(s"$dir/documents.parquet")
+    // Ground-truth complete-signature families (docs too short for a
+    // signature drop out here exactly as they do in the query):
+    val famOf = TextAnalysisShared
+      .bandedMinhashSigs(graft.io.Tables.documents(spark, dir), 4)
+      .groupBy("doc_id")
+      .agg(concat_ws("_", array_sort(collect_list(
+        concat(col("band"), lit(":"), col("sig"))))).as("fam"))
+      .localCheckpoint(true)
+    val expected = famOf.groupBy("fam")
+      .agg(sum(when(col("doc_id") % 5 === 0, 1).otherwise(0)).as("nb"),
+        count(lit(1)).as("n"))
+      .filter(col("nb") >= 1 && col("n") >= 2)
+      .select("fam")
+    val exact = SparkEntry.queries("q_dedup_incremental")(spark, dir).localCheckpoint(true)
+    forceRoute {
+      val routed = SparkEntry.queries("q_dedup_incremental")(spark, dir).localCheckpoint(true)
+      assert(routed.join(exact,
+        Seq("doc_new", "doc_other", "origin", "bands_matched"), "left_anti").count() == 0,
+        "routed candidates must remain a verbatim subset of the exact output")
+      val detected = routed
+        .join(famOf.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
+        .join(famOf.select(col("doc_id").as("doc_other"), col("fam").as("fam_o")),
+          Seq("doc_other"))
+        .filter(col("fam") === col("fam_o"))
+        .select("fam").distinct()
+      assert(expected.count() >= 10, "corpus must contain many mixed families")
+      assert(expected.join(detected, Seq("fam"), "left_anti").count() == 0,
+        "a family holding a batch doc lost its every candidate pair in routed mode")
+    }
+  }
+
   test("routed training pairs preserve winners when families EXCEED the formation cap") {
     // The sf0.001 corpus's largest complete-signature family has 4
     // members — under the top-5-per-family cap — so the subset test
@@ -136,19 +207,7 @@ class PairGuardSpec extends SparkSpec {
     // (any exact top-4 member must sit at family rank ≤ 5 by the
     // shared positive key; ranks 6–12 are droppable by construction).
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("pairfam").toString
-    val docs = graft.io.Tables.documents(spark, Sf)
-    val emb = graft.io.Tables.embeddings(spark, Sf)
-    val n = docs.count()
-    val copies = 12
-    val up = (0 until copies).map(k =>
-      docs.withColumn("doc_id", col("doc_id") + lit(k * n)))
-      .reduce(_ unionByName _)
-    up.write.parquet(s"$dir/documents.parquet")
-    (0 until copies).map(k =>
-      emb.withColumn("vec_id", col("vec_id") + lit(k * n)))
-      .reduce(_ unionByName _)
-      .write.parquet(s"$dir/embeddings.parquet")
+    val dir = twelveCopyDir
     for (name <- Seq("q_contrastive_pairs", "q_hard_negatives")) {
       val exact = SparkEntry.queries(name)(spark, dir)
       forceRoute {
@@ -164,6 +223,54 @@ class PairGuardSpec extends SparkSpec {
           routed.exceptAll(exactForSurvivors).count() == 0,
           s"$name: a surviving anchor lost or changed one of its exact rows")
       }
+    }
+  }
+
+  test("routed dedup legs keep their contracts when families EXCEED the caps") {
+    // Same 12-copy corpus for the OTHER routed legs (the subset tests
+    // above run on sf0.001, whose largest family is 4 — small enough
+    // that family caps and sub-blocking barely bite). Here every
+    // family has 12 exact copies, so the caps measurably drop members
+    // and the contracts are exercised where they matter.
+    val dir = twelveCopyDir
+    def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+    // Calibration: routed = family-capped reps, a strict subset that
+    // must appear row-for-row in the full audit.
+    val fullEst = q("q_minhash_estimate").localCheckpoint(true)
+    forceRoute {
+      val routed = q("q_minhash_estimate").localCheckpoint(true)
+      assert(routed.count() > 0 && routed.count() < fullEst.count(),
+        "12-copy families must make the family cap actually drop pairs")
+      assert(routed.join(fullEst,
+        Seq("doc_a", "doc_b", "bands_matched", "est_jaccard", "true_jaccard", "abs_err"),
+        "left_anti").count() == 0,
+        "routed calibration rows must appear verbatim in the full output")
+    }
+
+    // Embedding near-dup: routed sub-blocked pairs ⊆ exact pairs, sims
+    // identical, and every 12-copy family still surfaces SOME pair.
+    val exactEmb = q("q_dedup_embedding").localCheckpoint(true)
+    forceRoute {
+      val routed = q("q_dedup_embedding").localCheckpoint(true)
+      assert(routed.count() > 0 && routed.count() < exactEmb.count(),
+        "sub-blocking must bound the 12-copy families' pair volume")
+      assert(routed.join(exactEmb, Seq("label", "vec_a", "vec_b", "sim"), "left_anti")
+        .count() == 0, "every routed pair must appear in the exact output")
+    }
+
+    // SemDeDup: routed drop evidence ⊆ exact drop evidence, and the
+    // corpus makes the exact leg drop copiously (11 of every 12).
+    val exactSem = q("q_semantic_dedup")
+      .select(col("vec_id"), col("kept").as("k_exact")).localCheckpoint(true)
+    assert(exactSem.filter(col("k_exact") === 0).count() > 0,
+      "12-copy families must make the exact leg drop vectors")
+    forceRoute {
+      val routed = q("q_semantic_dedup")
+      val joined = routed.join(exactSem, Seq("vec_id"))
+      assert(joined.count() == exactSem.count(), "row set (one per vector) must not change")
+      assert(joined.filter(col("kept") === 0 && col("k_exact") === 1).count() == 0,
+        "routed mode dropped a vector the exact contract keeps")
     }
   }
 

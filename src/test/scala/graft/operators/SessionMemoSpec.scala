@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import graft.observability.MetricsSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the [[graft.internal.SessionMemo]] contracts the ad-hoc
+  * per-session caches did not have: a table rewritten UNDER a fixed
+  * path invalidates the memo naturally (file-listing fingerprint in
+  * the key — no reliance on the opt-out conf), and memo builds are
+  * attributed to their own op labels in the metrics sink so a bench
+  * can separate the shared-chain build from its first consumer.
+  */
+class SessionMemoSpec extends SparkSpec {
+
+  private def canonEq(a: DataFrame, b: DataFrame): Boolean =
+    a.count() == b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def withCachesOff(body: => Unit): Unit = {
+    spark.conf.set("spark.graft.sig.cache", "false")
+    spark.conf.set("spark.graft.lm.scoreCache", "false")
+    try body finally {
+      spark.conf.unset("spark.graft.sig.cache")
+      spark.conf.unset("spark.graft.lm.scoreCache")
+    }
+  }
+
+  test("rewriting the table under a fixed path invalidates the memos (cache stays ON)") {
+    val dir = java.nio.file.Files.createTempDirectory("memomut").toString
+    val docs = graft.io.Tables.documents(spark, Sf)
+    // v1 = the full corpus; v2 = a genuinely different corpus under the
+    // SAME path (half the docs dropped — changes the LM model, the LM
+    // scores, and the LSH pair list).
+    docs.write.parquet(s"$dir/documents.parquet")
+    val sig1 = SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir).localCheckpoint(true)
+    val lm1 = SparkEntry.queries("q_lm_quality")(spark, dir).localCheckpoint(true)
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sig2 = SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
+    val lm2 = SparkEntry.queries("q_lm_quality")(spark, dir)
+    // Fresh results, not the memoized v1 frames:
+    assert(!canonEq(sig2, sig1), "sig memo served stale results after a table rewrite")
+    assert(!canonEq(lm2, lm1), "LM memo served stale results after a table rewrite")
+    // And exactly what a cache-off (always-rebuild) run computes on v2:
+    withCachesOff {
+      assert(canonEq(sig2, SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)),
+        "post-rewrite sig results must match the uncached computation")
+      assert(canonEq(lm2, SparkEntry.queries("q_lm_quality")(spark, dir)),
+        "post-rewrite LM results must match the uncached computation")
+    }
+  }
+
+  test("memo builds surface as their own labeled ops in the metrics sink") {
+    val dir = java.nio.file.Files.createTempDirectory("memolabel").toString
+    graft.io.Tables.documents(spark, Sf).write.parquet(s"$dir/documents.parquet")
+    val sink = new MetricsSink
+    spark.listenerManager.register(sink)
+    try {
+      // Fresh dir ⇒ guaranteed cache misses ⇒ one labeled build each.
+      SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir).collect()
+      SparkEntry.queries("q_lm_quality")(spark, dir).collect()
+      val deadline = System.nanoTime() + 10000000000L
+      def count(op: String) = sink.snapshot().count(_.op == op)
+      while ((count("sig_cache_build") < 1 || count("lm_score_cache_build") < 1 ||
+        count("lm_bigram_cache_build") < 1) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      for (op <- Seq("sig_cache_build", "lm_score_cache_build", "lm_bigram_cache_build")) {
+        val rec = sink.snapshot().find(_.op == op)
+        assert(rec.nonEmpty, s"memo build must be attributed to `$op`")
+        assert(rec.get.status == "ok")
+      }
+      // Second consumers hit the memo — no second build op:
+      sink.clear()
+      SparkEntry.queries("q_dedup_cluster_hist")(spark, dir).collect()
+      SparkEntry.queries("q_ppl_buckets")(spark, dir).collect()
+      assert(sink.snapshot().count(_.op.endsWith("_cache_build")) == 0,
+        "a memo hit must not rebuild (and must not re-emit the build op)")
+    } finally spark.listenerManager.unregister(sink)
+  }
+}
