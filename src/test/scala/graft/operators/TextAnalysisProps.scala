@@ -41,4 +41,29 @@ object TextAnalysisProps extends Properties("bpe-pretokenizer") {
         body.forall(c => !c.isLetterOrDigit && c != ' ') || t.forall(_ == ' ')
     }
   }
+
+  // The compiled q_bpe_tokens scan vs the regex ground truth — over an
+  // ADVERSARIAL alphabet (uppercase, accents, CJK, an astral-plane
+  // emoji = surrogate pair), not just the corpus's lowercase soup: the
+  // kernel's char-range classes must agree with the regex's code-point
+  // classes everywhere, including multi-char "other" runs.
+  private val nastyChunk = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaLowerChar),
+    Gen.stringOfN(2, Gen.numChar),
+    Gen.oneOf("!!", "A", "É", "中文", "😀", "v2.5", "#", "a1b", "9z"),
+    Gen.oneOf(" ", "  ", "   "))
+  private val nastyGen = Gen.listOf(nastyChunk).map(_.mkString)
+
+  property("compiled class counter == regex class counts") = Prop.forAll(nastyGen) { s =>
+    val toks = re.findAllIn(s).toList
+    val expected = Array(
+      toks.length.toLong,
+      toks.count(_.matches("^ ?[a-z].*")).toLong,
+      toks.count(_.matches("^ ?[0-9].*")).toLong,
+      toks.count(_.matches("^ ?[^a-z0-9 ].*")).toLong)
+    val got = new graft.functions.expressions.BpeClassCounter()
+      .counts(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      .toLongArray()
+    got.sameElements(expected)
+  }
 }
