@@ -36,6 +36,40 @@ object Bpe {
     */
   val PretokenRe = "[a-z]+|[0-9]+|[^a-z0-9 |]+"
 
+  /** Linear-scan pretokenizer — the compiled twin of
+    * `regexp_extract_all(text, PretokenRe)`: spaces and pipes match no
+    * alternative (they separate pretokens), every other char belongs
+    * to exactly one class (letter run, digit run, other run), and the
+    * ordered-alternation regex on such a partition is just maximal
+    * same-class runs. A regex engine pays backtracking bookkeeping per
+    * char; at 100 TB the pretokenization pass IS the tokenizer cost,
+    * so the hot paths (the vocab scan, the per-row counter) call this
+    * and the regex stays as the parity ground truth (`KernelProps`
+    * pins scanner == regex over an adversarial alphabet, BpeSpec over
+    * the real corpus). Surrogate pairs: both halves are "other" class,
+    * so they extend one run exactly like the code-point regex.
+    */
+  def pretokens(text: String): Iterator[String] = new Iterator[String] {
+    private var i = 0
+    private def cls(c: Char): Int =
+      if (c >= 'a' && c <= 'z') 0
+      else if (c >= '0' && c <= '9') 1
+      else if (c == ' ' || c == '|') -1
+      else 2
+    private def skipSep(): Unit =
+      while (i < text.length && cls(text.charAt(i)) < 0) i += 1
+    skipSep()
+    def hasNext: Boolean = i < text.length
+    def next(): String = {
+      val k = cls(text.charAt(i))
+      val start = i
+      while (i < text.length && cls(text.charAt(i)) == k) i += 1
+      val t = text.substring(start, i)
+      skipSep()
+      t
+    }
+  }
+
   /** `"abc"` → `"|a||b||c|"`. Iterates CODE POINTS, not UTF-16 units,
     * so a supplementary character (emoji) is one symbol — matching the
     * column encoder's `(?s)(.)` (Java regex `.` is one code point) and
@@ -108,8 +142,14 @@ object Bpe {
     */
   def trainMergesFrom(docs: DataFrame, textCol: String, numMerges: Int,
       maxVocab: Int = MaxVocab): Seq[(String, String)] = {
+    // Compiled pretokenizer ([[pretokens]] via PretokensExpr) instead
+    // of regexp_extract_all: this is the one corpus-sized pass of BPE
+    // training, and the regex was its cost.
+    val toks = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.PretokensExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol))))
     val vocab = docs
-      .select(explode(regexp_extract_all(col(textCol), lit(PretokenRe), lit(0))).as("w"))
+      .select(explode(toks).as("w"))
       .groupBy("w").count()
       .orderBy(col("count").desc, col("w"))
       .limit(maxVocab)

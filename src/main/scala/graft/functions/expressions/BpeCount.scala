@@ -16,19 +16,62 @@ import org.apache.spark.unsafe.types.UTF8String
 final class BpeCounter(merges: Seq[(String, String)]) extends Serializable {
   private val pats: Array[String] = merges.map { case (a, b) => s"|$a||$b|" }.toArray
   private val reps: Array[String] = merges.map { case (a, b) => s"|$a$b|" }.toArray
-  @transient private lazy val pretoken =
-    java.util.regex.Pattern.compile(graft.functions.Bpe.PretokenRe)
 
   def count(text: String): Long = {
-    val m = pretoken.matcher(text)
+    // Linear-scan pretokenizer (Bpe.pretokens) — the regex matcher this
+    // replaced was the per-row cost at scale; the scalar twin
+    // (Bpe.countSubwords) keeps the regex as parity ground truth.
+    val it = graft.functions.Bpe.pretokens(text)
     var n = 0L
-    while (m.find()) {
-      var s = graft.functions.Bpe.wrap(m.group())
+    while (it.hasNext) {
+      var s = graft.functions.Bpe.wrap(it.next())
       var i = 0
       while (i < pats.length) { s = s.replace(pats(i), reps(i)); i += 1 }
       n += (s.length - s.replace("|", "").length) / 2
     }
     n
+  }
+}
+
+/** Compiled pretokenizer array — `regexp_extract_all(text, PretokenRe)`
+  * as one linear scan ([[graft.functions.Bpe.pretokens]]): feeds BPE
+  * training's vocabulary pass, the one corpus-sized stage of the
+  * trainer. Values are the exact regex extraction (pinned by
+  * `KernelProps` adversarially and by the oracle SQL, which still
+  * replays the regex).
+  */
+case class PretokensExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_pretokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.catalogString}")
+  }
+
+  @transient private lazy val worker = new PretokensWorker
+
+  override def nullSafeEval(input: Any): Any =
+    worker.pretokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pretokensWorker", worker, classOf[PretokensWorker].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pretokens($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+final class PretokensWorker extends Serializable {
+  def pretokens(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val it = graft.functions.Bpe.pretokens(u.toString)
+    while (it.hasNext) out += UTF8String.fromString(it.next())
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
   }
 }
 

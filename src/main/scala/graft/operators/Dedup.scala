@@ -474,8 +474,7 @@ object Dedup {
   // two bounded aggregates.
   private def dedupClusterHist(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val labeled = Lifecycle.minhashCcLabelsFromSigs(
-      TextAnalysisShared.cachedDocSigs(s, dir))
+    val labeled = Lifecycle.cachedCcLabels(s, dir)
     val sizes = docs.select(col("doc_id"))
       .join(labeled, col("doc_id") === col("node"), "left")
       .select(coalesce(col("comp"), col("doc_id")).as("comp"))

@@ -167,9 +167,29 @@ object Lifecycle {
     labels
   }
 
+  /** Per-(session, dir) memo of the CC LABELS frame over the raw
+    * table: the three cluster-family queries (consolidate_merge here,
+    * Selection's canonical pick, Dedup's cluster histogram) already
+    * shared the signature chain through the sig memo, but each still
+    * re-ran the iterative min-label-propagation LOOP — a
+    * diameter-many sequence of driver-blocking rounds, ~9-14 s each at
+    * the ×100 decade, over the identical input. The labels are a pure
+    * function of the sigs, so they follow the same memo discipline
+    * (shares the sig memo's conf — `spark.graft.sig.cache=false`
+    * disables the whole signature-derived family; builds labeled
+    * `cc_labels_build`). Callers labeling a DERIVED frame still call
+    * [[minhashCcLabelsFromSigs]] directly.
+    */
+  private val ccCache =
+    new graft.internal.SessionMemo[DataFrame]("spark.graft.sig.cache", "cc_labels_build")
+
+  private[operators] def cachedCcLabels(s: SparkSession, dir: String): DataFrame =
+    ccCache.getOrBuild(s, s"$dir/documents.parquet")(
+      minhashCcLabelsFromSigs(TextAnalysisShared.cachedDocSigs(s, dir)))
+
   private def consolidateMerge(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    minhashCcLabelsFromSigs(TextAnalysisShared.cachedDocSigs(s, dir))
+    cachedCcLabels(s, dir)
       .join(docs, col("node") === col("doc_id"))
       .groupBy("comp")
       .agg(count(lit(1)).as("group_size"),
@@ -509,9 +529,28 @@ object Lifecycle {
   // application breaks the hash.
   private[operators] val BpeMergeCount = 16
 
+  /** Per-(session, dir) memo of the [[BpeMergeCount]]-merge list
+    * trained on the raw documents table — two named queries
+    * (q_token_budget_bpe here, q_bpe_fertility in TextAnalysis) train
+    * the IDENTICAL list, and training's vocabulary pass is a full
+    * corpus scan. Same discipline as the sig/LM memos
+    * ([[graft.internal.SessionMemo]]): file-listing fingerprint in the
+    * key, build labeled `bpe_merges_build` in op-metrics, opt-out
+    * `spark.graft.bpe.mergeCache=false`. Only raw-table training is
+    * memoized — callers training on a DERIVED frame still call
+    * [[graft.functions.Bpe.trainMergesFrom]] directly.
+    */
+  private val mergeCache =
+    new graft.internal.SessionMemo[Seq[(String, String)]](
+      "spark.graft.bpe.mergeCache", "bpe_merges_build")
+
+  private[operators] def cachedRawMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    mergeCache.getOrBuild(s, s"$dir/documents.parquet")(
+      graft.functions.Bpe.trainMergesFrom(Tables.documents(s, dir), "text", BpeMergeCount))
+
   private def tokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = graft.functions.Bpe.trainMergesFrom(docs, "text", BpeMergeCount)
+    val merges = cachedRawMerges(s, dir)
     val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

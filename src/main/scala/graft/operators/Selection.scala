@@ -546,8 +546,7 @@ object Selection {
 
   private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val labeled = Lifecycle.minhashCcLabelsFromSigs(
-      TextAnalysisShared.cachedDocSigs(s, dir))
+    val labeled = Lifecycle.cachedCcLabels(s, dir)
       .join(docs, col("node") === col("doc_id"))
     // Per-cluster argmax by (n_chars desc, doc_id): the canonical copy
     // is the longest member, deterministically tie-broken. One

@@ -263,7 +263,10 @@ object TextAnalysis {
   // the hash breaks.
   private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = graft.functions.Bpe.trainMergesFrom(docs, "text", Lifecycle.BpeMergeCount)
+    // Shared with q_token_budget_bpe through the session merge memo —
+    // the trainer's vocabulary pass is a corpus scan, and both queries
+    // train the identical [[Lifecycle.BpeMergeCount]]-merge list.
+    val merges = Lifecycle.cachedRawMerges(s, dir)
     docs
       .withColumn("bpe", graft.functions.Bpe.countSubwordsCol(col("text"), merges).cast("long"))
       .groupBy("lang")

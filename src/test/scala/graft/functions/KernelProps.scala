@@ -129,4 +129,22 @@ object KernelProps extends Properties("compiled-kernels") {
       Prop(got.sameElements(exp)) :|
         s"text='$text' got=${got.mkString(",")} exp=${exp.mkString(",")}"
     }
+
+  // The BPE pretokenizer scanner vs the regex it replaces — over an
+  // alphabet the corpus never exercises: PIPES (the wrap delimiter the
+  // regex excludes like a space), uppercase, accents, CJK, an
+  // astral-plane emoji (surrogate pair), runs of separators, and
+  // leading/trailing separators.
+  private val preChunk = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaLowerChar),
+    Gen.stringOfN(2, Gen.numChar),
+    Gen.oneOf("|", "||", " | ", "A", "\u00c9", "\u4e2d\u6587", "\ud83d\ude00", "!!", "a1b", "9z", "v2.5"),
+    Gen.oneOf(" ", "  ", "   "))
+  private val preGen = Gen.listOf(preChunk).map(_.mkString)
+
+  property("bpe pretoken scanner == regex extraction") = Prop.forAll(preGen) { s =>
+    val got = Bpe.pretokens(s).toList
+    val exp = Bpe.PretokenRe.r.findAllIn(s).toList
+    Prop(got == exp) :| s"text='$s' got=$got exp=$exp"
+  }
 }

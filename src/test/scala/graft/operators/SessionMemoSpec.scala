@@ -20,9 +20,27 @@ class SessionMemoSpec extends SparkSpec {
   private def withCachesOff(body: => Unit): Unit = {
     spark.conf.set("spark.graft.sig.cache", "false")
     spark.conf.set("spark.graft.lm.scoreCache", "false")
+    spark.conf.set("spark.graft.bpe.mergeCache", "false")
     try body finally {
       spark.conf.unset("spark.graft.sig.cache")
       spark.conf.unset("spark.graft.lm.scoreCache")
+      spark.conf.unset("spark.graft.bpe.mergeCache")
+    }
+  }
+
+  test("the CC-labels memo is output-invariant (q_dedup_canonical cached == uncached)") {
+    val cached = SparkEntry.queries("q_dedup_canonical")(spark, Sf).localCheckpoint(true)
+    withCachesOff {
+      assert(canonEq(cached, SparkEntry.queries("q_dedup_canonical")(spark, Sf)),
+        "CC-memo on/off must be bit-identical — it is a work reduction, not semantics")
+    }
+  }
+
+  test("the merge memo is output-invariant (q_bpe_fertility cached == uncached)") {
+    val cached = SparkEntry.queries("q_bpe_fertility")(spark, Sf).localCheckpoint(true)
+    withCachesOff {
+      assert(canonEq(cached, SparkEntry.queries("q_bpe_fertility")(spark, Sf)),
+        "merge-memo on/off must be bit-identical — it is a work reduction, not semantics")
     }
   }
 
@@ -60,21 +78,26 @@ class SessionMemoSpec extends SparkSpec {
       // Fresh dir ⇒ guaranteed cache misses ⇒ one labeled build each.
       SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir).collect()
       SparkEntry.queries("q_lm_quality")(spark, dir).collect()
+      SparkEntry.queries("q_token_budget_bpe")(spark, dir).collect()
+      SparkEntry.queries("q_dedup_cluster_hist")(spark, dir).collect()
+      val builds = Seq("sig_cache_build", "lm_score_cache_build",
+        "lm_bigram_cache_build", "bpe_merges_build", "cc_labels_build")
       val deadline = System.nanoTime() + 10000000000L
       def count(op: String) = sink.snapshot().count(_.op == op)
-      while ((count("sig_cache_build") < 1 || count("lm_score_cache_build") < 1 ||
-        count("lm_bigram_cache_build") < 1) && System.nanoTime() < deadline)
+      while (builds.exists(count(_) < 1) && System.nanoTime() < deadline)
         Thread.sleep(50)
-      for (op <- Seq("sig_cache_build", "lm_score_cache_build", "lm_bigram_cache_build")) {
+      for (op <- builds) {
         val rec = sink.snapshot().find(_.op == op)
         assert(rec.nonEmpty, s"memo build must be attributed to `$op`")
         assert(rec.get.status == "ok")
       }
-      // Second consumers hit the memo — no second build op:
+      // Second consumers hit the memos — no second build op:
       sink.clear()
-      SparkEntry.queries("q_dedup_cluster_hist")(spark, dir).collect()
+      SparkEntry.queries("q_consolidate_merge")(spark, dir).collect()
       SparkEntry.queries("q_ppl_buckets")(spark, dir).collect()
-      assert(sink.snapshot().count(_.op.endsWith("_cache_build")) == 0,
+      SparkEntry.queries("q_bpe_fertility")(spark, dir).collect()
+      assert(sink.snapshot().count(r =>
+        r.op.endsWith("_cache_build") || r.op.endsWith("_build")) == 0,
         "a memo hit must not rebuild (and must not re-emit the build op)")
     } finally spark.listenerManager.unregister(sink)
   }
