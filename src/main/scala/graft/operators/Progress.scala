@@ -166,6 +166,41 @@ object Progress {
     * sorts share one exchange), unpivot the winners.
     */
   private def nextAction(s: SparkSession, dir: String): DataFrame = {
+    // Four "top item per project" strategies. Ranking with four
+    // row_number windows partitioned by project meant four full sorts
+    // of the actionable set squeezed into 7 partitions (one per
+    // project) — at ×100 the windows, not the ledger, were the cost
+    // (9.8 s isolated). rk == 1 is just an argmax/argmin, so ONE
+    // groupBy computes all four winners with map-side partial
+    // aggregation and an exchange of 7 rows. Each pick key ends in the
+    // unique item_id (negated where the strategy tie-breaks ascending
+    // under a max), so every winner is deterministic and IDENTICAL to
+    // the row_number formulation — `ProgressSpec` pins agg == windowed
+    // on the real corpus; the oracle still replays the windows.
+    val act = itemLedger(s, dir).filter(col("actionable") === 1)
+    val payload = struct(col("item_id"), col("priority"), col("unblocks"), col("n_criteria"))
+    act.groupBy("project").agg(
+        max_by(payload, struct(col("priority"), -col("item_id"))).as("p_priority"),
+        max_by(payload, struct(col("unblocks"), -col("item_id"))).as("p_blocked_unblock"),
+        min_by(payload, struct(col("n_criteria"), col("item_id"))).as("p_quick_win"),
+        min_by(payload, struct(col("created_at"), col("item_id"))).as("p_fifo"))
+      .select(col("project"),
+        expr("""stack(4,
+          'priority', p_priority,
+          'blocked_unblock', p_blocked_unblock,
+          'quick_win', p_quick_win,
+          'fifo', p_fifo) AS (strategy, pick)"""))
+      .select(col("project"), col("strategy"),
+        col("pick.item_id").as("item_id"), col("pick.priority").as("priority"),
+        col("pick.unblocks").as("unblocks"), col("pick.n_criteria").as("n_criteria"))
+      .orderBy("project", "strategy")
+  }
+
+  /** The pre-aggregation window formulation of [[nextAction]], kept as
+    * the parity twin the spec checks the argmax picks against (and the
+    * shape the oracle SQL replays).
+    */
+  private[operators] def nextActionWindowed(s: SparkSession, dir: String): DataFrame = {
     val act = itemLedger(s, dir).filter(col("actionable") === 1)
     def rk(order: org.apache.spark.sql.Column*) =
       row_number().over(Window.partitionBy("project").orderBy(order: _*))

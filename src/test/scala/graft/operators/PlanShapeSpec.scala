@@ -249,24 +249,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("next-action strategies share ONE window exchange; every window is project-partitioned") {
+  test("next-action strategies are ONE map-side-combined aggregate, no windows") {
+    // The four strategies used to rank with four row_number windows
+    // partitioned by project — with 7 projects that is four full sorts
+    // of the actionable set in 7 partitions. rk == 1 is an argmax, so
+    // the plan must show a single partial+final max_by/min_by aggregate
+    // on project and ZERO window operators: the only corpus-sized work
+    // is the scan, and the exchange carries one partial row per
+    // (task, project).
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
     val exec = SparkEntry.queries("q_next_action")(spark, Sf).queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.inputPlan
       case p => p
     }
-    val windows = exec.collect { case w: WindowExec => w }
-    assert(windows.length == 4, s"expected the 4 strategy windows:\n$exec")
-    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
-      s"strategy window must partition by project:\n$exec"))
-    // Shuffles: two edge-degree aggregations, ONE window partitioning
-    // shared by all four strategy sorts, the final orderBy — a plan
-    // where each strategy re-exchanged would show 7.
-    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.length <= 4, s"strategy windows must share one exchange:\n$exec")
-    assert(!exec.toString.contains("CartesianProduct"))
+    assert(exec.collect { case w: WindowExec => w }.isEmpty,
+      s"strategy picks must not sort in windows:\n$exec")
+    val s = exec.toString
+    assert(s.contains("partial_max_by") || s.contains("partial_min_by"),
+      s"strategy aggregate must be map-side combined:\n$exec")
+    assert(s.contains("max_by") && s.contains("min_by"),
+      s"expected the argmax/argmin picks in the aggregate:\n$exec")
+    assert(!s.contains("CartesianProduct"))
   }
 
   test("domain validation is one scan + broadcast requirement table (no agg, no shuffle but the sort)") {

@@ -62,6 +62,14 @@ class ProgressSpec extends SparkSpec {
       "every strategy picked the same item in every project - synthesis too uniform")
   }
 
+  test("q_next_action argmax picks == the windowed formulation, bit for bit") {
+    val agg = run("q_next_action")
+    val win = Progress.nextActionWindowed(spark, Sf)
+    assert(agg.columns.toSeq == win.columns.toSeq)
+    assert(agg.exceptAll(win).count() == 0 && win.exceptAll(agg).count() == 0,
+      "the one-groupBy argmax picks must equal the four-window ranking exactly")
+  }
+
   test("q_progress_summary rates match the reference formulas") {
     val rows = run("q_progress_summary").collect()
     assert(rows.length > 0)
