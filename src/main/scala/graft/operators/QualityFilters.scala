@@ -148,8 +148,17 @@ object QualityFilters {
   // training-gram stream is never shuffled for the join, regardless of
   // what statistics estimate), per-doc hit aggregate. Linear in corpus
   // size, never an all-pairs compare.
-  /** Word 5-grams of a text column (empty below 5 tokens). */
-  private def grams5(c: Column): Column = {
+  /** Word 5-grams of a text column (empty below 5 tokens) — compiled
+    * single-scan kernel ([[graft.functions.expressions.WordGramsExpr]]);
+    * the HOF chain below is the parity twin `GramsKernelSpec` pins it
+    * against on the real corpus.
+    */
+  private def grams5(c: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.WordGramsExpr(
+      ExpressionUtils.expression(c), 5))
+
+  /** The pre-kernel higher-order-function formulation of [[grams5]]. */
+  private[operators] def grams5Hof(c: Column): Column = {
     val toks = split(c, " ")
     val idx = when(size(toks) >= 5, sequence(lit(1), size(toks) - 4))
       .otherwise(array().cast("array<int>"))

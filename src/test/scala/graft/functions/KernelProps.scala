@@ -147,4 +147,26 @@ object KernelProps extends Properties("compiled-kernels") {
     val exp = Bpe.PretokenRe.r.findAllIn(s).toList
     Prop(got == exp) :| s"text='$s' got=$got exp=$exp"
   }
+
+  // Word 5-grams kernel vs a brute-force split — over inputs with
+  // multi-space runs (empty tokens), leading/trailing spaces, unicode:
+  // the kernel's substring shortcut must equal joining the sliced
+  // tokens for every split shape.
+  private val gramChunk = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaLowerChar),
+    Gen.stringOfN(2, Gen.numChar),
+    Gen.oneOf("\u4e2d", "\ud83d\ude00", "x", ""),
+    Gen.oneOf(" ", "  ", "   "))
+  private val gramGen = Gen.listOf(gramChunk).map(_.mkString)
+
+  property("word 5-grams kernel == brute-force sliding join") = Prop.forAll(gramGen) { s =>
+    val toks = s.split(" ", -1)
+    val exp: Seq[String] =
+      if (toks.length < 5) Seq.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSeq
+    val got = new graft.functions.expressions.WordGramsWorker(5)
+      .grams(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      .toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+    Prop(got == exp) :| s"text='$s' got=$got exp=$exp"
+  }
 }
