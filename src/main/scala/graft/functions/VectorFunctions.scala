@@ -103,6 +103,54 @@ object VectorFunctions {
     ExpressionUtils.column(TopCellsF32(ExpressionUtils.expression(a), bc, probes))
   }
 
+  /** Squared L2 distance between two float/double vector columns
+    * (codegen kernel; see [[graft.functions.expressions.SqDistVec]]).
+    */
+  def sqDistVec(a: Column, b: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.SqDistVec(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private def bcCodebook(cellIds: Array[Long], cells: Array[Array[Double]])
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])] =
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast((cellIds, cells))
+
+  /** Lloyd assign step as one kernel call per row: nearest centroid by
+    * (round6 squared L2 ASC, cid ASC), output `struct(cid, dist2)`.
+    * Codebooks here are fresh small arrays per training iteration
+    * (k·dim doubles), so they broadcast directly — no identity memo
+    * like [[topCells]]'s (those codebooks are ⌈√n⌉-sized and recur);
+    * dropped handles are reclaimed by ContextCleaner with the plan.
+    */
+  def nearestCellSq(a: Column, cellIds: Array[Long],
+      cells: Array[Array[Double]]): Column =
+    ExpressionUtils.column(graft.functions.expressions.NearestCellSq(
+      ExpressionUtils.expression(a), bcCodebook(cellIds, cells)))
+
+  /** PQ assign/encode: the m per-subspace nearest-centroid ids as one
+    * kernel call per row. Keys are `sub * PqCodebook.Stride + cid`,
+    * sorted.
+    */
+  def pqAssign(a: Column, keys: Array[Long], cells: Array[Array[Double]]): Column =
+    ExpressionUtils.column(graft.functions.expressions.PqAssignCodes(
+      ExpressionUtils.expression(a), bcCodebook(keys, cells)))
+
+  /** ADC distance of a PQ code array against a `[sub][cid]` lookup
+    * table of round6 per-subspace contributions.
+    */
+  def pqAdc(codes: Column, lut: Array[Array[Double]]): Column =
+    ExpressionUtils.column(graft.functions.expressions.PqAdcDist(
+      ExpressionUtils.expression(codes),
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(lut)))
+
+  /** `vec − centroid(cid)` in double against a driver codebook — the
+    * IVF-PQ residual as one kernel call per row.
+    */
+  def centroidResidual(a: Column, cid: Column, cellIds: Array[Long],
+      cells: Array[Array[Double]]): Column =
+    ExpressionUtils.column(graft.functions.expressions.CentroidResidualVec(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(cid),
+      bcCodebook(cellIds, cells)))
+
   /** Reference HOF formulation of dot — CodegenFallback; kept for
     * kernel-parity tests only.
     */

@@ -507,16 +507,26 @@ object Curation {
       maxBroadcastSigRows: Long = MaxBroadcastSigRows): DataFrame = {
     val batchSized = batchSigs.count() <= maxBroadcastSigRows
     def hinted(df: DataFrame): DataFrame = if (batchSized) broadcast(df) else df
-    val vsIndex = indexSigs
+    // ONE join: the index side and the batch's own doc_other side are
+    // the same probe stream (index partners keep every pairing, batch
+    // partners only the doc_other < doc_new half), so probing with
+    // their tagged union halves the join stages and — in the
+    // non-broadcast backfill regime — saves a whole batch-side shuffle
+    // vs the old two-join union. The tag is a boolean riding the
+    // (cheap, sig-sized) probe side, never the (pair-sized) output:
+    // `origin` is derived from it post-join, so a consumer that
+    // aggregates on the pair alone lets Catalyst prune the string out
+    // of its pair-volume exchange.
+    indexSigs.select(col("band"), col("sig"), col("doc_id").as("doc_other"),
+        lit(false).as("is_batch"))
+      .unionByName(
+        batchSigs.select(col("band"), col("sig"), col("doc_id").as("doc_other"),
+          lit(true).as("is_batch")))
       .join(hinted(batchSigs.select(col("band"), col("sig"), col("doc_id").as("doc_new"))),
         Seq("band", "sig"))
-      .select(col("doc_new"), col("doc_id").as("doc_other"), lit("index").as("origin"))
-    val vsBatch = batchSigs.select(col("band"), col("sig"), col("doc_id").as("doc_other"))
-      .join(hinted(batchSigs.select(col("band"), col("sig"), col("doc_id").as("doc_new"))),
-        Seq("band", "sig"))
-      .filter(col("doc_other") < col("doc_new"))
-      .select(col("doc_new"), col("doc_other"), lit("batch").as("origin"))
-    vsIndex.unionByName(vsBatch)
+      .filter(!col("is_batch") || col("doc_other") < col("doc_new"))
+      .select(col("doc_new"), col("doc_other"),
+        when(col("is_batch"), lit("batch")).otherwise(lit("index")).as("origin"))
   }
 
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
@@ -554,10 +564,23 @@ object Curation {
         Dedup.familyRepsStratified(sigs, col("doc_id") % 5 === 0), Seq("doc_id"))
     val batch = src.filter(col("doc_id") % 5 === 0)
     val index = src.filter(col("doc_id") % 5 =!= 0)
+    // The pair-volume exchange (1.7e8 rows at the ×100 decade — the
+    // dominant cost of the under-cap exact leg) carries ONLY the two
+    // pair ids: `origin` is functionally determined by which side of
+    // the batch split doc_other sits on (this query's split is
+    // doc_id % 5), so it is re-derived AFTER the aggregation and the
+    // candidate frame's string column is pruned out of the shuffle.
+    // The final sort likewise keys on the (unique) pair alone — two
+    // longs, no string compares — and orders identically to the
+    // oracle's ORDER BY 1, 2, 3.
     incrementalCandidates(batch, index)
-      .groupBy("doc_new", "doc_other", "origin")
+      .groupBy("doc_new", "doc_other")
       .agg(count(lit(1)).as("bands_matched"))
-      .orderBy("doc_new", "doc_other", "origin")
+      .select(col("doc_new"), col("doc_other"),
+        when(col("doc_other") % 5 === 0, lit("batch"))
+          .otherwise(lit("index")).as("origin"),
+        col("bands_matched"))
+      .orderBy("doc_new", "doc_other")
   }
 
   private val dedupIncrementalSql =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.VectorFunctions
 import graft.io.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -42,14 +43,99 @@ object Pq {
   private val PqTopK = 10
   private val PqShortlist = 50 // ADC survivors that get exact re-rank
 
-  private def sqDist(a: Column, b: Column): Column =
+  private def round6(x: Double): Double =
+    graft.functions.expressions.CentroidKernels.round6(x)
+
+  /** Driver-side squared L2 with the kernels' exact arithmetic
+    * (element order, Math.pow) — used only for the bounded LUT.
+    */
+  private def sqDistArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += math.pow(a(i) - b(i), 2.0); i += 1 }
+    s
+  }
+
+  /** Train the per-subspace PQ codebook with kernel assignment — the
+    * declarative [[trainCodebook]]'s exact contract (seed centroids =
+    * the first ks vectors' slices; one assign round by round6 squared
+    * L2 tie-broken by cid; per-(sub, cid, pos) mean rounded to 6) as
+    * one corpus pass: assignment is a [[VectorFunctions.pqAssign]]
+    * projection (no per-subspace join, no argmin groupBy), the mean
+    * update is one scalar posexplode into a ≤ m·ks·dsub-group
+    * aggregate, collected driver-side (≤ 512 rows — codebook-sized by
+    * construction, like [[ScalePatterns.kmeansFit]]'s update step).
+    * `vf` must be (vec_id, v: array<float|double>).
+    */
+  private[operators] def trainCodebookArrays(vf: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val stride = graft.functions.expressions.PqCodebook.Stride
+    val seeds = vf.filter(col("vec_id") < PqKs).collect()
+      .map { r =>
+        val v = r.get(1).asInstanceOf[scala.collection.Seq[Any]]
+          .map { case f: Float => f.toDouble; case d: Double => d }.toArray
+        (r.getLong(0), v)
+      }.sortBy(_._1)
+    val k0 = for (sub <- 0 until PqM; (cid, _) <- seeds)
+      yield sub * stride + cid
+    val c0 = for (sub <- 0 until PqM; (_, v) <- seeds)
+      yield v.slice(sub * PqD, (sub + 1) * PqD)
+    val sub = floor(col("pos") / PqD)
+    // Two-step select: the assign kernel must land in a Project BELOW
+    // the Generate (once per vector) — fused into one select, Spark's
+    // ExtractGenerator leaves non-generator expressions in the Project
+    // ABOVE the explode and the kernel re-evaluates per exploded
+    // element (64× per vector; measured 23-33 s at the ×100 decade vs
+    // sub-second for the whole pass in this shape).
+    val upd = vf
+      .select(col("v"),
+        VectorFunctions.pqAssign(col("v"), k0.toArray, c0.toArray).as("codes"))
+      .select(col("codes"), posexplode(col("v")))
+      .select(
+        (sub.cast("long") * stride +
+          element_at(col("codes"), (sub + 1).cast("int"))).as("k"),
+        pmod(col("pos"), lit(PqD)).as("spos"),
+        col("col").cast("double").as("x"))
+      .groupBy("k", "spos").agg(round(avg("x"), 6).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val grouped = upd.groupBy(_._1).toArray.sortBy(_._1)
+    (grouped.map(_._1),
+      grouped.map { case (_, rows) => rows.sortBy(_._2).map(_._3) })
+  }
+
+  /** Dense `[sub][cid]` ADC lookup table: round6 squared L2 of each
+    * trained sub-centroid to the query's matching slice. Slots for
+    * dropped centroids stay 0 and are never referenced by codes.
+    */
+  private[operators] def adcLut(q: Array[Double], keys: Array[Long],
+      cells: Array[Array[Double]]): Array[Array[Double]] = {
+    val stride = graft.functions.expressions.PqCodebook.Stride
+    val lut = Array.fill(PqM)(new Array[Double](PqKs))
+    var i = 0
+    while (i < keys.length) {
+      val sub = (keys(i) / stride).toInt
+      val cid = (keys(i) - sub * stride).toInt
+      lut(sub)(cid) =
+        round6(sqDistArr(q.slice(sub * PqD, (sub + 1) * PqD), cells(i)))
+      i += 1
+    }
+    lut
+  }
+
+  /** Declarative squared L2 — parity twin of
+    * [[graft.functions.VectorFunctions.sqDistVec]], kept for specs.
+    */
+  private[operators] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => pow(x.cast("double") - y, lit(2))),
       lit(0.0), (acc, x) => acc + x)
 
   /** (vec_id, sub, svec): the m contiguous subvector slices, cast to
-    * double once so every later distance is double-exact.
+    * double once so every later distance is double-exact. Parity twin
+    * for specs; the query paths assign/encode via the
+    * [[VectorFunctions.pqAssign]] kernel without ever exploding
+    * subvector rows.
     */
-  private def subvectors(e: DataFrame): DataFrame =
+  private[operators] def subvectors(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("embedding"))
       .select(col("vec_id"), col("sub"),
@@ -64,7 +150,7 @@ object Pq {
     * the struct comparison never passes (dist2, cid), which is unique
     * per group by construction.
     */
-  private def trainCodebook(subv: DataFrame): DataFrame = {
+  private[operators] def trainCodebook(subv: DataFrame): DataFrame = {
     val c0 = subv.filter(col("vec_id") < PqKs)
       .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
     val asg = subv.join(broadcast(c0), Seq("sub"))
@@ -85,7 +171,7 @@ object Pq {
   /** Encode: each (vector, subspace) takes its nearest updated
     * centroid's id. This is the persistent PQ code table.
     */
-  private def encode(subv: DataFrame, cent: DataFrame): DataFrame =
+  private[operators] def encode(subv: DataFrame, cent: DataFrame): DataFrame =
     subv.join(broadcast(cent), Seq("sub"))
       .select(col("vec_id"), col("sub"),
         struct(round(sqDist(col("svec"), col("cvec")), 6).as("dist2"),
@@ -95,33 +181,33 @@ object Pq {
 
   private def annPq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val subv = subvectors(e)
-    val cent = trainCodebook(subv)
-    val codes = encode(subv, cent)
-    // Query = vec 0, kept as frames (no driver collect): its subvector
-    // slices price the 32 centroids into the ADC lookup table.
-    val qsub = subv.filter(col("vec_id") === 0)
-      .select(col("sub"), col("svec").as("qsvec"))
-    val lut = cent.join(broadcast(qsub), Seq("sub"))
-      .select(col("sub"), col("cid"),
-        round(sqDist(col("qsvec"), col("cvec")), 6).as("contrib"))
-    val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
-      .groupBy("vec_id").agg(round(sum(col("contrib")), 6).as("adc_dist"))
+    // Train + encode through the compiled assign kernel: one bounded
+    // codebook collect, then codes and ADC are a single projection
+    // over the corpus — no per-subspace join, no argmin groupBy, no
+    // exchange before the top-k. Query = vec 0; its slices price the
+    // codebook into the driver-built LUT (codebook-sized, like the
+    // training collect — the [[ScalePatterns.kmeansFit]] discipline).
+    val (tk, tc) = trainCodebookArrays(
+      e.select(col("vec_id"), col("embedding").as("v")))
+    val q = e.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val lut = adcLut(q, tk, tc)
+    val adc = e.select(col("vec_id"),
+      VectorFunctions.pqAdc(
+        VectorFunctions.pqAssign(col("embedding"), tk, tc), lut).as("adc_dist"))
     val shortlist = adc.orderBy(col("adc_dist"), col("vec_id")).limit(PqShortlist)
-    val qfull = e.filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), _.cast("double")).as("qv"))
+    val qlit = lit(q)
     // Exact distances ONLY for the shortlist — the re-rank stage's scan
     // is bounded at PqShortlist float vectors.
     val reranked = shortlist
       .join(e, Seq("vec_id"))
-      .crossJoin(broadcast(qfull))
       .select(col("vec_id"), col("adc_dist"),
-        round(sqDist(col("embedding"), col("qv")), 6).as("true_dist"))
+        round(VectorFunctions.sqDistVec(col("embedding"), qlit), 6).as("true_dist"))
     // Audit side (test-scale only): the full exact top-10 to grade the
-    // shortlist's recall.
-    val exactTop = e.crossJoin(broadcast(qfull))
+    // shortlist's recall — a compiled-kernel scan into TakeOrdered.
+    val exactTop = e
       .select(col("vec_id"),
-        round(sqDist(col("embedding"), col("qv")), 6).as("d"))
+        round(VectorFunctions.sqDistVec(col("embedding"), qlit), 6).as("d"))
       .orderBy(col("d"), col("vec_id"))
       .limit(PqTopK).select(col("vec_id"), lit(1).as("in_exact"))
     reranked
@@ -197,39 +283,42 @@ object Pq {
 
   private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val (cent, asgRaw) = ScalePatterns.kmeansFit(s, dir, 2)
-    // (vec_id, cid, embedding) is read by residuals, cell filter, and
-    // the audit — materialize the assignment once.
+    // (vec_id, cid, embedding) is read by residual training, the cell
+    // probe, and the audit — materialize the assignment once.
     val asg = asgRaw.select("vec_id", "cid", "embedding").localCheckpoint(true)
-    val resid = asg.join(broadcast(cent), Seq("cid"))
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("embedding"), col("cvec"),
-          (x, c) => x.cast("double") - c).as("embedding"))
-    val subv = subvectors(resid)
-    val cb = trainCodebook(subv)
-    val codes = encode(subv, cb)
-    val qres = resid.filter(col("vec_id") === 0)
-    val qsub = subvectors(qres).select(col("sub"), col("svec").as("qsvec"))
-    val lut = cb.join(broadcast(qsub), Seq("sub"))
-      .select(col("sub"), col("cid"),
-        round(sqDist(col("qsvec"), col("cvec")), 6).as("contrib"))
-    val cellMembers = asg
-      .join(broadcast(qres.select(col("cid").as("qcell"))),
-        col("cid") === col("qcell"))
-      .select("vec_id", "embedding")
-    val adc = codes.join(cellMembers.select("vec_id"), Seq("vec_id"))
-      .join(broadcast(lut), Seq("sub", "cid"))
-      .groupBy("vec_id").agg(round(sum(col("contrib")), 6).as("adc_dist"))
+    // Coarse codebook driver-side (cent is a local relation of the
+    // already-collected rounded centroids — k rows, free): residuals
+    // become one CentroidResidualVec kernel call per row, replacing
+    // the (asg ⋈ broadcast cent) + interpreted zip_with shape.
+    val centArr = cent.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val resid = VectorFunctions.centroidResidual(
+      col("embedding"), col("cid"), centArr.map(_._1), centArr.map(_._2))
+    // PQ trains on ALL residuals (the codebook sees the whole corpus,
+    // as FAISS does) ...
+    val (tk, tc) = trainCodebookArrays(
+      asg.select(col("vec_id"), resid.as("v")))
+    // ... but codes are only ever CONSUMED inside the probed cell, so
+    // encode runs as a projection over the cell members alone.
+    val qRow = asg.filter(col("vec_id") === 0).select("cid", "embedding").head()
+    val qcell = qRow.getLong(0)
+    val q = qRow.getSeq[Float](1).map(_.toDouble).toArray
+    val qcvec = centArr.find(_._1 == qcell).get._2
+    val qres = Array.tabulate(q.length)(i => q(i) - qcvec(i))
+    val lut = adcLut(qres, tk, tc)
+    val cellMembers = asg.filter(col("cid") === qcell)
+    val adc = cellMembers.select(col("vec_id"),
+      VectorFunctions.pqAdc(
+        VectorFunctions.pqAssign(resid, tk, tc), lut).as("adc_dist"))
     val shortlist = adc.orderBy(col("adc_dist"), col("vec_id")).limit(IvfPqShortlist)
-    val qfull = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), _.cast("double")).as("qv"))
+    val qlit = lit(q)
     val reranked = shortlist
-      .join(cellMembers, Seq("vec_id"))
-      .crossJoin(broadcast(qfull))
+      .join(cellMembers.select("vec_id", "embedding"), Seq("vec_id"))
       .select(col("vec_id"), col("adc_dist"),
-        round(sqDist(col("embedding"), col("qv")), 6).as("true_dist"))
-    val cellTop = cellMembers.crossJoin(broadcast(qfull))
+        round(VectorFunctions.sqDistVec(col("embedding"), qlit), 6).as("true_dist"))
+    val cellTop = cellMembers
       .select(col("vec_id"),
-        round(sqDist(col("embedding"), col("qv")), 6).as("d"))
+        round(VectorFunctions.sqDistVec(col("embedding"), qlit), 6).as("d"))
       .orderBy(col("d"), col("vec_id"))
       .limit(IvfPqTopK).select(col("vec_id"), lit(1).as("in_cell_exact"))
     reranked

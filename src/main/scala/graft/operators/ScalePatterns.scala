@@ -158,13 +158,14 @@ object ScalePatterns {
   // coarse quantizer" step behind IVF (the label-centroid codebooks
   // elsewhere are the assignment-given shortcut). Two deterministic
   // iterations from fixed seeds (vec_id < k): each iteration is
-  //   assign:  vectors × k broadcast centroids → map-side-combined
-  //            argmin (the exchange carries ONE row per vector — the
-  //            k candidate rows collapse in the partial aggregate)
+  //   assign:  ONE compiled argmin kernel call per row against the
+  //            broadcast codebook (NearestCellSq) — a shuffle-free
+  //            projection; no candidate row ever exists
   //   update:  one map-side-combined (cid, pos) average whose exchange
   //            carries ≤ k·dim rows regardless of corpus size
-  // — the canonical distributed k-means shape: the k-inflated candidate
-  // frame never reaches a shuffle. Centroid elements round to 6
+  // — the canonical distributed k-means shape, with the k-inflated
+  // candidate frame eliminated outright rather than merely collapsed
+  // before its exchange. Centroid elements round to 6
   // decimals each iteration so both engines iterate from bit-identical
   // codebooks. Output: the final codebook exploded to
   // (cid, size, pos, c) rows — fully value-pinned by the oracle.
@@ -191,17 +192,60 @@ object ScalePatterns {
 
   /** The Lloyd loop itself: returns (final codebook, final assignment).
     * The assignment keeps its assign-time `dist2` so callers (and the
-    * monotonicity spec) can audit inertia per iteration count.
+    * monotonicity spec) can audit inertia per iteration count (Catalyst
+    * prunes the column out of consumers that never read it, and with it
+    * the kernel's second evaluation).
     *
-    * The argmin is a map-side-combined `min(struct(dist2, cid, …))` —
-    * partial aggregation collapses the k candidate rows per vector
-    * BEFORE the exchange, so the shuffle carries one row per vector
-    * (a window-rank argmin would instead shuffle all n·k candidate
-    * rows; row_number cannot partial-aggregate). The struct comparison
-    * never reaches the embedding field: (dist2, cid) is unique per
-    * vector by construction.
+    * Assignment is ONE compiled kernel call per row
+    * ([[VectorFunctions.nearestCellSq]]): the k-candidate frame never
+    * exists, so the assign step is a shuffle-free projection — strictly
+    * tighter than the previous map-side-combined `min(struct(dist2,
+    * cid, …))` argmin, which still built and scored n·k interpreted
+    * HOF candidates per pass even though its exchange was one row per
+    * vector. Each iteration's update collects the ≤ k·dim rounded
+    * centroid rows to the driver (the [[QualityFilters]] codebook
+    * pattern — bounded by construction) and re-broadcasts them into
+    * the next assign kernel; the returned codebook frame is rebuilt
+    * from those SAME rounded values as a local relation, so consuming
+    * it never replays the training chain. Declarative twin
+    * [[kmeansFitDeclarative]] is parity-pinned by KmeansSpec.
     */
   private[operators] def kmeansFit(s: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    var cb: Array[(Long, Array[Double])] = e.filter(col("vec_id") < KmeansK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    var asg: DataFrame = e // placeholder; overwritten by the first iteration
+    for (_ <- 1 to iters) {
+      val nc = VectorFunctions.nearestCellSq(
+        col("embedding"), cb.map(_._1), cb.map(_._2))
+      asg = e.select(col("vec_id"), col("embedding"),
+        nc.getField("cid").as("cid"), nc.getField("dist2").as("dist2"))
+      cb = meanCentroids(asg, col("cid"), col("embedding"), "cid")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    }
+    val cent = s.createDataFrame(
+      java.util.Arrays.asList(cb.map { case (cid, cv) =>
+        org.apache.spark.sql.Row(cid, cv.toSeq) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+    (cent, asg)
+  }
+
+  /** The pre-kernel declarative Lloyd loop — the parity reference
+    * KmeansSpec pins the kernel form against (same seeds, same round6
+    * argmin tie-broken by cid, same mean update).
+    */
+  private[operators] def kmeansFitDeclarative(s: SparkSession, dir: String,
       iters: Int): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     var cent = e.filter(col("vec_id") < KmeansK)

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parity pins for the centroid-assignment kernels (CentroidKernels)
+  * against the declarative formulations they replaced: the kernels must
+  * be bit-identical on the corpus AND on adversarial shapes the corpus
+  * doesn't reach (exact distance ties, dropped centroids, length
+  * mismatches, double-typed inputs).
+  */
+class CentroidKernelSpec extends SparkSpec {
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, v) => Row(id, v) }: _*),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("v", ArrayType(FloatType, containsNull = false), nullable = false))))
+
+  test("kernel kmeansFit == declarative kmeansFit, codebook and assignment, 1 and 2 iters") {
+    for (iters <- 1 to 2) {
+      val (ck, ak) = ScalePatterns.kmeansFit(spark, Sf, iters)
+      val (cd, ad) = ScalePatterns.kmeansFitDeclarative(spark, Sf, iters)
+      def cents(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).sortBy(_._1).toList
+      assert(cents(ck) == cents(cd), s"codebooks diverge at iters=$iters")
+      def asgRows(df: DataFrame) = df.select("vec_id", "cid", "dist2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toList
+      assert(asgRows(ak) == asgRows(ad), s"assignments diverge at iters=$iters")
+    }
+  }
+
+  test("kernel PQ codebook == declarative trainCodebook on the corpus") {
+    val e = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val (tk, tc) = Pq.trainCodebookArrays(
+      e.select(col("vec_id"), col("embedding").as("v")))
+    val stride = graft.functions.expressions.PqCodebook.Stride
+    val kernelBook = tk.zip(tc.map(_.toList)).toList
+    val declBook = Pq.trainCodebook(Pq.subvectors(e)).collect()
+      .map(r => (r.getInt(0).toLong * stride + r.getLong(1), r.getSeq[Double](2).toList))
+      .sortBy(_._1).toList
+    assert(kernelBook == declBook, "trained PQ codebooks diverge")
+  }
+
+  test("pqAssign codes == declarative encode on the corpus") {
+    val e = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val subv = Pq.subvectors(e)
+    val cent = Pq.trainCodebook(subv)
+    val (tk, tc) = Pq.trainCodebookArrays(
+      e.select(col("vec_id"), col("embedding").as("v")))
+    val kernelCodes = e.select(col("vec_id"),
+        VectorFunctions.pqAssign(col("embedding"), tk, tc).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).sortBy(_._1).toList
+    val declCodes = Pq.encode(subv, cent)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).sortBy(_._1).toList
+    assert(kernelCodes == declCodes, "PQ codes diverge")
+  }
+
+  test("sqDistVec == HOF fold on float and double arrays; NULL on length mismatch") {
+    val df = spark.range(1).select(
+      lit(Array(1.5f, -2.25f, 0f)).as("af"),
+      lit(Array(0.5f, 4f, -1f)).as("bf"),
+      lit(Array(1.5, -2.25, 0.0)).as("ad"),
+      lit(Array(0.5f, 4f)).as("short"))
+    val r = df.select(
+      VectorFunctions.sqDistVec(col("af"), col("bf")).as("ff"),
+      Pq.sqDist(col("af"), col("bf")).as("ff_hof"),
+      VectorFunctions.sqDistVec(col("ad"), col("bf")).as("df"),
+      Pq.sqDist(col("ad"), col("bf")).as("df_hof"),
+      VectorFunctions.sqDistVec(col("af"), col("short")).as("mismatch")).head()
+    assert(r.getDouble(0) == r.getDouble(1), "float/float kernel != HOF")
+    assert(r.getDouble(2) == r.getDouble(3), "double/float kernel != HOF")
+    assert(r.isNullAt(4), "length mismatch must be NULL")
+  }
+
+  test("nearestCellSq breaks exact-tie distances on the smaller cid") {
+    // two identical centroids under different ids: the argmin must pick
+    // the smaller id, matching min(struct(dist2, cid)).
+    val cells = Array(Array(1.0, 0.0), Array(1.0, 0.0))
+    val ids = Array(7L, 3L)
+    val df = vecDf(Seq((0L, Seq(0f, 0f))))
+    val got = df.select(
+      VectorFunctions.nearestCellSq(col("v"), ids, cells).getField("cid")).head().getLong(0)
+    assert(got == 3L, s"tie must go to the smaller cid, got $got")
+  }
+
+  test("pq kernels survive dropped centroids (codes never reference them)") {
+    // 3 seed vectors but one (cid 1) is identical to cid 0: in training
+    // every member ties to the lower cid, cid 1 attracts nothing and
+    // drops out of the trained book; encode must still cover all rows.
+    val base = Seq(
+      (0L, Seq.fill(64)(0f)),
+      (1L, Seq.fill(64)(0f)),
+      (2L, Seq.fill(64)(5f)),
+      (3L, Seq.fill(64)(0.1f)),
+      (4L, Seq.fill(64)(4.9f)),
+      (5L, Seq.fill(64)(0.2f)),
+      (6L, Seq.fill(64)(5.1f)),
+      (7L, Seq.fill(64)(0.05f)),
+      (8L, Seq.fill(64)(4.8f)),
+      (9L, Seq.fill(64)(0.3f)))
+    val df = vecDf(base)
+    val (tk, tc) = Pq.trainCodebookArrays(df)
+    val codes = df.select(col("vec_id"),
+      VectorFunctions.pqAssign(col("v"), tk, tc).as("codes")).collect()
+    assert(codes.length == base.length)
+    val declCodes = Pq.encode(
+        Pq.subvectors(df.select(col("vec_id"), col("v").as("embedding"))),
+        Pq.trainCodebook(Pq.subvectors(df.select(col("vec_id"), col("v").as("embedding")))))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    codes.foreach { r =>
+      assert(r.getSeq[Long](1).toList == declCodes(r.getLong(0)),
+        s"codes diverge for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("pqAdc == join-sum of per-subspace contributions") {
+    val e = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val (tk, tc) = Pq.trainCodebookArrays(
+      e.select(col("vec_id"), col("embedding").as("v")))
+    val q = e.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val lut = Pq.adcLut(q, tk, tc)
+    val kernelAdc = e.select(col("vec_id"),
+        VectorFunctions.pqAdc(
+          VectorFunctions.pqAssign(col("embedding"), tk, tc), lut).as("adc"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toList
+    // independent recomputation from the same codes + lut, driver-side
+    val stride = graft.functions.expressions.PqCodebook.Stride
+    val round6 = graft.functions.expressions.CentroidKernels.round6 _
+    val expected = e.select(col("vec_id"),
+        VectorFunctions.pqAssign(col("embedding"), tk, tc).as("codes"))
+      .collect().map { r =>
+        val cs = r.getSeq[Long](1)
+        (r.getLong(0), round6(cs.zipWithIndex.map {
+          case (cid, sub) => lut(sub)(cid.toInt) }.sum))
+      }.sortBy(_._1).toList
+    assert(kernelAdc == expected, "ADC kernel != independent recomputation")
+  }
+
+  test("centroidResidual == zip_with minus; unknown cid is NULL") {
+    val ids = Array(0L, 2L)
+    val cells = Array(Array.fill(64)(0.25), Array.fill(64)(1.5))
+    val df = vecDf(Seq((0L, Seq.fill(64)(1f)), (1L, Seq.fill(64)(2f))))
+      .withColumn("cid", when(col("vec_id") === 0, 0L).otherwise(2L))
+    val got = df.select(col("vec_id"),
+        VectorFunctions.centroidResidual(col("v"), col("cid"), ids, cells).as("r"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toMap
+    assert(got(0L) == List.fill(64)(0.75))
+    assert(got(1L) == List.fill(64)(0.5))
+    val unknown = df.select(VectorFunctions.centroidResidual(
+      col("v"), lit(99L), ids, cells).as("r")).collect()
+    assert(unknown.forall(_.isNullAt(0)), "unknown cid must yield NULL")
+  }
+}
