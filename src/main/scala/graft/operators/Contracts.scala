@@ -601,8 +601,11 @@ object Contracts {
   // events are written through the REAL store, keep-latest-2 per branch
   // runs against run1, and the surviving table aggregates per (run,
   // branch) — a wrong window frame, tiebreak, or anti-join breaks the
-  // hash. Scale shape: ranked side bounded by one run; rewrite is the
-  // deleteWhere snapshot pattern.
+  // hash. Scale shape: the store keeps checkpoints as one versioned
+  // sub-table per run, so the ranked side is bounded by one run AND the
+  // cleanup's snapshot rewrite touches run1's partition only — run0's
+  // committed snapshot is never read or rewritten (spec-pinned at the
+  // filesystem level in CheckpointPartitionSpec).
   private def checkpointCleanup(s: SparkSession, dir: String): DataFrame = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_q_checkpoint_cleanup"
     val p = new org.apache.hadoop.fs.Path(root)

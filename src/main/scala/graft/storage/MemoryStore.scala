@@ -193,7 +193,10 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * maintenance, when no reader is pinned to an old snapshot.
     */
   def vacuum(memoryType: String): Unit =
-    currentSnapshot(memoryType) match {
+    // the checkpoints root holds per-run partition tables, each with
+    // its own marker — vacuum every partition
+    if (memoryType == MemoryType.Checkpoints) ckPartTypes().foreach(vacuum)
+    else currentSnapshot(memoryType) match {
       case Some((v, snap)) =>
         cleanupSnapshots(memoryType, keepFromVersion = v + 1, protect = Some(snap.getName))
       case None =>
@@ -220,9 +223,12 @@ final class MemoryStore(val spark: SparkSession, val root: String,
   def saveAntiPatterns(rows: Seq[AntiPattern]): Unit = append(rows.toDS().toDF(), MemoryType.AntiPatterns)
 
   /** Distributed batch append — the path promotions use so emitted rows
-    * never round-trip through the driver.
+    * never round-trip through the driver. Checkpoint rows route into
+    * their per-run partitions.
     */
-  def appendRows(df: DataFrame, memoryType: String): Unit = append(df, memoryType)
+  def appendRows(df: DataFrame, memoryType: String): Unit =
+    if (memoryType == MemoryType.Checkpoints) appendCheckpoints(df)
+    else append(df, memoryType)
 
   // Preferences (and the feedback log) are user-keyed, not project-keyed;
   // partition only when the layout column exists.
@@ -299,6 +305,11 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     scan(MemoryType.AntiPatterns, projectId, agents).as[AntiPattern]
 
   private def emptyOf(memoryType: String): DataFrame = memoryType match {
+    // any per-run partition path (`checkpoints/runId=<r>`) shares the
+    // checkpoint schema
+    case t if t != MemoryType.Checkpoints &&
+      t.startsWith(MemoryType.Checkpoints + "/") =>
+      spark.emptyDataset[graft.workflow.Checkpoint].toDF()
     case MemoryType.Heuristics => spark.emptyDataset[Heuristic].toDF()
     case MemoryType.Outcomes => spark.emptyDataset[Outcome].toDF()
     case MemoryType.Preferences => spark.emptyDataset[UserPreference].toDF()
@@ -311,26 +322,80 @@ final class MemoryStore(val spark: SparkSession, val root: String,
   }
 
   // ---- workflow checkpoints (crash-recovery state, core.py:546-650) ------
-  def saveCheckpoints(rows: Seq[graft.workflow.Checkpoint]): Unit =
-    append(rows.toDS().toDF(), MemoryType.Checkpoints)
+  // Checkpoints are the one RUN-scoped table: every write belongs to one
+  // run and the only rewrite (cleanupCheckpoints) targets one completed
+  // run, so the table is stored as one versioned sub-table PER RUN
+  // (`checkpoints/runId=<enc>/snap_.../` + per-run `_CURRENT`). A
+  // cleanup then reads and snapshot-rewrites the completed run's
+  // partition ONLY — at 100 TB the rewrite touches that run's files,
+  // never the whole checkpoint history (the scale gap the old
+  // whole-table deleteWhere shape carried). The runId column stays IN
+  // the data (the path key is addressing, not Hive layout inference),
+  // so every partition read yields the exact Checkpoint schema, and
+  // cross-run reads are a union of partition scans.
 
+  private def ckPartType(runId: String): String =
+    s"${MemoryType.Checkpoints}/runId=" +
+      java.net.URLEncoder.encode(runId, "UTF-8")
+
+  /** The existing per-run partition table names, from one listing of
+    * the checkpoints root (absent root → no partitions).
+    */
+  private def ckPartTypes(): Seq[String] = {
+    val dir = tableDir(MemoryType.Checkpoints)
+    try {
+      fsOf(dir).listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("runId="))
+        .map(st => s"${MemoryType.Checkpoints}/${st.getPath.getName}")
+        .sorted
+    } catch { case _: java.io.IOException => Nil }
+  }
+
+  /** Append checkpoint rows into their runs' partitions: one filtered
+    * append per touched run. The distinct-runId collect is bounded by
+    * the number of runs in the batch — a live workflow saves one run's
+    * state; even a backfill touches a handful.
+    */
+  private def appendCheckpoints(df: DataFrame): Unit = {
+    val runs = df.select("runId").distinct().collect().map(_.getString(0))
+    runs.foreach(r => append(df.filter(col("runId") === r), ckPartType(r)))
+  }
+
+  def saveCheckpoints(rows: Seq[graft.workflow.Checkpoint]): Unit =
+    appendCheckpoints(rows.toDS().toDF())
+
+  /** One run's checkpoints read its partition alone; the cross-run scan
+    * unions every partition (schema declared per partition — no
+    * corpus-wide listing beyond the one directory list).
+    */
   def checkpoints(runId: Option[String] = None): Dataset[graft.workflow.Checkpoint] = {
-    val df = scan(MemoryType.Checkpoints)
-    runId.fold(df)(r => df.filter(col("runId") === r)).as[graft.workflow.Checkpoint]
+    val parts = runId match {
+      case Some(r) => Seq(ckPartType(r)).filter(exists)
+      case None => ckPartTypes().filter(exists)
+    }
+    val df =
+      if (parts.isEmpty) emptyOf(MemoryType.Checkpoints)
+      else parts.map(readTable).reduce(_.unionByName(_))
+    df.as[graft.workflow.Checkpoint]
   }
 
   /** Drop all but the latest `keepLatest` checkpoints per branch of a
     * completed run (reference checkpoint.py cleanup): rank within the
-    * run, snapshot-rewrite the complement — the same distributed
-    * delete shape as `deleteWhere`, bounded by run length on the
-    * ranked side. Returns the number of checkpoints deleted.
+    * run's PARTITION, snapshot-rewrite that partition's complement —
+    * the deleteWhere shape scoped to the one sub-table the run owns.
+    * Every other run's partition keeps its committed snapshot
+    * untouched (spec-pinned at the filesystem level). The doomed set
+    * is materialized once (bounded: a completed run's over-quota rows)
+    * so the count and the anti-join don't run the ranking twice.
+    * Returns the number of checkpoints deleted.
     */
   def cleanupCheckpoints(runId: String, keepLatest: Int): Long = {
-    if (!exists(MemoryType.Checkpoints)) return 0L
-    val live = readTable(MemoryType.Checkpoints)
-    val doomed = doomedCheckpoints(live, runId, keepLatest)
+    val part = ckPartType(runId)
+    if (!exists(part)) return 0L
+    val live = readTable(part)
+    val doomed = doomedCheckpoints(live, runId, keepLatest).localCheckpoint(true)
     val n = doomed.count()
-    if (n > 0) overwrite(live.join(doomed, Seq("id"), "left_anti"), MemoryType.Checkpoints)
+    if (n > 0) overwrite(live.join(doomed, Seq("id"), "left_anti"), part)
     n
   }
 
