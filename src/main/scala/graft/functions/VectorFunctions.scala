@@ -126,6 +126,16 @@ object VectorFunctions {
     ExpressionUtils.column(graft.functions.expressions.NearestCellSq(
       ExpressionUtils.expression(a), bcCodebook(cellIds, cells)))
 
+  /** SemDeDup/IVF assign step as one kernel call per row: nearest
+    * centroid by (round4 cosine DESC, id ASC), output
+    * `struct(cl, csim)` — [[topCells]]'s ranking, keeping the winning
+    * similarity.
+    */
+  def nearestCellCos(a: Column, cellIds: Array[Long],
+      cells: Array[Array[Double]]): Column =
+    ExpressionUtils.column(graft.functions.expressions.NearestCellCos(
+      ExpressionUtils.expression(a), bcCodebook(cellIds, cells)))
+
   /** PQ assign/encode: the m per-subspace nearest-centroid ids as one
     * kernel call per row. Keys are `sub * PqCodebook.Stride + cid`,
     * sorted.

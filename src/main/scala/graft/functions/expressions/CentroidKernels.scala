@@ -198,6 +198,88 @@ case class NearestCellSq(
     copy(child = newChild)
 }
 
+/** Nearest centroid by (cosine rounded to 4 decimals DESC, centroid id
+  * ASC) — [[TopCellsF32]]'s ranking, but returning `struct(cl, csim)`
+  * so SemDeDup's assign step keeps the winning similarity without a
+  * second pass. Same parity contract as TopCellsF32: double
+  * accumulation in element order, zero-norm ⇒ 0.0 (never NaN), HALF_UP
+  * rounding at 4 decimals — bit-identical to `round(cosineHof(…), 4)`
+  * through the `max(struct(csim, -cl, …))` argmax it replaces. A
+  * dimension-corrupt centroid ranks last (−∞), mirroring the
+  * null-propagating HOF's descending-sort placement.
+  */
+case class NearestCellCos(
+    child: Expression,
+    codebook: Broadcast[(Array[Long], Array[Array[Double]])])
+  extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val cellIds: Array[Long] = codebook.value._1
+  @transient private lazy val cells: Array[Array[Double]] = codebook.value._2
+  @transient private lazy val cellNorms: Array[Double] = cells.map { cv =>
+    var s = 0.0
+    var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cl", LongType, nullable = false),
+    StructField("csim", DoubleType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (CentroidKernels.vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${child.dataType.catalogString}")
+
+  private def cf = CentroidKernels.isFloatArray(child.dataType)
+
+  private def round4(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val x = new Array[Double](n)
+    var sx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = CentroidKernels.elem(a, i, cf)
+      x(i) = v
+      sx += v * v
+      i += 1
+    }
+    val na = math.sqrt(sx)
+    val k = cells.length
+    var bestCl = Long.MaxValue
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val cv = cells(c)
+      val sim =
+        if (cv.length != n) Double.NegativeInfinity
+        else {
+          var dot = 0.0
+          var j = 0
+          while (j < n) { dot += x(j) * cv(j); j += 1 }
+          val denom = na * cellNorms(c)
+          round4(if (denom == 0.0) 0.0 else dot / denom)
+        }
+      if (sim > bestSim || (sim == bestSim && cellIds(c) < bestCl)) {
+        bestSim = sim
+        bestCl = cellIds(c)
+      }
+      c += 1
+    }
+    InternalRow(bestCl, bestSim)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PqCodebook {
   /** Subspace stride for packing (sub, cid) into one long codebook key:
     * `key = sub * Stride + cid`. Centroid ids are seed vec_ids — far

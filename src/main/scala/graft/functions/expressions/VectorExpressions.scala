@@ -25,15 +25,27 @@ abstract class FloatVectorKernel extends BinaryExpression {
   // null-pads and propagates null) — a silently-truncated similarity
   // would let corrupt/mixed-dimension rows rank as plausible scores.
   override def nullable: Boolean = true
+  // Each side may be array<float> or array<double> (projected/centroid
+  // vectors are double); accumulation is double either way, so the f32
+  // parity contract is unchanged and double inputs skip the widening
+  // cast the HOF forms would pay.
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires two array<float|double> arguments, got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  protected def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected def rightIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 }
 
@@ -48,7 +60,8 @@ case class DotProductF32(left: Expression, right: Expression) extends FloatVecto
     var dot = 0.0
     var i = 0
     while (i < n) {
-      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      dot += (if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)) *
+        (if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i))
       i += 1
     }
     dot
@@ -66,6 +79,8 @@ case class DotProductF32(left: Expression, right: Expression) extends FloatVecto
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
+      val getL = if (leftIsFloat) "getFloat" else "getDouble"
+      val getR = if (rightIsFloat) "getFloat" else "getDouble"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -73,7 +88,7 @@ case class DotProductF32(left: Expression, right: Expression) extends FloatVecto
          |  int $n = $a.numElements();
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |    $dot += ((double) $a.$getL($i)) * ((double) $b.$getR($i));
          |  }
          |  ${ev.value} = $dot;
          |}
@@ -104,8 +119,8 @@ case class CosineSimF32(left: Expression, right: Expression) extends FloatVector
     var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       nx += xi * xi
       ny += yi * yi
@@ -127,6 +142,8 @@ case class CosineSimF32(left: Expression, right: Expression) extends FloatVector
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val getL = if (leftIsFloat) "getFloat" else "getDouble"
+      val getR = if (rightIsFloat) "getFloat" else "getDouble"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -134,8 +151,8 @@ case class CosineSimF32(left: Expression, right: Expression) extends FloatVector
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xi = (double) $a.getFloat($i);
-         |    double $yi = (double) $b.getFloat($i);
+         |    double $xi = (double) $a.$getL($i);
+         |    double $yi = (double) $b.$getR($i);
          |    $dot += $xi * $yi;
          |    $nx += $xi * $xi;
          |    $ny += $yi * $yi;

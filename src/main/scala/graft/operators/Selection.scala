@@ -297,17 +297,35 @@ object Selection {
     ScalePatterns.meanCentroids(e, col("label"), col("embedding"), "cl")
       .select(col("cl"), col("cvec").as("centroid"))
 
-  /** Nearest-centroid assignment: k broadcast rows against the corpus,
-    * argmax by (rounded cosine desc, centroid id) — the IVF coarse
-    * assign, and the clustering step SemDeDup blocks on. The argmax is
-    * a map-side-combined `max(struct(csim, -cl, …))` so the k candidate
-    * rows per vector collapse BEFORE any exchange (a window-rank argmax
-    * would shuffle all n·k rows); negating the id turns the (csim desc,
-    * cl asc) order into one lexicographic max, and the comparison never
-    * reaches the embedding field because (csim, cl) is unique per
-    * vector.
+  /** Nearest-centroid assignment: the corpus against the k collected
+    * codebook rows, argmax by (rounded cosine desc, centroid id) — the
+    * IVF coarse assign, and the clustering step SemDeDup blocks on.
+    * ONE compiled kernel call per row ([[VectorFunctions
+    * .nearestCellCos]]): the k-candidate frame never exists, so the
+    * assign is a shuffle-free projection — the previous map-side-
+    * combined `max(struct(csim, -cl, …))` argmax still scored n·k
+    * interpreted HOF cosines per pass even though its exchange was one
+    * row per vector. The codebook collect is k rows (bounded by label
+    * cardinality; at 100 TB by the trained k). Declarative twin
+    * [[assignedDeclarative]] is parity-pinned by CentroidKernelSpec.
     */
-  private[operators] def assigned(e: DataFrame): DataFrame =
+  private[operators] def assigned(e: DataFrame): DataFrame = {
+    val cb = codebook(e).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val nc = VectorFunctions.nearestCellCos(
+      col("embedding"), cb.map(_._1), cb.map(_._2))
+    // `cluster` keeps the label column's own type (the kernel carries
+    // ids as long) so the output schema is unchanged vs the oracle.
+    e.select(col("vec_id"),
+      nc.getField("cl").cast(e.schema("label").dataType).as("cluster"),
+      nc.getField("csim").as("csim"), col("embedding"))
+  }
+
+  /** The pre-kernel declarative assign — the parity reference
+    * CentroidKernelSpec pins the kernel form against.
+    */
+  private[operators] def assignedDeclarative(e: DataFrame): DataFrame =
     e.crossJoin(broadcast(codebook(e)))
       .select(col("vec_id"),
         struct(

@@ -310,9 +310,10 @@ object VectorSearch {
         round(cosine(col("embedding"), col("qv")), 4).as("sim_orig"))
     val exactTop = orig.orderBy(col("sim_orig").desc, col("vec_id"))
       .limit(10).select(col("vec_id"), lit(1).as("in_exact"))
-    // cosineHof, not the f32 kernel: the projected vectors are doubles.
+    // the cosine kernel reads double arrays directly (projected
+    // vectors) — same double accumulation the HOF form used.
     val shortlist = proj.crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosineHof(col("pv"), col("qpv")), 4).as("sim_proj"))
+      .select(col("vec_id"), round(cosine(col("pv"), col("qpv")), 4).as("sim_proj"))
       .orderBy(col("sim_proj").desc, col("vec_id"))
       .limit(JlShortlist)
     shortlist

@@ -125,6 +125,32 @@ class CentroidKernelSpec extends SparkSpec {
     }
   }
 
+  test("kernel assigned == declarative assigned (SemDeDup coarse assign)") {
+    val e = Tables.embeddings(spark, Sf)
+    def rows(df: DataFrame) = df.select("vec_id", "cluster", "csim").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getDouble(2)))
+      .sortBy(_._1).toList
+    assert(rows(Selection.assigned(e)) == rows(Selection.assignedDeclarative(e)),
+      "assign kernel diverges from the declarative argmax")
+  }
+
+  test("cosine kernel on double arrays == HOF cosine (and mixed sides)") {
+    val df = spark.range(1).select(
+      lit(Array(0.5, -1.25, 3.0)).as("ad"),
+      lit(Array(2.0, 0.5, -1.0)).as("bd"),
+      lit(Array(2f, 0.5f, -1f)).as("bf"),
+      lit(Array(0.0, 0.0, 0.0)).as("zero"))
+    val r = df.select(
+      VectorFunctions.cosine(col("ad"), col("bd")).as("dd"),
+      VectorFunctions.cosineHof(col("ad"), col("bd")).as("dd_hof"),
+      VectorFunctions.cosine(col("ad"), col("bf")).as("df"),
+      VectorFunctions.cosineHof(col("ad"), col("bf")).as("df_hof"),
+      VectorFunctions.cosine(col("ad"), col("zero")).as("z")).head()
+    assert(r.getDouble(0) == r.getDouble(1), "double/double kernel != HOF")
+    assert(r.getDouble(2) == r.getDouble(3), "double/float kernel != HOF")
+    assert(r.getDouble(4) == 0.0, "zero-norm side must yield 0.0")
+  }
+
   test("pqAdc == join-sum of per-subspace contributions") {
     val e = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
     val (tk, tc) = Pq.trainCodebookArrays(
