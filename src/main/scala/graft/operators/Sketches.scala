@@ -50,14 +50,22 @@ object Sketches {
   private def cmsTopk(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(Tables.documents(s, dir))
       .select(explode(split(col("text"), " ")).as("tok"))
-    // One explode feeds both aggregates; Spark schedules them as two
-    // scans of the same projection — each map-side-combines before its
-    // exchange (cells for the sketch, vocab for the truth).
-    val sketch = toks
-      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"), col("tok"))
+    // ONE corpus aggregate (tok → count) feeds both the sketch and the
+    // truth. The sketch then hashes the VOCABULARY, not the token
+    // stream: summing per-token counts into a (j, bucket) cell is
+    // definitionally the cell's occurrence count, and the d md5 rows
+    // run vocab×d times instead of occurrences×d — on a corpus where
+    // tokens repeat (every corpus) that is the difference between
+    // hashing the data and hashing its dictionary. Catalyst reuses the
+    // counts exchange across the two consumers (ReusedExchange), so
+    // the corpus is tokenized once.
+    val cnts = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val sketch = cnts
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"),
+        col("tok"), col("exact_cnt"))
       .groupBy(col("j"), cmsBucket(col("j"), col("tok")).as("bucket"))
-      .agg(count(lit(1)).as("cell"))
-    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .agg(sum("exact_cnt").as("cell"))
+    val top = cnts
       .orderBy(col("exact_cnt").desc, col("tok"))
       .limit(CmsTopK)
     top
