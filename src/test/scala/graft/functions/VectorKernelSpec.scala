@@ -105,11 +105,14 @@ class VectorKernelSpec extends SparkSpec {
     assert(hof.isNullAt(0))
   }
 
-  test("kernel rejects non-float-array inputs at analysis") {
+  test("kernels accept double arrays (no widening cast) and reject non-numeric arrays") {
     import spark.implicits._
-    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 0.5))).toDF("a", "b")
+    val d = df.select(VectorFunctions.dotD(col("a"), col("b"))).head().getDouble(0)
+    assert(d == 1.0 * 3.0 + 2.0 * 0.5)
+    val bad = Seq((Array("x", "y"), Array("x", "y"))).toDF("a", "b")
     intercept[Exception] {
-      df.select(VectorFunctions.dotD(col("a"), col("b"))).collect()
+      bad.select(VectorFunctions.dotD(col("a"), col("b"))).collect()
     }
   }
 
