@@ -860,7 +860,21 @@ private[graft] object TextAnalysisShared {
       i => array_min(slice(hs, i, least(lit(w), size(hs))))))
   }
 
-  def ngrams(textCol: Column, n: Int): Column = {
+  /** Word n-grams via the compiled boundary-scan kernel
+    * ([[graft.functions.expressions.WordGramsExpr]]) — bit-identical
+    * to the HOF chain it replaced (`transform(sequence, i =>
+    * concat_ws(" ", slice(toks, i, n)))`; KernelProps pins the parity
+    * over adversarial inputs for n = 2..6), so every gram consumer
+    * (shingles, winnowing, the LM model builds, decontamination) gets
+    * the one-scan kernel instead of interpreted per-gram lambdas.
+    */
+  def ngrams(textCol: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.WordGramsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(textCol), n))
+
+  /** The pre-kernel HOF formulation — parity reference for specs. */
+  private[graft] def ngramsHof(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))

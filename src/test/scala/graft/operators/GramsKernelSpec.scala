@@ -23,4 +23,16 @@ class GramsKernelSpec extends SparkSpec {
       "kernel and HOF gram streams must be bit-identical (position included)")
     assert(kernel.count() > 0)
   }
+
+  test("shared ngrams helper (kernel) == HOF formulation on the corpus, n = 2 and 3") {
+    val docs = graft.io.Tables.documents(spark, Sf)
+    for (n <- Seq(2, 3)) {
+      val kernel = docs.select(col("doc_id"),
+        posexplode(TextAnalysisShared.ngrams(col("text"), n)))
+      val hof = docs.select(col("doc_id"),
+        posexplode(TextAnalysisShared.ngramsHof(col("text"), n)))
+      assert(kernel.exceptAll(hof).count() == 0 && hof.exceptAll(kernel).count() == 0,
+        s"ngrams($n) kernel and HOF streams must be bit-identical")
+    }
+  }
 }
