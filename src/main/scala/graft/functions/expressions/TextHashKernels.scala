@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared per-row md5 text kernels (the fingerprint/simhash hot paths):
@@ -240,6 +240,66 @@ object TextHashWorker {
     }
     UTF8String.fromString(new String(out))
   }
+
+  /** Per-document hashed-token bucket counts: every whitespace token's
+    * 60-bit md5 prefix mod `buckets`, counted per bucket in ONE pass —
+    * the DSIR feature extraction without a token row ever existing.
+    * Hash values match `('0x' || substr(md5(t), 1, 15))::BIGINT %
+    * buckets` exactly (the hash64 contract); repeated tokens hash once
+    * per document through a per-doc memo. Output is the sparse
+    * (bucket, count) list in bucket order. `split(" ", -1)` semantics:
+    * an empty text is one empty token, so every document counts ≥ 1
+    * occurrence, matching the explode form.
+    */
+  def bucketCounts(text: String, buckets: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(" ", -1)
+    val cnt = new Array[Long](buckets)
+    val memo = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var b = memo.get(t)
+      if (b == null) {
+        b = Integer.valueOf(
+          (java.lang.Long.parseLong(md5Hex(t).substring(0, 15), 16) % buckets).toInt)
+        memo.put(t, b)
+      }
+      cnt(b.intValue()) += 1
+      i += 1
+    }
+    var nz = 0
+    var j = 0
+    while (j < buckets) { if (cnt(j) != 0) nz += 1; j += 1 }
+    val out = new Array[Any](nz)
+    var k = 0
+    j = 0
+    while (j < buckets) {
+      if (cnt(j) != 0) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(j.toLong, cnt(j))
+        k += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** (Σ cnt_b, Σ cnt_b · lut(b)) over a [[bucketCounts]] array — the
+    * per-document importance-weight fold against a driver-built
+    * per-bucket table.
+    */
+  def dotBuckets(bc: org.apache.spark.sql.catalyst.util.ArrayData,
+      lut: Array[Double]): org.apache.spark.sql.catalyst.InternalRow = {
+    var n = 0L
+    var s = 0.0
+    var i = 0
+    while (i < bc.numElements()) {
+      val r = bc.getStruct(i, 2)
+      n += r.getLong(1)
+      s += r.getLong(1) * lut(r.getLong(0).toInt)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, s)
+  }
 }
 
 /** Serializable bridges so the codegen reference object stays tiny. */
@@ -254,6 +314,10 @@ final class TextHashBridge extends Serializable {
     TextHashWorker.spanHashes(t.toString, n, distinct)
   def spanScrub(t: UTF8String, starts: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow =
     TextHashWorker.spanScrub(t.toString, starts.toLongArray(), n)
+  def bucketCounts(t: UTF8String, buckets: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    TextHashWorker.bucketCounts(t.toString, buckets)
+  def dotBuckets(bc: org.apache.spark.sql.catalyst.util.ArrayData, lut: Array[Double]): org.apache.spark.sql.catalyst.InternalRow =
+    TextHashWorker.dotBuckets(bc, lut)
 }
 
 abstract class TextHashExpr extends UnaryExpression {
@@ -381,4 +445,52 @@ case class SpanScrubExpr(left: Expression, right: Expression, n: Int)
   }
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Compiled per-document hashed-token bucket counts (sparse, bucket
+  * ascending) — DSIR's feature pass as one call per row.
+  */
+case class BucketCountsExpr(child: Expression, buckets: Int) extends TextHashExpr {
+  override def prettyName: String = "bucket_counts"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    bridge.bucketCounts(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textHash", bridge, classOf[TextHashBridge].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bucketCounts($c, $buckets);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document (token count, Σ count·lut) fold over a
+  * [[BucketCountsExpr]] array against a bounded driver-built table
+  * (the table rides the task binary once per stage — buckets doubles).
+  */
+case class BucketDotExpr(child: Expression, lut: Array[Double])
+  extends UnaryExpression {
+  override def prettyName: String = "bucket_dot"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("raw", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fs), _)
+      if fs.length == 2 && fs.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<long,long>>, got ${t.catalogString}")
+  }
+  @transient private lazy val bridge = new TextHashBridge
+  override def nullSafeEval(input: Any): Any =
+    bridge.dotBuckets(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refB = ctx.addReferenceObj("textHash", bridge, classOf[TextHashBridge].getName)
+    val refL = ctx.addReferenceObj("bucketLut", lut, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $refB.dotBuckets($c, $refL);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

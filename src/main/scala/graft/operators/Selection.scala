@@ -58,39 +58,57 @@ object Selection {
     */
   private val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
 
-  private def hashedTokens(docs: DataFrame): DataFrame =
-    Tables.spread(docs)
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), col("source"),
-        (TextAnalysisShared.hash64(col("w")) % DsirBuckets).as("b"))
+  /** Per-document sparse hashed-token bucket counts — the compiled
+    * feature pass ([[graft.functions.expressions.BucketCountsExpr]]):
+    * one call per row, no token row ever exists. Hash contract
+    * unchanged (60-bit md5 prefix mod buckets, the hash64 formula).
+    */
+  private def bucketCounts(textCol: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.BucketCountsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(textCol),
+        DsirBuckets.toInt))
 
   private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val tok = hashedTokens(Tables.documents(s, dir))
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), bucketCounts(col("text")).as("bc"))
     val isTarget = col("source").isin(DsirTargetSources: _*)
-    // BOTH bucket-count models from ONE corpus aggregate (the target
-    // count is a conditional sum inside the same groupBy), and the
-    // totals derive from the ≤1024-row model table instead of two more
-    // corpus scans — the corpus is tokenized twice in all: once for
-    // the models, once for the scoring pass.
-    val models = tok.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      sum(when(isTarget, 1L).otherwise(0L)).as("ct"))
-    val totals = models.agg(sum("cr").as("n_r"), sum("ct").as("n_t"))
-    // log importance weight per token occurrence, summed per document.
-    // Weights feed all downstream decisions as the ROUNDED value in
-    // both engines so the selected set cannot flip on last-ulp
-    // sum-order differences.
-    val scored = tok
-      .join(broadcast(models), Seq("b"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
-            (col("n_t") + lit(DsirBuckets.toDouble))) -
-          log((coalesce(col("cr"), lit(0L)) + lit(1.0)) /
-            (col("n_r") + lit(DsirBuckets.toDouble)))).as("lw"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"), round(sum("lw"), 4).as("logw"))
+    // BOTH bucket-count models from ONE bounded aggregate over the
+    // per-doc sparse counts (≤ DsirBuckets groups; the target count is
+    // a conditional sum inside the same groupBy) — no token occurrence
+    // ever reaches an exchange. The model is then a DRIVER-built
+    // per-bucket log-weight table (≤ 1024 doubles — bounded by
+    // construction, the codebook-collect discipline), and the totals
+    // are its integer column sums, exact.
+    val models = docs.select(isTarget.as("t"), explode(col("bc")).as("e"))
+      .groupBy(col("e.b").as("b"))
+      .agg(sum(col("e.cnt")).as("cr"),
+        sum(when(col("t"), col("e.cnt")).otherwise(0L)).as("ct"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val nR = models.map(_._2).sum
+    val nT = models.map(_._3).sum
+    // lw per bucket, exactly the per-occurrence expression's arithmetic
+    // (coalesce(0) for buckets outside the model = the empty-table
+    // default every slot starts from).
+    val lut = Array.fill(DsirBuckets.toInt)(
+      math.log(1.0 / (nT + DsirBuckets.toDouble)) -
+        math.log(1.0 / (nR + DsirBuckets.toDouble)))
+    models.foreach { case (b, cr, ct) =>
+      lut(b) = math.log((ct + 1.0) / (nT + DsirBuckets.toDouble)) -
+        math.log((cr + 1.0) / (nR + DsirBuckets.toDouble))
+    }
+    // Per-document importance weight as one fold over the sparse
+    // counts: Σ cnt_b·lw_b (vs the old per-occurrence sum — same
+    // multiset of addends grouped by bucket; both engines round to 4
+    // decimals before any downstream decision, so the selected set
+    // cannot flip on last-ulp sum-order differences).
+    val dot = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.BucketDotExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("bc")), lut))
+    val scored = docs
+      .select(col("doc_id"), dot.as("d"))
+      .select(col("doc_id"), col("d.n_toks").as("n_toks"),
+        round(col("d.raw"), 4).as("logw"))
     // Resample the most-target-like quartile: the selection threshold
     // is ONE double (the p75 of the weights) broadcast into a compare —
     // the same shape as q_lm_filter's cut, with the documented

@@ -159,14 +159,30 @@ object KernelProps extends Properties("compiled-kernels") {
     Gen.oneOf(" ", "  ", "   "))
   private val gramGen = Gen.listOf(gramChunk).map(_.mkString)
 
-  property("word 5-grams kernel == brute-force sliding join") = Prop.forAll(gramGen) { s =>
-    val toks = s.split(" ", -1)
-    val exp: Seq[String] =
-      if (toks.length < 5) Seq.empty
-      else toks.sliding(5).map(_.mkString(" ")).toSeq
-    val got = new graft.functions.expressions.WordGramsWorker(5)
-      .grams(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      .toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
-    Prop(got == exp) :| s"text='$s' got=$got exp=$exp"
-  }
+  property("bucket counts kernel == brute-force md5-hash histogram") =
+    Prop.forAll(textGen, Gen.oneOf(8, 64, 1024)) { (text, buckets) =>
+      val exp = text.split(" ", -1).toSeq
+        .map(t => (hash60(t) % buckets, 1L))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      val arr = graft.functions.expressions.TextHashWorker
+        .bucketCounts(text, buckets)
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getLong(0), r.getLong(1))
+      }
+      Prop(got == exp) :| s"text='$text' buckets=$buckets got=$got exp=$exp"
+    }
+
+  property("word n-grams kernel == brute-force sliding join, n = 2..6") =
+    Prop.forAll(gramGen, Gen.choose(2, 6)) { (s, n) =>
+      val toks = s.split(" ", -1)
+      val exp: Seq[String] =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val got = new graft.functions.expressions.WordGramsWorker(n)
+        .grams(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+      Prop(got == exp) :| s"text='$s' n=$n got=$got exp=$exp"
+    }
 }

@@ -137,8 +137,14 @@ class SelectionSpec extends SparkSpec {
   }
 
   test("plan shapes: dsir models broadcast; semantic dedup pairs stay cluster-local") {
+    // dsir scores through the compiled bucket kernels: the model is a
+    // driver-built table, so the plan has NO corpus-sided join at all —
+    // the only join left is the bounded 1-row selection-threshold
+    // broadcast.
     val dsir = run("q_dsir_select").queryExecution.executedPlan.toString
-    assert(dsir.contains("BroadcastHashJoin"), s"dsir model tables not broadcast:\n$dsir")
+    assert(!dsir.contains("BroadcastHashJoin") && !dsir.contains("SortMergeJoin") &&
+      !dsir.contains("ShuffledHashJoin"), s"dsir must not join the corpus:\n$dsir")
+    assert(dsir.contains("bucket_dot"), s"dsir must score through the kernel:\n$dsir")
     assert(!dsir.contains("CartesianProduct"), s"dsir plans a cartesian:\n$dsir")
     val sem = run("q_semantic_dedup").queryExecution.executedPlan.toString
     assert(!sem.contains("CartesianProduct"), s"semantic dedup plans a cartesian:\n$sem")
