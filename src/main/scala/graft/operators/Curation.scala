@@ -502,31 +502,60 @@ object Curation {
     * forced into executor memory by a hint that was only ever true
     * for micro-batches.
     */
+  /** Candidate near-dup pairs with their matched-band counts, ONE ROW
+    * PER PAIR: both sides of the (band, sig) bucket join carry their
+    * doc's band-ordered signature VECTOR, so a matched row computes
+    * `bands_matched` inline (count of equal positions — exactly the
+    * buckets the pair collides in) and survives only from its FIRST
+    * matching band. The pair stream therefore never needs a pair-keyed
+    * aggregation: at the ×100 decade the old `groupBy(pair).count()`
+    * was a 1.7e8-row hash aggregate with ~88 % UNIQUE keys — all spill,
+    * no combine — and measured 84 s against the join's 2.5 s; this
+    * form's only remaining exchange is whatever the consumer orders by.
+    * Band tests are fixed-width when-chains (codegen), not HOF folds.
+    *
+    * ONE join: the index side and the batch's own doc_other side are
+    * the same probe stream (index partners keep every pairing, batch
+    * partners only the doc_other < doc_new half); the boolean tag rides
+    * the sig-sized probe side and derives `origin` post-join.
+    */
   private[operators] def incrementalCandidates(
       batchSigs: DataFrame, indexSigs: DataFrame,
-      maxBroadcastSigRows: Long = MaxBroadcastSigRows): DataFrame = {
+      maxBroadcastSigRows: Long = MaxBroadcastSigRows,
+      nBands: Int = 4): DataFrame = {
     val batchSized = batchSigs.count() <= maxBroadcastSigRows
     def hinted(df: DataFrame): DataFrame = if (batchSized) broadcast(df) else df
-    // ONE join: the index side and the batch's own doc_other side are
-    // the same probe stream (index partners keep every pairing, batch
-    // partners only the doc_other < doc_new half), so probing with
-    // their tagged union halves the join stages and — in the
-    // non-broadcast backfill regime — saves a whole batch-side shuffle
-    // vs the old two-join union. The tag is a boolean riding the
-    // (cheap, sig-sized) probe side, never the (pair-sized) output:
-    // `origin` is derived from it post-join, so a consumer that
-    // aggregates on the pair alone lets Catalyst prune the string out
-    // of its pair-volume exchange.
-    indexSigs.select(col("band"), col("sig"), col("doc_id").as("doc_other"),
+    // band-ordered signature vector per doc: a ≤ nBands-row-per-doc
+    // aggregate over the (already materialized) sig frame — doc-sized,
+    // not pair-sized.
+    def vecs(df: DataFrame): DataFrame = df.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("band"), col("sig")))),
+        x => x.getField("sig")).as("sv"))
+    val probe = vecs(indexSigs)
+      .select(col("doc_id").as("doc_other"), col("sv").as("svo"),
         lit(false).as("is_batch"))
-      .unionByName(
-        batchSigs.select(col("band"), col("sig"), col("doc_id").as("doc_other"),
+      .unionByName(vecs(batchSigs)
+        .select(col("doc_id").as("doc_other"), col("sv").as("svo"),
           lit(true).as("is_batch")))
-      .join(hinted(batchSigs.select(col("band"), col("sig"), col("doc_id").as("doc_new"))),
-        Seq("band", "sig"))
+      .select(col("doc_other"), col("svo"), col("is_batch"),
+        posexplode(col("svo")).as(Seq("band", "sig")))
+    val build = vecs(batchSigs)
+      .select(col("doc_id").as("doc_new"), col("sv").as("svn"),
+        posexplode(col("sv")).as(Seq("band", "sig")))
+    def eq(i: Int): Column =
+      element_at(col("svn"), i + 1) === element_at(col("svo"), i + 1)
+    // position of the pair's first colliding band; the join guarantees
+    // at least one, so the last otherwise is never a misattribution
+    val firstMatch = (0 until nBands - 1).foldRight(
+      lit(nBands - 1): Column)((i, rest) => when(eq(i), lit(i)).otherwise(rest))
+    val bandsMatched = (0 until nBands)
+      .map(i => eq(i).cast("long")).reduce(_ + _)
+    probe.join(hinted(build), Seq("band", "sig"))
       .filter(!col("is_batch") || col("doc_other") < col("doc_new"))
+      .filter(col("band") === firstMatch)
       .select(col("doc_new"), col("doc_other"),
-        when(col("is_batch"), lit("batch")).otherwise(lit("index")).as("origin"))
+        when(col("is_batch"), lit("batch")).otherwise(lit("index")).as("origin"),
+        bandsMatched.as("bands_matched"))
   }
 
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
@@ -564,22 +593,12 @@ object Curation {
         Dedup.familyRepsStratified(sigs, col("doc_id") % 5 === 0), Seq("doc_id"))
     val batch = src.filter(col("doc_id") % 5 === 0)
     val index = src.filter(col("doc_id") % 5 =!= 0)
-    // The pair-volume exchange (1.7e8 rows at the ×100 decade — the
-    // dominant cost of the under-cap exact leg) carries ONLY the two
-    // pair ids: `origin` is functionally determined by which side of
-    // the batch split doc_other sits on (this query's split is
-    // doc_id % 5), so it is re-derived AFTER the aggregation and the
-    // candidate frame's string column is pruned out of the shuffle.
-    // The final sort likewise keys on the (unique) pair alone — two
-    // longs, no string compares — and orders identically to the
-    // oracle's ORDER BY 1, 2, 3.
+    // [[incrementalCandidates]] emits ONE row per pair with its
+    // bands_matched computed inline (first-matching-band dedup), so no
+    // pair-keyed aggregation exists — the only pair-sized exchange
+    // left is the output-contract sort, keyed on the (unique) pair
+    // alone, which orders identically to the oracle's ORDER BY 1, 2, 3.
     incrementalCandidates(batch, index)
-      .groupBy("doc_new", "doc_other")
-      .agg(count(lit(1)).as("bands_matched"))
-      .select(col("doc_new"), col("doc_other"),
-        when(col("doc_other") % 5 === 0, lit("batch"))
-          .otherwise(lit("index")).as("origin"),
-        col("bands_matched"))
       .orderBy("doc_new", "doc_other")
   }
 
