@@ -72,12 +72,23 @@ object Dedup {
     val sigs = TextAnalysisShared.cachedDocSigs(s, dir)
     val exact = PairGuard.allowExact(s, "q_dedup_minhash_lsh")(lshPairCensus(sigs))
     val src = if (exact) sigs else sigs.join(familyReps(sigs), Seq("doc_id"))
-    val a = src.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = src.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    // First-match emission ([[TextAnalysisShared.firstMatchBand]]):
+    // both join sides carry the doc's signature vector, bands_matched
+    // is computed inline, and each pair exists once — the pair-keyed
+    // aggregation (all-unique keys: no combine, all spill) is gone;
+    // the only pair-sized exchange left is the output sort.
+    val vecs = TextAnalysisShared.sigVectors(src)
+    val a = vecs.select(col("doc_id").as("doc_a"), col("sv").as("sva"),
+      posexplode(col("sv")).as(Seq("band", "sig")))
+    val b = vecs.select(col("doc_id").as("doc_b"), col("sv").as("svb"),
+      posexplode(col("sv")).as(Seq("band", "sig")))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("bands_matched"))
+      .filter(col("band") ===
+        TextAnalysisShared.firstMatchBand(col("sva"), col("svb"), 4))
+      .select(col("doc_a"), col("doc_b"),
+        TextAnalysisShared.matchedBands(col("sva"), col("svb"), 4)
+          .as("bands_matched"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -274,29 +285,34 @@ object Dedup {
     * upsample (~400 M candidate pairs off ~96 %-near-dup data) that is
     * hundreds of GB of shuffle spill, measured to literal disk
     * exhaustion ("no space left on device"). Here the set arrays ride
-    * only the 4-per-doc signature shuffle (linear in the corpus); the
-    * pair-grouping exchange and everything after carry scalars. The
-    * Jaccard is computed once per MATCHING BAND (≤ 4× per pair,
-    * identical value each time — max() picks it deterministically):
-    * redundant compute is the price of never re-shuffling an array,
-    * and it is the cheap side of that trade at every measured decade.
+    * only the per-doc join sides (linear in the corpus), and the pair
+    * is emitted ONCE, from its first matching band
+    * ([[TextAnalysisShared.firstMatchBand]]): bands_matched and the
+    * Jaccard are computed inline on that single row, so the old
+    * pair-keyed groupBy — a hash aggregate over ~all-unique pair keys,
+    * pure spill — no longer exists and nothing pair-sized reaches an
+    * exchange but the output sort. `perDoc` is the (doc_id, sigs, sh)
+    * frame ([[sigSetPerDoc]]).
     * True Jaccard is over the distinct 60-bit shingle-hash sets (the
     * dedup family's identity notion, same as q_span_dedup's spans) —
     * equal to string-set Jaccard unless two of a pair's ~10² shingles
     * collide in 60 bits (p ≈ 10⁻¹⁴); the oracle defines it the same
     * way, so the contract is identical by construction.
     */
-  private def calibratePairs(sigSets: DataFrame): DataFrame = {
-    val a = sigSets.select(col("band"), col("sig"),
-      col("doc_id").as("doc_a"), col("sh").as("sa"))
-    val b = sigSets.select(col("band"), col("sig"),
-      col("doc_id").as("doc_b"), col("sh").as("sb"))
+  private def calibratePairs(perDoc: DataFrame): DataFrame = {
+    val a = perDoc.select(col("doc_id").as("doc_a"), col("sigs").as("sva"),
+      col("sh").as("sa"), posexplode(col("sigs")).as(Seq("band", "sig")))
+    val b = perDoc.select(col("doc_id").as("doc_b"), col("sigs").as("svb"),
+      col("sh").as("sb"), posexplode(col("sigs")).as(Seq("band", "sig")))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(col("band") ===
+        TextAnalysisShared.firstMatchBand(col("sva"), col("svb"), 4))
       .select(col("doc_a"), col("doc_b"),
-        round(TextAnalysisShared.jaccardSets(col("sa"), col("sb")), 6).as("tj"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("bands_matched"), max(col("tj")).as("true_jaccard"))
+        TextAnalysisShared.matchedBands(col("sva"), col("svb"), 4)
+          .as("bands_matched"),
+        round(TextAnalysisShared.jaccardSets(col("sa"), col("sb")), 6)
+          .as("true_jaccard"))
       .select(col("doc_a"), col("doc_b"), col("bands_matched"),
         round(col("bands_matched") / 4.0, 6).as("est_jaccard"), col("true_jaccard"))
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("true_jaccard")), 6))
@@ -366,10 +382,10 @@ object Dedup {
     val sigSets = explodeSigSet(perDoc)
     val exact = PairGuard.allowExact(s, "q_minhash_estimate")(
       lshPairCensus(sigSets.select("doc_id", "band", "sig")))
-    if (exact) calibratePairs(sigSets)
+    if (exact) calibratePairs(perDoc)
     else {
       val reps = familyReps(sigSets.select("doc_id", "band", "sig"))
-      calibratePairs(explodeSigSet(perDoc.join(reps, Seq("doc_id"))))
+      calibratePairs(perDoc.join(reps, Seq("doc_id")))
     }
   }
 
@@ -405,7 +421,7 @@ object Dedup {
     // with the full leg.
     val perDoc = cachedSigSetPerDoc(s, dir)
     val sigs = explodeSigSet(perDoc).select("doc_id", "band", "sig")
-    calibratePairs(explodeSigSet(perDoc.join(familyReps(sigs), Seq("doc_id"))))
+    calibratePairs(perDoc.join(familyReps(sigs), Seq("doc_id")))
   }
 
   /** Calibration oracle, parameterized by the CTE that defines the
@@ -631,11 +647,21 @@ object Dedup {
     val sigs = TextAnalysisShared.cachedDocSigs(s, dir)
     val exact = PairGuard.allowExact(s, query)(lshPairCensus(sigs))
     val src = if (exact) sigs else sigs.join(pairFamilyReps(sigs), Seq("doc_id"))
-    val pairs = src.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-      .join(src.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+    // First-match emission ([[TextAnalysisShared.firstMatchBand]]): one
+    // row per colliding pair with its matched-band count inline — no
+    // pair-keyed aggregation (the countDistinct form hashed ~all-unique
+    // pair keys: no combine, all spill).
+    val vecs = TextAnalysisShared.sigVectors(src)
+    val pairs = vecs.select(col("doc_id").as("doc_a"), col("sv").as("sva"),
+        posexplode(col("sv")).as(Seq("band", "sig")))
+      .join(vecs.select(col("doc_id").as("doc_b"), col("sv").as("svb"),
+        posexplode(col("sv")).as(Seq("band", "sig"))),
         Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(countDistinct("band").as("bands"))
+      .filter(col("band") ===
+        TextAnalysisShared.firstMatchBand(col("sva"), col("svb"), 4))
+      .select(col("doc_a"), col("doc_b"),
+        TextAnalysisShared.matchedBands(col("sva"), col("svb"), 4).as("bands"))
       .filter(col("bands") >= 2)
     pairs.select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
       .union(pairs.select(col("doc_b").as("anchor"), col("doc_a").as("positive")))
@@ -883,6 +909,45 @@ private[graft] object TextAnalysisShared {
 
   /** 3-token shingles — the MinHash unit. */
   def shingles(textCol: Column): Column = ngrams(textCol, 3)
+
+  // ---- first-match pair emission (shared by every LSH pair contract) --
+  // A (band, sig) bucket self-join emits a colliding pair once PER
+  // matching band, so the classic follow-up — groupBy(pair) to count
+  // bands — is a hash aggregate over ~all-unique keys: it combines
+  // nothing and spills everything (measured 84 s against the join's
+  // 2.5 s at the ×100 decade on the incremental leg). When both join
+  // sides carry their doc's band-ordered signature VECTOR instead, a
+  // matched row knows every band the pair collides in: emit the pair
+  // only from its FIRST matching band and compute bands_matched inline
+  // — one row per pair, no pair-keyed aggregation anywhere. The band
+  // tests are fixed-width when-chains, inside codegen.
+
+  /** Smallest band index where both signature vectors agree — the one
+    * band a colliding pair is emitted from. The caller's join
+    * guarantees at least one agreeing position, so the final otherwise
+    * is never a misattribution.
+    */
+  def firstMatchBand(svA: Column, svB: Column, nBands: Int): Column =
+    (0 until nBands - 1).foldRight(lit(nBands - 1): Column)((i, rest) =>
+      when(element_at(svA, i + 1) === element_at(svB, i + 1), lit(i))
+        .otherwise(rest))
+
+  /** Count of agreeing signature positions == the number of (band, sig)
+    * buckets the pair collides in — `bands_matched` without an
+    * aggregation.
+    */
+  def matchedBands(svA: Column, svB: Column, nBands: Int): Column =
+    (0 until nBands)
+      .map(i => (element_at(svA, i + 1) === element_at(svB, i + 1)).cast("long"))
+      .reduce(_ + _)
+
+  /** Band-ordered signature vector per doc from an exploded
+    * (doc_id, band, sig) frame — a doc-sized aggregate (≤ nBands rows
+    * per doc in, one out).
+    */
+  def sigVectors(sigs: DataFrame): DataFrame = sigs.groupBy("doc_id")
+    .agg(transform(array_sort(collect_list(struct(col("band"), col("sig")))),
+      x => x.getField("sig")).as("sv"))
 
   /** Distinct whitespace tokens — the set under token-set Jaccard. */
   def tokenSet(textCol: Column): Column = array_distinct(split(textCol, " "))
