@@ -35,6 +35,16 @@ object Bench {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      // The bounded single-partition sorts above `.limit(…)` candidate
+      // cuts each emit a "No Partition Defined for Window operation"
+      // WARN — hundreds per sweep, burying the result JSON in the tail.
+      // They are plan-asserted bounded (PlanShapeSpec), so the bench
+      // harness silences that one logger package rather than the
+      // planner: a NEW unpartitioned window over a raw table would
+      // still be caught by the spec, not by log archaeology.
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window",
+        org.apache.logging.log4j.Level.ERROR)
       // Warm up the JVM/codegen/parquet-reader paths once so the first
       // measured query doesn't absorb session startup.
       s.range(1000000).selectExpr("sum(id)").collect()

@@ -137,9 +137,21 @@ case class SqDistVec(left: Expression, right: Expression) extends BinaryExpressi
   * Lloyd assign step as one primitive loop per row. Output is
   * `struct(cid, dist2)` with dist2 the ROUNDED winning distance, so
   * the inertia audit reads the same values the declarative
-  * `min(struct(round(dist2, 6), cid, …))` argmin produced. A
-  * dimension-corrupt centroid ranks last (+∞), mirroring the
-  * null-propagating HOF's sort placement.
+  * `min(struct(round(dist2, 6), cid, …))` argmin produced.
+  *
+  * Two DELIBERATE divergences from the declarative twin, both
+  * unreachable with codebooks/vectors built by the training paths and
+  * pinned in `CentroidKernelSpec`: (1) a dimension-corrupt centroid
+  * ranks LAST (+∞) — under `min(struct(…))` the null dist2 the HOF
+  * produces sorts FIRST, so the declarative argmin would hand every
+  * row to the corrupt entry, which is the wrong answer to preserve
+  * (an ALL-corrupt codebook degrades to the smallest cid with the
+  * impossible +∞ distance visible in the output — never a throw,
+  * never a plausible-looking answer); (2) a NaN-poisoned input vector
+  * fails every comparison including the ∞-tie, so the kernel returns
+  * the untouched sentinel `(Long.MaxValue, +∞)`, where the declarative
+  * form (Spark orders NaN largest) would return an arbitrary real
+  * centroid for a garbage vector.
   */
 case class NearestCellSq(
     child: Expression,
@@ -204,9 +216,16 @@ case class NearestCellSq(
   * second pass. Same parity contract as TopCellsF32: double
   * accumulation in element order, zero-norm ⇒ 0.0 (never NaN), HALF_UP
   * rounding at 4 decimals — bit-identical to `round(cosineHof(…), 4)`
-  * through the `max(struct(csim, -cl, …))` argmax it replaces. A
-  * dimension-corrupt centroid ranks last (−∞), mirroring the
-  * null-propagating HOF's descending-sort placement.
+  * through the `max(struct(csim, -cl, …))` argmax it replaces.
+  *
+  * Corrupt/NaN edge contract (pinned in `CentroidKernelSpec`): a
+  * dimension-corrupt centroid ranks LAST (−∞) — here the descending
+  * argmax happens to AGREE with the declarative twin, whose null csim
+  * sorts smallest under `max(struct(…))` — while a NaN-poisoned input
+  * vector fails every comparison and returns the no-winner sentinel
+  * `(Long.MaxValue, −∞)`, where the declarative form (Spark orders NaN
+  * largest) would hand the garbage row to a real centroid. Both shapes
+  * are unreachable with trained codebooks and normalized inputs.
   */
 case class NearestCellCos(
     child: Expression,

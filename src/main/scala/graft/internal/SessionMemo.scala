@@ -14,8 +14,9 @@ import org.apache.spark.sql.SparkSession
   * Three properties the ad-hoc per-file WeakHashMaps did NOT have:
   *
   *  - '''Mutation invalidation.''' The cache key folds in a fingerprint
-  *    of the table directory's file listing (name, length, mtime via
-  *    the Hadoop FileSystem, so it works on HDFS/S3 paths too). A
+  *    of the table directory's file listing (file count plus per-file
+  *    name, length, mtime AND a head/tail content sample, via the
+  *    Hadoop FileSystem, so it works on HDFS/S3 paths too). A
   *    rewritten table misses naturally — no reliance on the opt-out
   *    conf — and the superseded entry for the same path is evicted so
   *    its checkpoint blocks can be unpersisted by GC/ContextCleaner.
@@ -40,7 +41,21 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
   private val cache =
     new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, V]]()
 
-  /** FNV-1a 64 over the recursive (name, length, mtime) listing. */
+  /** FNV-1a 64 over the recursive listing: file count, then per file
+    * (name, length, mtime) PLUS a bounded content sample — the first 16
+    * and last 64 bytes. (name, length, mtime) alone aliases a
+    * same-length in-place rewrite that lands within the filesystem's
+    * mtime granularity (1 s on many stores) to the SAME key, silently
+    * serving a stale frame. The tail sample closes that for the format
+    * that matters here: a Parquet rewrite with different content almost
+    * always differs in its footer (column stats / metadata live there),
+    * and the head catches raw-file edits. Cost: one bounded open+seek
+    * per file per fingerprint — negligible on local/HDFS; on
+    * high-latency object stores the memoized tables are few-file
+    * checkpoint outputs, so the extra GETs stay bounded by design. A
+    * file that cannot be sampled (raced delete) mixes a sentinel, so
+    * the fingerprint still changes when the listing does.
+    */
   private def fingerprint(s: SparkSession, tablePath: String): String = {
     val p = new org.apache.hadoop.fs.Path(tablePath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -49,15 +64,32 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
       var i = 0
       while (i < 8) { h ^= (x >>> (i * 8)) & 0xff; h *= 0x100000001b3L; i += 1 }
     }
+    var files = 0L
     if (fs.exists(p)) {
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
+        files += 1
         mix(st.getPath.getName.hashCode.toLong)
         mix(st.getLen)
         mix(st.getModificationTime)
+        try {
+          val in = fs.open(st.getPath)
+          try {
+            val head = new Array[Byte](math.min(16L, st.getLen).toInt)
+            in.readFully(0L, head)
+            head.foreach(b => mix(b.toLong))
+            if (st.getLen > head.length) {
+              val tailLen = math.min(64L, st.getLen - head.length).toInt
+              val tail = new Array[Byte](tailLen)
+              in.readFully(st.getLen - tailLen, tail)
+              tail.foreach(b => mix(b.toLong))
+            }
+          } finally in.close()
+        } catch { case _: java.io.IOException => mix(-1L) }
       }
     }
+    mix(files)
     java.lang.Long.toHexString(h)
   }
 

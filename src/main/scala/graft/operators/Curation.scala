@@ -522,8 +522,16 @@ object Curation {
   private[operators] def incrementalCandidates(
       batchSigs: DataFrame, indexSigs: DataFrame,
       maxBroadcastSigRows: Long = MaxBroadcastSigRows,
-      nBands: Int = 4): DataFrame = {
-    val batchSized = batchSigs.count() <= maxBroadcastSigRows
+      nBands: Int = 4,
+      knownBatchSigRows: Option[Long] = None): DataFrame = {
+    // The broadcast decision needs the batch sig row count; when the
+    // caller's PairGuard census already aggregated it (one sum rides
+    // along with the pair pricing), thread it through instead of
+    // launching a second job over a frame the census just scanned. An
+    // UPPER BOUND is sound here: over-counting can only withhold the
+    // hint, and AQE's runtime broadcast still applies.
+    val batchSized =
+      knownBatchSigRows.getOrElse(batchSigs.count()) <= maxBroadcastSigRows
     def hinted(df: DataFrame): DataFrame = if (batchSized) broadcast(df) else df
     // band-ordered signature vector per doc: a ≤ nBands-row-per-doc
     // aggregate over the (already materialized) sig frame — doc-sized,
@@ -580,13 +588,25 @@ object Curation {
     // doc and any partner is still detected through one surviving
     // candidate pair (an unstratified top-2 could land both reps on
     // the index side and silently unreport that family's batch dups).
+    // The census prices the pair volume AND sums the batch-side sig
+    // rows in the same aggregate — the downstream broadcast decision
+    // ([[incrementalCandidates]]) reuses that sum instead of running
+    // its own count job over the frame the census just scanned
+    // (CurationSpec pins candidate construction at zero jobs when the
+    // count is threaded). Left None under mode=exact, where the guard
+    // never evaluates the census — the candidate join then counts for
+    // itself, as before.
+    var censusBatchSigRows: Option[Long] = None
     val exact = PairGuard.allowExact(s, "q_dedup_incremental") {
-      sigs.withColumn("isb", (col("doc_id") % 5 === 0).cast("long"))
+      val row = sigs.withColumn("isb", (col("doc_id") % 5 === 0).cast("long"))
         .groupBy("band", "sig")
         .agg(sum(col("isb")).as("b"), sum(lit(1L) - col("isb")).as("i"))
         .agg(coalesce(sum(col("b") * col("i") +
-          expr("b * (b - 1) DIV 2")), lit(0L)))
-        .head().getLong(0)
+          expr("b * (b - 1) DIV 2")), lit(0L)),
+          coalesce(sum(col("b")), lit(0L)))
+        .head()
+      censusBatchSigRows = Some(row.getLong(1))
+      row.getLong(0)
     }
     val src = if (exact) sigs
       else sigs.join(
@@ -598,7 +618,11 @@ object Curation {
     // pair-keyed aggregation exists — the only pair-sized exchange
     // left is the output-contract sort, keyed on the (unique) pair
     // alone, which orders identically to the oracle's ORDER BY 1, 2, 3.
-    incrementalCandidates(batch, index)
+    // On the routed leg the batch frame is the stratified-reps SUBSET
+    // of the censused batch, so the census sum stays a sound upper
+    // bound for the broadcast decision.
+    incrementalCandidates(batch, index,
+      knownBatchSigRows = censusBatchSigRows)
       .orderBy("doc_new", "doc_other")
   }
 

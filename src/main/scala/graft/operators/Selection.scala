@@ -98,10 +98,14 @@ object Selection {
         math.log((cr + 1.0) / (nR + DsirBuckets.toDouble))
     }
     // Per-document importance weight as one fold over the sparse
-    // counts: Σ cnt_b·lw_b (vs the old per-occurrence sum — same
-    // multiset of addends grouped by bucket; both engines round to 4
-    // decimals before any downstream decision, so the selected set
-    // cannot flip on last-ulp sum-order differences).
+    // counts: Σ cnt_b·lw_b. Residual risk, accepted: the ADDEND
+    // MULTISET differs from the oracle's per-occurrence sum (cnt·lw
+    // once vs lw added cnt times), so the two sums can disagree in the
+    // last ulp; the shared round(_, 4) absorbs that everywhere except
+    // a weight sitting exactly on a 5e-5 rounding boundary, where hash
+    // parity could flip on unlucky data. If such a flip ever surfaces,
+    // accumulate per-bucket PRODUCTS with the oracle's grouping (or
+    // compare at a coarser epsilon) — don't chase it in the kernel.
     val dot = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.expressions.BucketDotExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("bc")), lut))

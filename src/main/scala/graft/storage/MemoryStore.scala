@@ -194,8 +194,13 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     */
   def vacuum(memoryType: String): Unit =
     // the checkpoints root holds per-run partition tables, each with
-    // its own marker — vacuum every partition
-    if (memoryType == MemoryType.Checkpoints) ckPartTypes().foreach(vacuum)
+    // its own marker — vacuum every partition (legacy single-table
+    // stores are migrated first so their root snapshots are reclaimed
+    // through the migration, not orphaned)
+    if (memoryType == MemoryType.Checkpoints) {
+      migrateLegacyCheckpoints()
+      ckPartTypes().foreach(vacuum)
+    }
     else currentSnapshot(memoryType) match {
       case Some((v, snap)) =>
         cleanupSnapshots(memoryType, keepFromVersion = v + 1, protect = Some(snap.getName))
@@ -227,8 +232,9 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * their per-run partitions.
     */
   def appendRows(df: DataFrame, memoryType: String): Unit =
-    if (memoryType == MemoryType.Checkpoints) appendCheckpoints(df)
-    else append(df, memoryType)
+    if (memoryType == MemoryType.Checkpoints) {
+      migrateLegacyCheckpoints(); appendCheckpoints(df)
+    } else append(df, memoryType)
 
   // Preferences (and the feedback log) are user-keyed, not project-keyed;
   // partition only when the layout column exists.
@@ -338,6 +344,39 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     s"${MemoryType.Checkpoints}/runId=" +
       java.net.URLEncoder.encode(runId, "UTF-8")
 
+  /** Stores written before the per-run layout hold one versioned table
+    * directly under the checkpoints root (`checkpoints/snap_*` + root
+    * `_CURRENT`). Readers of that vintage must not silently see an
+    * empty table — this is the crash-recovery path, where "empty"
+    * means a resume point LOST — so every checkpoint entry point first
+    * migrates any legacy snapshot into the per-run partitions (rows
+    * keep their runId; the path key is derived from it), then drops
+    * the legacy marker and snapshot dirs so vacuum/retention see only
+    * the partitioned layout. Idempotent: after migration the root
+    * holds no `snap_*` dirs and no marker, so the detection listing
+    * (already performed by `ckPartTypes` callers) finds nothing. A
+    * legacy store that cannot be READ (corrupt snapshot) fails loudly
+    * here rather than masquerading as empty.
+    */
+  private def migrateLegacyCheckpoints(): Unit = {
+    // currentSnapshot() on the checkpoints ROOT resolves exactly the
+    // legacy layout (root marker, else highest complete root snap_*).
+    currentSnapshot(MemoryType.Checkpoints).foreach { case (_, snap) =>
+      val legacy = spark.read
+        .schema(emptyOf(MemoryType.Checkpoints).schema).parquet(snap.toString)
+      appendCheckpoints(legacy)
+      val marker = markerOf(MemoryType.Checkpoints)
+      val fs = fsOf(marker)
+      try { if (fs.exists(marker)) fs.delete(marker, false): Unit }
+      catch { case _: java.io.IOException => () }
+      // Deletes only version-named `snap_*` dirs — the `runId=` partition
+      // dirs (including the ones the migration just wrote) don't parse
+      // as versions and are untouched.
+      cleanupSnapshots(MemoryType.Checkpoints,
+        keepFromVersion = Long.MaxValue, protect = None)
+    }
+  }
+
   /** The existing per-run partition table names, from one listing of
     * the checkpoints root (absent root → no partitions).
     */
@@ -354,21 +393,33 @@ final class MemoryStore(val spark: SparkSession, val root: String,
   /** Append checkpoint rows into their runs' partitions: one filtered
     * append per touched run. The distinct-runId collect is bounded by
     * the number of runs in the batch — a live workflow saves one run's
-    * state; even a backfill touches a handful.
+    * state; even a backfill touches a handful. The input is
+    * materialized ONCE before the distinct+filter split: the rows the
+    * per-run appends write must be the same rows the distinct saw,
+    * which a non-deterministic upstream plan (sampling, uuid columns)
+    * would not guarantee across two executions. A null runId has no
+    * partition to live in — reject it loudly rather than NPE inside
+    * the path encoder.
     */
   private def appendCheckpoints(df: DataFrame): Unit = {
-    val runs = df.select("runId").distinct().collect().map(_.getString(0))
-    runs.foreach(r => append(df.filter(col("runId") === r), ckPartType(r)))
+    val pinned = df.localCheckpoint(true)
+    val runs = pinned.select("runId").distinct().collect().map(_.getString(0))
+    require(!runs.contains(null),
+      "checkpoint rows must carry a non-null runId — the run is the storage partition key")
+    runs.foreach(r => append(pinned.filter(col("runId") === r), ckPartType(r)))
   }
 
-  def saveCheckpoints(rows: Seq[graft.workflow.Checkpoint]): Unit =
+  def saveCheckpoints(rows: Seq[graft.workflow.Checkpoint]): Unit = {
+    migrateLegacyCheckpoints()
     appendCheckpoints(rows.toDS().toDF())
+  }
 
   /** One run's checkpoints read its partition alone; the cross-run scan
     * unions every partition (schema declared per partition — no
     * corpus-wide listing beyond the one directory list).
     */
   def checkpoints(runId: Option[String] = None): Dataset[graft.workflow.Checkpoint] = {
+    migrateLegacyCheckpoints()
     val parts = runId match {
       case Some(r) => Seq(ckPartType(r)).filter(exists)
       case None => ckPartTypes().filter(exists)
@@ -390,6 +441,7 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * Returns the number of checkpoints deleted.
     */
   def cleanupCheckpoints(runId: String, keepLatest: Int): Long = {
+    migrateLegacyCheckpoints()
     val part = ckPartType(runId)
     if (!exists(part)) return 0L
     val live = readTable(part)

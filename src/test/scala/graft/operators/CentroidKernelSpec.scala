@@ -175,6 +175,52 @@ class CentroidKernelSpec extends SparkSpec {
     assert(kernelAdc == expected, "ADC kernel != independent recomputation")
   }
 
+  test("corrupt/NaN edge contract: corrupt centroids rank last; NaN inputs yield the no-winner sentinel") {
+    // Pins the INTENDED divergence documented on NearestCellSq /
+    // NearestCellCos: these shapes are unreachable with trained
+    // codebooks, but the contract must not silently drift. (The
+    // declarative min(struct(...)) twin would hand every row to a
+    // dimension-corrupt centroid — its null dist2 sorts FIRST — which
+    // is exactly the behavior the kernels refuse to mirror.)
+    val ids = Array(0L, 1L)
+    val good = Array.fill(4)(1.0)
+    val corrupt = Array.fill(3)(0.0) // wrong dimension
+    val df = vecDf(Seq((0L, Seq(1f, 1f, 1f, 1f))))
+    // corrupt centroid loses to ANY real one, even an exact-zero match
+    // being unavailable (the good centroid here is an exact match):
+    val sq = df.select(VectorFunctions.nearestCellSq(
+      col("v"), ids, Array(corrupt, good)).as("a")).head().getStruct(0)
+    assert(sq.getLong(0) == 1L && sq.getDouble(1) == 0.0,
+      s"corrupt centroid must rank last under sq, got $sq")
+    val cos = df.select(VectorFunctions.nearestCellCos(
+      col("v"), ids, Array(corrupt, good)).as("a")).head().getStruct(0)
+    assert(cos.getLong(0) == 1L && cos.getDouble(1) == 1.0,
+      s"corrupt centroid must rank last under cos, got $cos")
+    // all-corrupt codebook: the ±∞ tie-break degrades to the smallest
+    // cid with the impossible distance VISIBLE in the output — never a
+    // throw, never a plausible-looking answer
+    val sqAll = df.select(VectorFunctions.nearestCellSq(
+      col("v"), Array(7L, 9L), Array(corrupt, corrupt)).as("a")).head().getStruct(0)
+    assert(sqAll.getLong(0) == 7L && sqAll.getDouble(1).isPosInfinity,
+      s"all-corrupt codebook must surface smallest cid at +Inf, got $sqAll")
+    val cosAll = df.select(VectorFunctions.nearestCellCos(
+      col("v"), Array(7L, 9L), Array(corrupt, corrupt)).as("a")).head().getStruct(0)
+    assert(cosAll.getLong(0) == 7L && cosAll.getDouble(1).isNegInfinity,
+      s"all-corrupt codebook must surface smallest cid at -Inf, got $cosAll")
+    // NaN-poisoned input: every comparison fails, sentinel again
+    // (where the declarative twin — Spark orders NaN largest — would
+    // return a real centroid id for a garbage vector).
+    val nan = vecDf(Seq((0L, Seq(Float.NaN, 1f, 1f, 1f))))
+    val sqNan = nan.select(VectorFunctions.nearestCellSq(
+      col("v"), ids, Array(good, good)).as("a")).head().getStruct(0)
+    assert(sqNan.getLong(0) == Long.MaxValue && sqNan.getDouble(1).isPosInfinity,
+      s"NaN input must yield the no-winner sentinel under sq, got $sqNan")
+    val cosNan = nan.select(VectorFunctions.nearestCellCos(
+      col("v"), ids, Array(good, good)).as("a")).head().getStruct(0)
+    assert(cosNan.getLong(0) == Long.MaxValue && cosNan.getDouble(1).isNegInfinity,
+      s"NaN input must yield the no-winner sentinel under cos, got $cosNan")
+  }
+
   test("centroidResidual == zip_with minus; unknown cid is NULL") {
     val ids = Array(0L, 2L)
     val cells = Array(Array.fill(64)(0.25), Array.fill(64)(1.5))

@@ -156,6 +156,59 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("a threaded census count makes candidate construction job-free (and changes nothing)") {
+    val sigs = TextAnalysisShared.bandedMinhashSigs(Tables.documents(spark, Sf), 4)
+      .localCheckpoint(true)
+    val batch = sigs.filter(col("doc_id") % 5 === 0)
+    val index = sigs.filter(col("doc_id") % 5 =!= 0)
+    val n = batch.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE materializes each query stage as its own job id (the count's
+    // partial+final becomes 2) — off, so the pin is one action = one
+    // job, exactly the AlmaSpec one-job idiom.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // The listener bus is async — wait until the count is stable (the
+    // AlmaSpec one-job idiom).
+    def settled(): Int = {
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = jobs.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      jobs.get()
+    }
+    try {
+      // With the census count threaded through, building the candidate
+      // plan launches ZERO jobs — the broadcast decision is a driver
+      // compare, not a second pass over the frame the census scanned.
+      val threaded = Curation.incrementalCandidates(batch, index,
+        knownBatchSigRows = Some(n))
+      assert(settled() == 0,
+        s"plan construction with a known count must be job-free, saw ${jobs.get()} jobs")
+      // Without it, the constructor pays exactly its one count job.
+      jobs.set(0)
+      val counted = Curation.incrementalCandidates(batch, index)
+      assert(settled() == 1,
+        s"un-threaded construction should cost exactly the one count job, saw ${jobs.get()}")
+      // And the threaded count changes the plan decision only, never
+      // the rows.
+      def key(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).sorted.toList
+      assert(key(threaded) == key(counted), "threaded count changed results")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("span dedup matches an independent in-memory recomputation") {
     val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))

@@ -69,6 +69,36 @@ class SessionMemoSpec extends SparkSpec {
     }
   }
 
+  test("a same-length same-mtime byte rewrite still misses (content-sample fingerprint)") {
+    // The (name, length, mtime) listing alone aliases an in-place
+    // rewrite that keeps file sizes and lands within the filesystem's
+    // mtime granularity — the memo would serve the stale frame. The
+    // fingerprint's head/tail content sample must break the alias.
+    val dir = java.nio.file.Files.createTempDirectory("memoswap")
+    val f = dir.resolve("part-00000.bin").toFile
+    def write(bytes: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(bytes) finally out.close()
+      // Force the SAME mtime for every version — the worst case the
+      // fingerprint must survive.
+      assert(f.setLastModified(1700000000000L))
+    }
+    val v1 = Array.tabulate[Byte](256)(_.toByte)
+    val v2 = v1.clone(); v2(250) = (v2(250) ^ 0x7f).toByte // tail sample range
+    val v3 = v1.clone(); v3(3) = (v3(3) ^ 0x7f).toByte     // head sample range
+    val memo = new graft.internal.SessionMemo[String]("spark.graft.test.swapMemo", "swap_memo_build")
+    var builds = 0
+    def get(): String = memo.getOrBuild(spark, dir.toString) { builds += 1; s"build$builds" }
+    write(v1)
+    assert(get() == "build1" && get() == "build1", "unchanged file must hit")
+    write(v2)
+    assert(get() == "build2", "tail byte swap (same length, same mtime) must miss")
+    write(v3)
+    assert(get() == "build3", "head byte swap (same length, same mtime) must miss")
+    // and back to stable: the new state hits
+    assert(get() == "build3")
+  }
+
   test("memo builds surface as their own labeled ops in the metrics sink") {
     val dir = java.nio.file.Files.createTempDirectory("memolabel").toString
     graft.io.Tables.documents(spark, Sf).write.parquet(s"$dir/documents.parquet")

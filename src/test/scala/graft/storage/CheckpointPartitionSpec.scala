@@ -67,6 +67,52 @@ class CheckpointPartitionSpec extends SparkSpec {
     assert(store.checkpoints().count() == 4L)
   }
 
+  test("a legacy single-table checkpoint store migrates into per-run partitions on first access") {
+    val (store, root) = freshStore("legacy")
+    // Simulate a store written BEFORE the per-run layout: one versioned
+    // snapshot directly under the checkpoints root plus a root _CURRENT
+    // marker — exactly what commitSnapshot produced then.
+    import spark.implicits._
+    val rows = Seq(
+      ck("a1", "runA", "b0", 1), ck("a2", "runA", "b0", 2),
+      ck("b1", "runB", "b0", 1))
+    val snapName = "snap_000001_deadbeef"
+    val ckRoot = s"$root/${MemoryType.Checkpoints}"
+    rows.toDS().toDF().write.parquet(s"$ckRoot/$snapName")
+    val fs = new HPath(ckRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new HPath(s"$ckRoot/_CURRENT"), true)
+    try out.write(snapName.getBytes("UTF-8")) finally out.close()
+    // First read sees every legacy row — not a silently-empty table
+    // (this IS the crash-recovery path).
+    val got = store.checkpoints().collect().map(_.id).sorted
+    assert(got.toSeq == Seq("a1", "a2", "b1"),
+      s"legacy checkpoints lost in migration: ${got.mkString(",")}")
+    // Rows now live in per-run partitions; the legacy root snapshot and
+    // marker are gone (vacuum has nothing legacy left to orphan).
+    assert(store.checkpoints(Some("runA")).count() == 2L)
+    assert(store.checkpoints(Some("runB")).count() == 1L)
+    assert(!fs.exists(new HPath(s"$ckRoot/$snapName")), "legacy snapshot not reclaimed")
+    assert(!fs.exists(new HPath(s"$ckRoot/_CURRENT")), "legacy marker not removed")
+    // And the per-run maintenance paths work on the migrated rows.
+    assert(store.cleanupCheckpoints("runA", keepLatest = 1) == 1L)
+    assert(store.checkpoints().count() == 2L)
+  }
+
+  test("checkpoint rows with a null runId are rejected loudly, not NPE'd") {
+    val (store, _) = freshStore("nullrun")
+    val sch = org.apache.spark.sql.types.StructType(
+      store.checkpoints().toDF().schema.map(_.copy(nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        "x1", null, "node", "b0", 1L, null, "{}",
+        new Timestamp(1700000000000L))),
+      sch)
+    val e = intercept[IllegalArgumentException] {
+      store.appendRows(df, MemoryType.Checkpoints)
+    }
+    assert(e.getMessage.contains("runId"))
+  }
+
   test("runIds with path-hostile characters round-trip through encoding") {
     val (store, _) = freshStore("enc")
     val weird = "run/α β?=#1"
