@@ -32,6 +32,32 @@ object VectorFunctions {
     ExpressionUtils.column(CosineSimF32(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Euclidean norm of a vector column: `sqrt(dotD(a, a))`. The xi·xi
+    * accumulation runs in element order — exactly [[CosineSimF32]]'s
+    * per-side norm path — so `sqrt` of it is bit-identical to the
+    * factor the cosine kernel computes internally.
+    */
+  def rowNorm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dotD(a, a))
+
+  /** Cosine from a precomputed dot and per-ROW norms:
+    * `dot / (na * nb)`, zero-denominator ⇒ 0.0 like [[CosineSimF32]].
+    *
+    * Bit-parity contract (VectorKernelSpec): when `na`/`nb` come from
+    * [[rowNorm]] this equals `cosine(a, b)` EXACTLY — the kernel's
+    * denominator is `sqrt(nx) * sqrt(ny)` with the same element-order
+    * accumulations, so every double op matches one-for-one. Use it on
+    * PAIR-SIZED candidate streams (LSH/blocked self-joins), where the
+    * kernel's fused norm loops would re-derive both norms per pair:
+    * norms are per-row (linear) work, and the per-pair loop drops from
+    * 3 multiply-adds per element to 1.
+    */
+  def cosinePrenorm(dotAb: Column, na: Column, nb: Column): Column = {
+    import org.apache.spark.sql.functions.when
+    val denom = na * nb
+    when(denom === 0.0, 0.0).otherwise(dotAb / denom)
+  }
+
   /** Mark a similarity column as ANN-probeable: with
     * `graft.plans.AnnBucketProbe` installed and a `bucket` column on
     * the scanned relation, the optimizer restricts the scan to the

@@ -157,16 +157,25 @@ object Dedup {
         .agg(coalesce(sum(col("count") * col("count")), lit(0L)))
         .head().getLong(0)
     }
+    // Norms are per-ROW (linear) work computed before the pair join;
+    // the per-pair cosine is then one dot + a divide instead of the
+    // fused 3-accumulator loop — bit-identical by the
+    // [[VectorFunctions.cosinePrenorm]] parity contract, and the pair
+    // stream is where all the flops live (Σ_blk n² pairs × dim).
     val e2 = e.withColumn("blk",
       if (exact) lit(0L) else VectorFunctions.signBucket(col("embedding"), 8))
+      .withColumn("nrm", VectorFunctions.rowNorm(col("embedding")))
     val salts = Salting.pairSalts(s)
-    val a = e2.select(col("label"), col("blk"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val a = e2.select(col("label"), col("blk"), col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
       .withColumn("salt", pmod(hash(col("vec_a")), lit(salts)))
-    val b = e2.select(col("label"), col("blk"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val b = e2.select(col("label"), col("blk"), col("vec_id").as("vec_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     a.join(b, Seq("label", "blk", "salt"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
+      .withColumn("sim", round(VectorFunctions.cosinePrenorm(
+        VectorFunctions.dotD(col("va"), col("vb")), col("na"), col("nb")), 4))
       .filter(col("sim") >= 0.3)
       .select("label", "vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
@@ -184,13 +193,20 @@ object Dedup {
   // (8 hyperplane-sign bits) blocks the corpus, pairs form only inside
   // a bucket — the fully unsupervised scale path for vector dedup.
   private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    // Per-row norms before the bucket self-join; the per-pair work is
+    // one dot + divide (see [[VectorFunctions.cosinePrenorm]] — the
+    // within-bucket pair volume is the query's whole cost).
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", VectorFunctions.signBucket(col("embedding"), 8))
-    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      .withColumn("nrm", VectorFunctions.rowNorm(col("embedding")))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
+      .withColumn("sim", round(VectorFunctions.cosinePrenorm(
+        VectorFunctions.dotD(col("va"), col("vb")), col("na"), col("nb")), 4))
       .filter(col("sim") >= 0.3)
       .select("bucket", "vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")

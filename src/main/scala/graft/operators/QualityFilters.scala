@@ -377,15 +377,21 @@ object QualityFilters {
   private[operators] def semanticDecontHits(e: DataFrame, probes: Int): DataFrame = {
     val (cellIds, cells) = collectCodebook(
       semanticDecontCodebook(e, semanticDecontK(e)))
+    // Norms ride the row-sized sides; the (train × bench-in-cell)
+    // candidate stream then pays one dot + divide per pair instead of
+    // the fused 3-accumulator cosine loop (bit-identical —
+    // [[VectorFunctions.cosinePrenorm]]).
     val ranked = e.select(col("vec_id"), col("embedding"),
+      VectorFunctions.rowNorm(col("embedding")).as("nrm"),
       VectorFunctions.topCells(col("embedding"), cellIds, cells, probes).as("cls"))
     val bench = ranked.filter(col("vec_id") % 13 === 0)
       .select(element_at(col("cls"), 1).as("cl"),
-        col("vec_id").as("bench_id"), col("embedding").as("bv"))
+        col("vec_id").as("bench_id"), col("embedding").as("bv"), col("nrm").as("bn"))
     ranked.filter(col("vec_id") % 13 =!= 0)
-      .select(col("vec_id"), col("embedding"), explode(col("cls")).as("cl"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("cls")).as("cl"))
       .join(bench, Seq("cl"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("embedding"), col("bv")), 4))
+      .withColumn("sim", round(VectorFunctions.cosinePrenorm(
+        VectorFunctions.dotD(col("embedding"), col("bv")), col("nrm"), col("bn")), 4))
       .filter(col("sim") >= SemDecontTau)
       // A (train, bench) pair can meet in more than one probed cell —
       // distinct before counting so nprobe never inflates n_hits.

@@ -399,6 +399,10 @@ object Selection {
           .agg(first("csim").as("csim"), min("vec_id").as("fmin"))
       else asg.select(col("cluster"), col("embedding"), col("csim"),
         col("vec_id").as("fmin")))
+      // family-level norms, materialized with the frame — the pair scan
+      // below then pays one dot + divide per candidate
+      // ([[VectorFunctions.cosinePrenorm]] bit-parity contract)
+      .withColumn("nrm", VectorFunctions.rowNorm(col("embedding")))
       .localCheckpoint(true) // read 3x: both pair sides + expansion
     // Post-collapse candidate volume decides whether the exact
     // families² contract may run blind ([[PairGuard]]): Σ_cluster
@@ -417,13 +421,15 @@ object Selection {
       if (exact) lit(0L) else VectorFunctions.signBucket(col("embedding"), 8))
     val salts = Salting.pairSalts(s)
     val famA = famB.select(col("cluster"), col("blk"), col("csim").as("a_csim"),
-      col("fmin").as("a_fmin"), col("embedding").as("a_emb"))
+      col("fmin").as("a_fmin"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val verdicts = famB
       .withColumn("salt", pmod(hash(col("fmin")), lit(salts)))
       .join(famA, Seq("cluster", "blk", "salt"))
       .filter(col("a_csim") <= col("csim"))
-      .filter(round(VectorFunctions.cosine(col("embedding"), col("a_emb")), 4) >= SemTau)
+      .filter(round(VectorFunctions.cosinePrenorm(
+        VectorFunctions.dotD(col("embedding"), col("a_emb")),
+        col("nrm"), col("a_nrm")), 4) >= SemTau)
       .groupBy("cluster", "fmin")
       .agg(
         max(when(col("a_csim") < col("csim"), lit(1)).otherwise(lit(0))).as("drop_all"),
@@ -484,11 +490,14 @@ object Selection {
   private def semanticDedupBlocked(s: SparkSession, dir: String): DataFrame = {
     val asg = assigned(Tables.embeddings(s, dir))
       .withColumn("bucket", VectorFunctions.signBucket(col("embedding"), 8))
+      .withColumn("nrm", VectorFunctions.rowNorm(col("embedding")))
     val other = asg.select(col("cluster"), col("bucket"), col("vec_id").as("o_id"),
-      col("csim").as("o_csim"), col("embedding").as("o_emb"))
+      col("csim").as("o_csim"), col("embedding").as("o_emb"), col("nrm").as("o_nrm"))
     val dropped = asg.join(other, Seq("cluster", "bucket"))
       .filter(col("o_id") =!= col("vec_id"))
-      .filter(round(VectorFunctions.cosine(col("embedding"), col("o_emb")), 4) >= SemTau)
+      .filter(round(VectorFunctions.cosinePrenorm(
+        VectorFunctions.dotD(col("embedding"), col("o_emb")),
+        col("nrm"), col("o_nrm")), 4) >= SemTau)
       .filter(col("o_csim") < col("csim") ||
         (col("o_csim") === col("csim") && col("o_id") < col("vec_id")))
       .select("vec_id").distinct()

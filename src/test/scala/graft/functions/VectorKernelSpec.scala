@@ -51,6 +51,37 @@ class VectorKernelSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("cosinePrenorm(dot, rowNorm, rowNorm) == cosine kernel bit-exactly (incl. zero vectors)") {
+    // The pair-join form: norms precomputed per ROW, cosine = one dot +
+    // divide per PAIR. Must equal the fused kernel on every bit —
+    // rowNorm's xi·xi accumulation IS the kernel's per-side norm path.
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      VectorFunctions.rowNorm(col("embedding")).as("nrm"))
+    val diff = withN.as("a").crossJoin(withN.as("b")).limit(500)
+      .select(
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("k"),
+        VectorFunctions.cosinePrenorm(
+          VectorFunctions.dotD(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")).as("p"))
+      .filter(col("k") =!= col("p"))
+      .count()
+    assert(diff == 0, "prenorm cosine diverged from the fused kernel")
+    // zero-norm side: 0.0 in both forms, never NaN
+    import spark.implicits._
+    val rows = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, 3f))).toDF("id", "v")
+      .select(col("id"), col("v"), VectorFunctions.rowNorm(col("v")).as("nrm"))
+    val z = rows.as("a").crossJoin(rows.as("b"))
+      .select(
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("k"),
+        VectorFunctions.cosinePrenorm(
+          VectorFunctions.dotD(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("p"))
+      .collect()
+    assert(z.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "prenorm zero-vector handling diverged from the kernel")
+    assert(!z.exists(r => r.getDouble(1).isNaN))
+  }
+
   test("kernel survives whole-stage codegen (no fallback in plan)") {
     val df = emb.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
     // Whole-stage-codegen'd operators print with a `*(stageId)` prefix.
