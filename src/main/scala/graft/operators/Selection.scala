@@ -63,11 +63,13 @@ object Selection {
     * one call per row, no token row ever exists. Hash contract
     * unchanged (60-bit md5 prefix mod buckets, the hash64 formula).
     */
-  private def bucketCounts(textCol: Column): Column =
+  private def bucketCountsN(textCol: Column, buckets: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.expressions.BucketCountsExpr(
-        org.apache.spark.sql.graft.ColumnBridge.expression(textCol),
-        DsirBuckets.toInt))
+        org.apache.spark.sql.graft.ColumnBridge.expression(textCol), buckets))
+
+  private def bucketCounts(textCol: Column): Column =
+    bucketCountsN(textCol, DsirBuckets.toInt)
 
   private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, dir))
@@ -642,17 +644,27 @@ object Selection {
 
   private def logregTrain(s: SparkSession, dir: String): DataFrame = {
     val isPos = col("source").isin(DsirTargetSources: _*)
-    val tok = Tables.documents(s, dir)
+    // Per-doc hashed bucket histograms through the compiled
+    // [[graft.functions.expressions.BucketCountsExpr]] kernel (the DSIR
+    // feature pass): the kernel's `parseLong(md5hex[0,15), 16) % B` is
+    // exactly `pmod(hash64(w), B)`, so the old token explode +
+    // (doc, y, b) groupBy + per-doc window — three corpus-sized
+    // exchanges per invocation — collapse into one projection. Value
+    // parity is exact: same cnt, same n_toks (= Σ cnt, the window it
+    // replaces), same x division. n_toks folds in its own select so it
+    // lands BELOW the explode (ExtractGenerator re-evaluates
+    // same-select expressions once per emitted row — the r12 lesson).
+    val feat = Tables.documents(s, dir)
       .select(col("doc_id"), isPos.cast("int").cast("double").as("y"),
-        explode(split(col("text"), " ")).as("w"))
-    val feat = tok
-      .groupBy(col("doc_id"), col("y"),
-        pmod(TextAnalysisShared.hash64(col("w")), lit(LrBuckets)).as("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("n_toks", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .select(col("doc_id"), col("y"), col("b"),
-        (col("cnt").cast("double") / col("n_toks")).as("x"))
+        bucketCountsN(col("text"), LrBuckets.toInt).as("bc"))
+      .select(col("doc_id"), col("y"), col("bc"),
+        aggregate(col("bc"), lit(0L), (a, e) => a + e.getField("cnt")).as("n_toks"))
+      .select(col("doc_id"), col("y"), col("n_toks"), explode(col("bc")).as("e"))
+      .select(col("doc_id"), col("y"), col("e.b").as("b"),
+        (col("e.cnt").cast("double") / col("n_toks")).as("x"))
+      // the grad pass joins on doc_id every step — co-locate once here
+      // (the window exchange used to do this as a side effect)
+      .repartition(col("doc_id"))
       .localCheckpoint(true) // read by every step's score + grad pass
     val nDocs = feat.select("doc_id").distinct().count().toDouble
 
