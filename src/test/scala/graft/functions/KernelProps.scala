@@ -174,6 +174,29 @@ object KernelProps extends Properties("compiled-kernels") {
       Prop(got == exp) :| s"text='$text' buckets=$buckets got=$got exp=$exp"
     }
 
+  property("kernel round6 == Catalyst Round(_, 6) on adversarial doubles") = {
+    // The centroid kernels' round6 claims bit-parity with Spark's
+    // round(_, 6) — the rounding the declarative twins and the
+    // oracle-facing outputs go through. Pin it against the ACTUAL
+    // Catalyst expression (not a re-statement of the same BigDecimal
+    // call) on exact .5-boundary ties, negatives, huge/tiny magnitudes,
+    // and non-finite values.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Round}
+    val boundary = Gen.choose(-2000000L, 2000000L).map(n => (n + 0.5) / 1e6)
+    val wild = Gen.oneOf(
+      Gen.choose(-1e12, 1e12), Gen.choose(-1.0, 1.0),
+      Gen.oneOf(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, Double.MinPositiveValue,
+        -Double.MinPositiveValue, 4.9999995e-1, -4.9999995e-1))
+    Prop.forAll(Gen.oneOf(boundary, wild)) { x =>
+      val kernel = graft.functions.expressions.CentroidKernels.round6(x)
+      val catalyst = Round(Literal(x), Literal(6)).eval(null).asInstanceOf[Double]
+      Prop((kernel == catalyst) ||
+        (java.lang.Double.isNaN(kernel) && java.lang.Double.isNaN(catalyst))) :|
+        s"x=$x kernel=$kernel catalyst=$catalyst"
+    }
+  }
+
   property("word n-grams kernel == brute-force sliding join, n = 2..6") =
     Prop.forAll(gramGen, Gen.choose(2, 6)) { (s, n) =>
       val toks = s.split(" ", -1)
