@@ -354,6 +354,27 @@ object QualityFilters {
     (rows.map(_._1), rows.map(_._2))
   }
 
+  /** Session memo for the semantic-decontamination IVF codebook — the
+    * [[graft.internal.SessionMemo]] discipline (mutation-fingerprinted
+    * on the embeddings table, evicted with the session, build labeled
+    * `ivf_codebook_build`, `spark.graft.ivf.codebookCache=false` opts
+    * out): training the coarse quantizer is a FULL-CORPUS assignment
+    * pass (n·k kernel compares + the corpus count behind k), and a
+    * pipeline probing the same corpus repeatedly must not retrain per
+    * query. Only the raw-table chain is memoized — spec callers
+    * probing DERIVED frames still train on what they pass.
+    */
+  private val ivfCodebookCache =
+    new graft.internal.SessionMemo[(Array[Long], Array[Array[Double]])](
+      "spark.graft.ivf.codebookCache", "ivf_codebook_build")
+
+  private def cachedDecontCodebook(s: SparkSession, dir: String)
+      : (Array[Long], Array[Array[Double]]) =
+    ivfCodebookCache.getOrBuild(s, s"$dir/embeddings.parquet") {
+      val e = Tables.embeddings(s, dir)
+      collectCodebook(semanticDecontCodebook(e, semanticDecontK(e)))
+    }
+
   private[operators] def semanticDecontCodebook(e: DataFrame, k: Long): DataFrame = {
     val seedRows = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).collect()
@@ -374,9 +395,10 @@ object QualityFilters {
     * (probes ≥ k recovers the exact all-pairs compare: topCells clamps
     * the probe count at k, so every cell is probed).
     */
-  private[operators] def semanticDecontHits(e: DataFrame, probes: Int): DataFrame = {
-    val (cellIds, cells) = collectCodebook(
-      semanticDecontCodebook(e, semanticDecontK(e)))
+  private[operators] def semanticDecontHits(e: DataFrame, probes: Int,
+      codebook: Option[(Array[Long], Array[Array[Double]])] = None): DataFrame = {
+    val (cellIds, cells) = codebook.getOrElse(collectCodebook(
+      semanticDecontCodebook(e, semanticDecontK(e))))
     // Norms ride the row-sized sides; the (train × bench-in-cell)
     // candidate stream then pays one dot + divide per pair instead of
     // the fused 3-accumulator cosine loop (bit-identical —
@@ -399,7 +421,8 @@ object QualityFilters {
   }
 
   private def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
-    semanticDecontHits(Tables.embeddings(s, dir), SemDecontProbes)
+    semanticDecontHits(Tables.embeddings(s, dir), SemDecontProbes,
+      Some(cachedDecontCodebook(s, dir)))
       .select(col("vec_id"),
         struct(col("sim"), (-col("bench_id")).as("nb")).as("cand"))
       .groupBy("vec_id")

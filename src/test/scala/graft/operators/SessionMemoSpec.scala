@@ -21,10 +21,12 @@ class SessionMemoSpec extends SparkSpec {
     spark.conf.set("spark.graft.sig.cache", "false")
     spark.conf.set("spark.graft.lm.scoreCache", "false")
     spark.conf.set("spark.graft.bpe.mergeCache", "false")
+    spark.conf.set("spark.graft.ivf.codebookCache", "false")
     try body finally {
       spark.conf.unset("spark.graft.sig.cache")
       spark.conf.unset("spark.graft.lm.scoreCache")
       spark.conf.unset("spark.graft.bpe.mergeCache")
+      spark.conf.unset("spark.graft.ivf.codebookCache")
     }
   }
 
@@ -33,6 +35,14 @@ class SessionMemoSpec extends SparkSpec {
     withCachesOff {
       assert(canonEq(cached, SparkEntry.queries("q_dedup_canonical")(spark, Sf)),
         "CC-memo on/off must be bit-identical — it is a work reduction, not semantics")
+    }
+  }
+
+  test("the IVF-codebook memo is output-invariant (q_decontaminate_semantic cached == uncached)") {
+    val cached = SparkEntry.queries("q_decontaminate_semantic")(spark, Sf).localCheckpoint(true)
+    withCachesOff {
+      assert(canonEq(cached, SparkEntry.queries("q_decontaminate_semantic")(spark, Sf)),
+        "IVF-codebook memo on/off must be bit-identical — it is a work reduction, not semantics")
     }
   }
 
@@ -102,6 +112,7 @@ class SessionMemoSpec extends SparkSpec {
   test("memo builds surface as their own labeled ops in the metrics sink") {
     val dir = java.nio.file.Files.createTempDirectory("memolabel").toString
     graft.io.Tables.documents(spark, Sf).write.parquet(s"$dir/documents.parquet")
+    graft.io.Tables.embeddings(spark, Sf).write.parquet(s"$dir/embeddings.parquet")
     val sink = new MetricsSink
     spark.listenerManager.register(sink)
     try {
@@ -110,8 +121,10 @@ class SessionMemoSpec extends SparkSpec {
       SparkEntry.queries("q_lm_quality")(spark, dir).collect()
       SparkEntry.queries("q_token_budget_bpe")(spark, dir).collect()
       SparkEntry.queries("q_dedup_cluster_hist")(spark, dir).collect()
+      SparkEntry.queries("q_decontaminate_semantic")(spark, dir).collect()
       val builds = Seq("sig_cache_build", "lm_score_cache_build",
-        "lm_bigram_cache_build", "bpe_merges_build", "cc_labels_build")
+        "lm_bigram_cache_build", "bpe_merges_build", "cc_labels_build",
+        "ivf_codebook_build")
       val deadline = System.nanoTime() + 10000000000L
       def count(op: String) = sink.snapshot().count(_.op == op)
       while (builds.exists(count(_) < 1) && System.nanoTime() < deadline)
@@ -126,6 +139,7 @@ class SessionMemoSpec extends SparkSpec {
       SparkEntry.queries("q_consolidate_merge")(spark, dir).collect()
       SparkEntry.queries("q_ppl_buckets")(spark, dir).collect()
       SparkEntry.queries("q_bpe_fertility")(spark, dir).collect()
+      SparkEntry.queries("q_decontaminate_semantic")(spark, dir).collect()
       assert(sink.snapshot().count(r =>
         r.op.endsWith("_cache_build") || r.op.endsWith("_build")) == 0,
         "a memo hit must not rebuild (and must not re-emit the build op)")
