@@ -195,15 +195,24 @@ object Dedup {
   private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     // Per-row norms before the bucket self-join; the per-pair work is
     // one dot + divide (see [[VectorFunctions.cosinePrenorm]] — the
-    // within-bucket pair volume is the query's whole cost).
+    // within-bucket pair volume is the query's whole cost). The join
+    // key is salted like the labeled leg's: 8 sign bits = 256 join
+    // keys, so unsalted the plan caps at 256 tasks and a hot bucket (a
+    // popular vector's copies all share one bucket by construction)
+    // serializes its quadratic scan into ONE task; with the shared
+    // [[Salting]] pattern every (a, b) pair still meets in exactly one
+    // (bucket, salt) partition — identical pair set at any salt count.
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", VectorFunctions.signBucket(col("embedding"), 8))
       .withColumn("nrm", VectorFunctions.rowNorm(col("embedding")))
+    val salts = Salting.pairSalts(s)
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("va"), col("nrm").as("na"))
+      .withColumn("salt", pmod(hash(col("vec_a")), lit(salts)))
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    a.join(b, Seq("bucket", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", round(VectorFunctions.cosinePrenorm(
         VectorFunctions.dotD(col("va"), col("vb")), col("na"), col("nb")), 4))
