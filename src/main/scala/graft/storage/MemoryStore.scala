@@ -788,7 +788,15 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * here, so readers never see a half state.
     */
   def compact(memoryType: String, minFiles: Int = 16, targetPartitions: Int = 4): Long =
-    currentSnapshot(memoryType) match {
+    // The checkpoints root is per-run partition tables (each with its
+    // own snapshots) — compact every partition; checkpoints are the
+    // append-heaviest table (one file per saved step), so a root-level
+    // no-op here would silently exempt exactly the table that
+    // fragments fastest. Legacy single-table stores migrate first.
+    if (memoryType == MemoryType.Checkpoints) {
+      migrateLegacyCheckpoints()
+      ckPartTypes().map(compact(_, minFiles, targetPartitions)).sum
+    } else currentSnapshot(memoryType) match {
       case None => 0L
       case Some((_, snap)) =>
         var files = 0L

@@ -113,6 +113,21 @@ class CheckpointPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("runId"))
   }
 
+  test("compact(checkpoints) compacts every run partition instead of root-level no-op") {
+    val (store, _) = freshStore("compact")
+    // 20 single-row appends ⇒ ≥ 20 files in runA's partition — the
+    // append-per-step fragmentation pattern compaction exists for.
+    (1 to 20).foreach(i => store.saveCheckpoints(Seq(ck(s"a$i", "runA", "b0", i.toLong))))
+    store.saveCheckpoints(Seq(ck("b1", "runB", "b0", 1)))
+    val before = store.compact(MemoryType.Checkpoints, minFiles = 16, targetPartitions = 1)
+    assert(before >= 20L, s"expected the fragmented partition's files counted, got $before")
+    // rows intact, and the rewritten partition is actually few files now
+    assert(store.checkpoints().count() == 21L)
+    val after = store.compact(MemoryType.Checkpoints, minFiles = 16, targetPartitions = 1)
+    assert(after < before, s"compaction did not reduce files: $before -> $after")
+    assert(store.checkpoints(Some("runA")).count() == 20L)
+  }
+
   test("runIds with path-hostile characters round-trip through encoding") {
     val (store, _) = freshStore("enc")
     val weird = "run/α β?=#1"
