@@ -48,13 +48,26 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
     * mtime granularity (1 s on many stores) to the SAME key, silently
     * serving a stale frame. The tail sample closes that for the format
     * that matters here: a Parquet rewrite with different content almost
-    * always differs in its footer (column stats / metadata live there),
-    * and the head catches raw-file edits. Cost: one bounded open+seek
-    * per file per fingerprint — negligible on local/HDFS; on
-    * high-latency object stores the memoized tables are few-file
-    * checkpoint outputs, so the extra GETs stay bounded by design. A
-    * file that cannot be sampled (raced delete) mixes a sentinel, so
-    * the fingerprint still changes when the listing does.
+    * always differs in its footer (column stats / metadata live there —
+    * the sampled 64-byte tail covers the footer-length + magic region),
+    * and the head catches raw-file edits.
+    *
+    * Cost is bounded STRUCTURALLY, not by convention: (name, length,
+    * mtime) is folded for EVERY file (from the listing alone — no
+    * extra I/O), but content is sampled only for the first and last
+    * [[SessionMemo.SampleFiles]] files in path order — at most 32
+    * opens + 64 positioned reads per fingerprint no matter how many
+    * parts the table has, so a future caller memoizing a
+    * many-hundred-part table on an object store pays a constant number
+    * of GETs, never one per part. A same-length/same-mtime byte
+    * rewrite of an UNSAMPLED middle file can alias (accepted residual
+    * — it requires forging mtime to sub-granularity AND preserving
+    * length on a file the sort order hides); any length, mtime, name
+    * or count change anywhere still misses. Files are visited in
+    * path-sorted order so the sampled set — and the whole fingerprint —
+    * is stable against filesystem listing-order variance. A file that
+    * cannot be sampled (raced delete) mixes a sentinel, so the
+    * fingerprint still changes when the listing does.
     */
   private def fingerprint(s: SparkSession, tablePath: String): String = {
     val p = new org.apache.hadoop.fs.Path(tablePath)
@@ -64,15 +77,22 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
       var i = 0
       while (i < 8) { h ^= (x >>> (i * 8)) & 0xff; h *= 0x100000001b3L; i += 1 }
     }
-    var files = 0L
+    val listed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
     if (fs.exists(p)) {
       val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        files += 1
-        mix(st.getPath.getName.hashCode.toLong)
-        mix(st.getLen)
-        mix(st.getModificationTime)
+      while (it.hasNext) listed += it.next()
+    }
+    val sorted = listed.sortBy(_.getPath.toString)
+    val n = sorted.length
+    var sampled = 0
+    var i = 0
+    while (i < n) {
+      val st = sorted(i)
+      mix(st.getPath.getName.hashCode.toLong)
+      mix(st.getLen)
+      mix(st.getModificationTime)
+      if (i < SessionMemo.SampleFiles || i >= n - SessionMemo.SampleFiles) {
+        sampled += 1
         try {
           val in = fs.open(st.getPath)
           try {
@@ -88,8 +108,10 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
           } finally in.close()
         } catch { case _: java.io.IOException => mix(-1L) }
       }
+      i += 1
     }
-    mix(files)
+    SessionMemo.lastSampledFiles = sampled
+    mix(n.toLong)
     java.lang.Long.toHexString(h)
   }
 
@@ -116,4 +138,21 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
     perSession.computeIfAbsent(key,
       _ => graft.observability.Metrics.withOp(s, opLabel)(build))
   }
+}
+
+private[graft] object SessionMemo {
+  /** Content-sample at most this many files from each end of the
+    * path-sorted listing per fingerprint — the structural cap on the
+    * fingerprint's I/O (≤ 2·SampleFiles opens regardless of part
+    * count). 16 covers every memoized table in the repo completely
+    * (few-file checkpoint outputs) while bounding the object-store
+    * worst case.
+    */
+  val SampleFiles = 16
+
+  /** Observability/spec hook: how many files the LAST fingerprint pass
+    * content-sampled (SessionMemoSpec pins the ≤ 2·SampleFiles bound on
+    * a many-file table).
+    */
+  @volatile private[graft] var lastSampledFiles: Int = 0
 }

@@ -344,36 +344,159 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     s"${MemoryType.Checkpoints}/runId=" +
       java.net.URLEncoder.encode(runId, "UTF-8")
 
+  /** Quarantine partition key for legacy rows whose runId is null: a
+    * null key has no partition to live in, but bricking every read over
+    * one bad legacy row is worse — the rows stay READABLE (the runId
+    * column is stored in the data, so they surface with their null
+    * runId in cross-run scans) while new writes still reject nulls
+    * loudly in [[appendCheckpoints]]. A NUL byte cannot appear in a
+    * sane caller-supplied runId, so the partition (dir `runId=%00`)
+    * never collides with a real run's.
+    */
+  private val NullRunIdSentinel = "\u0000"
+
+  /** In-flight migration staging area: the legacy snapshot is RENAMED
+    * here (atomic claim) before its rows are drained into the per-run
+    * partitions. Not a `snap_*` name, so snapshot resolution, retention
+    * and `ckPartTypes` all ignore it.
+    */
+  private def ckStagingDir: HPath =
+    new HPath(tableDir(MemoryType.Checkpoints), "_migrating")
+
+  // The migration check is a guaranteed no-op after the first pass that
+  // finds a fully-partitioned store — cache that verdict per instance so
+  // steady-state entry points stop paying the root listing(s). A store
+  // never regresses from partitioned to legacy layout (only this class
+  // writes the layout), so the flag can only go false→true.
+  @volatile private var ckMigrationSettled = false
+  // Spec hook: how many times the real (non-short-circuited) layout
+  // check ran — CheckpointPartitionSpec pins it at one per store
+  // lifetime on a settled store.
+  private[storage] val ckMigrationChecks = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Stores written before the per-run layout hold one versioned table
     * directly under the checkpoints root (`checkpoints/snap_*` + root
     * `_CURRENT`). Readers of that vintage must not silently see an
     * empty table — this is the crash-recovery path, where "empty"
-    * means a resume point LOST — so every checkpoint entry point first
-    * migrates any legacy snapshot into the per-run partitions (rows
-    * keep their runId; the path key is derived from it), then drops
-    * the legacy marker and snapshot dirs so vacuum/retention see only
-    * the partitioned layout. Idempotent: after migration the root
-    * holds no `snap_*` dirs and no marker, so the detection listing
-    * (already performed by `ckPartTypes` callers) finds nothing. A
-    * legacy store that cannot be READ (corrupt snapshot) fails loudly
+    * means a resume point LOST. Write/maintenance entry points call
+    * this to migrate the legacy snapshot into the per-run partitions;
+    * pure reads ([[checkpoints]]) never write — they union the pending
+    * legacy rows on the fly via [[legacyPendingRows]], so a consumer
+    * with read-only filesystem access still sees its data.
+    *
+    * Crash-safe and idempotent, in two phases:
+    *
+    *  1. '''Claim.''' Superseded root `snap_*` dirs are deleted FIRST
+    *     (so a crash can never re-detect an OLDER snapshot as the
+    *     legacy table and resurrect stale rows), then the current
+    *     legacy snapshot is atomically RENAMED into `_migrating/` and
+    *     the root marker removed. Two concurrent migrators race on the
+    *     rename — exactly one wins; the loser finds no legacy snapshot
+    *     and proceeds to drain whatever staging holds. A dangling
+    *     marker (failed delete) names a vanished dir, which snapshot
+    *     resolution already treats as corrupt, and the listing fallback
+    *     finds no root `snap_*` — detection is NOT re-armed.
+    *  2. '''Drain.''' Staged rows are appended into their per-run
+    *     partitions ANTI-JOINED by checkpoint id against what the
+    *     partition already holds, so a crash between append and staging
+    *     cleanup re-enters and appends nothing twice. Null-runId rows
+    *     are quarantined under [[NullRunIdSentinel]] instead of
+    *     throwing. Staging is deleted only after every run drained; a
+    *     failed delete re-drains (id-deduped) on the next entry point.
+    *
+    * A legacy store that cannot be READ (corrupt snapshot) fails loudly
     * here rather than masquerading as empty.
     */
   private def migrateLegacyCheckpoints(): Unit = {
-    // currentSnapshot() on the checkpoints ROOT resolves exactly the
-    // legacy layout (root marker, else highest complete root snap_*).
-    currentSnapshot(MemoryType.Checkpoints).foreach { case (_, snap) =>
-      val legacy = spark.read
-        .schema(emptyOf(MemoryType.Checkpoints).schema).parquet(snap.toString)
-      appendCheckpoints(legacy)
-      val marker = markerOf(MemoryType.Checkpoints)
-      val fs = fsOf(marker)
-      try { if (fs.exists(marker)) fs.delete(marker, false): Unit }
-      catch { case _: java.io.IOException => () }
-      // Deletes only version-named `snap_*` dirs — the `runId=` partition
-      // dirs (including the ones the migration just wrote) don't parse
-      // as versions and are untouched.
-      cleanupSnapshots(MemoryType.Checkpoints,
-        keepFromVersion = Long.MaxValue, protect = None)
+    if (ckMigrationSettled) return
+    synchronized {
+      if (ckMigrationSettled) return
+      ckMigrationChecks.incrementAndGet(): Unit
+      // Phase 1 — claim: currentSnapshot() on the checkpoints ROOT
+      // resolves exactly the legacy layout (root marker, else highest
+      // complete root snap_*).
+      currentSnapshot(MemoryType.Checkpoints).foreach { case (_, snap) =>
+        cleanupSnapshots(MemoryType.Checkpoints,
+          keepFromVersion = Long.MaxValue, protect = Some(snap.getName))
+        val fs = fsOf(snap)
+        try {
+          if (!fs.exists(ckStagingDir)) fs.mkdirs(ckStagingDir): Unit
+          fs.rename(snap, new HPath(ckStagingDir, snap.getName)): Unit
+        } catch { case _: java.io.IOException => () }
+        val marker = markerOf(MemoryType.Checkpoints)
+        try { if (fs.exists(marker)) fs.delete(marker, false): Unit }
+        catch { case _: java.io.IOException => () }
+      }
+      // Phase 2 — drain staging (possibly left by a crashed migration).
+      val staged = stagedLegacyDirs()
+      if (staged.nonEmpty) {
+        val rows = staged.map(d => spark.read
+            .schema(emptyOf(MemoryType.Checkpoints).schema).parquet(d.toString))
+          .reduce(_.unionByName(_))
+          // an object-store rename that crashed mid copy+delete can
+          // leave the same snapshot in BOTH places briefly; staged
+          // sibling copies carry identical rows — dedupe by id
+          .dropDuplicates("id")
+        appendMigrated(rows)
+        try fsOf(ckStagingDir).delete(ckStagingDir, true): Unit
+        catch { case e: java.io.IOException =>
+          System.err.println(s"[graft.MemoryStore] could not remove checkpoint " +
+            s"migration staging $ckStagingDir ($e) — the next entry point re-drains (id-deduped)")
+        }
+      }
+      // Settled only when nothing legacy remains anywhere — a rename
+      // that kept failing leaves the root snapshot in place, and the
+      // next entry point must retry.
+      if (currentSnapshot(MemoryType.Checkpoints).isEmpty && stagedLegacyDirs().isEmpty)
+        ckMigrationSettled = true
+    }
+  }
+
+  /** The staged legacy snapshot dirs awaiting drain (empty when no
+    * migration is in flight).
+    */
+  private def stagedLegacyDirs(): Seq[HPath] = {
+    val dir = ckStagingDir
+    try {
+      val fs = fsOf(dir)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+    } catch { case _: java.io.IOException => Nil }
+  }
+
+  /** Legacy checkpoint rows not yet drained into per-run partitions —
+    * the read-side view of a pre-migration (or mid-migration) store.
+    * Pure read: nothing is written. None once the store is settled
+    * (cached per instance, so steady-state reads pay no listing).
+    */
+  private def legacyPendingRows(): Option[DataFrame] = {
+    if (ckMigrationSettled) return None
+    val srcs = currentSnapshot(MemoryType.Checkpoints).map(_._2).toSeq ++
+      stagedLegacyDirs()
+    if (srcs.isEmpty) { ckMigrationSettled = true; return None }
+    Some(srcs.map(d => spark.read
+        .schema(emptyOf(MemoryType.Checkpoints).schema).parquet(d.toString))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("id"))
+  }
+
+  /** Drain migrated rows into per-run partitions, id-deduped against
+    * each partition's existing rows (idempotent under re-entry after a
+    * crash). Null runIds quarantine under [[NullRunIdSentinel]]. All
+    * bounded one-time work: the legacy table's runs.
+    */
+  private def appendMigrated(df: DataFrame): Unit = {
+    val pinned = df.localCheckpoint(true)
+    val runs = pinned.select("runId").distinct().collect().map(_.getString(0))
+    runs.foreach { r =>
+      val part = ckPartType(if (r == null) NullRunIdSentinel else r)
+      val rows =
+        if (r == null) pinned.filter(col("runId").isNull)
+        else pinned.filter(col("runId") === r)
+      val fresh =
+        if (exists(part)) rows.join(readTable(part).select("id"), Seq("id"), "left_anti")
+        else rows
+      if (!fresh.isEmpty) append(fresh, part)
     }
   }
 
@@ -417,16 +540,32 @@ final class MemoryStore(val spark: SparkSession, val root: String,
   /** One run's checkpoints read its partition alone; the cross-run scan
     * unions every partition (schema declared per partition — no
     * corpus-wide listing beyond the one directory list).
+    *
+    * PURE READ: a legacy (pre-partitioning) or mid-migration store is
+    * served by unioning the pending legacy rows on the fly, id-deduped
+    * against what the partitions already hold — never by writing. A
+    * consumer with read-only filesystem access to a legacy store sees
+    * its data; the physical migration belongs to the write/maintenance
+    * entry points (appendRows, saveCheckpoints, cleanupCheckpoints,
+    * vacuum, compact).
     */
   def checkpoints(runId: Option[String] = None): Dataset[graft.workflow.Checkpoint] = {
-    migrateLegacyCheckpoints()
     val parts = runId match {
       case Some(r) => Seq(ckPartType(r)).filter(exists)
       case None => ckPartTypes().filter(exists)
     }
-    val df =
+    val base =
       if (parts.isEmpty) emptyOf(MemoryType.Checkpoints)
       else parts.map(readTable).reduce(_.unionByName(_))
+    val df = legacyPendingRows() match {
+      case None => base
+      case Some(pending0) =>
+        val pending = runId match {
+          case Some(r) => pending0.filter(col("runId") === r)
+          case None => pending0
+        }
+        base.unionByName(pending.join(base.select("id"), Seq("id"), "left_anti"))
+    }
     df.as[graft.workflow.Checkpoint]
   }
 

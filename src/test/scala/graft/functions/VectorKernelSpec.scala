@@ -82,6 +82,52 @@ class VectorKernelSpec extends SparkSpec {
     assert(!z.exists(r => r.getDouble(1).isNaN))
   }
 
+  test("cosinePrenorm == cosine kernel on non-finite elements (NaN/±Inf) and round-4 boundaries") {
+    import spark.implicits._
+    // The docstring's "every double op matches one-for-one" claim must
+    // hold beyond finite inputs: a NaN or ±Inf element propagates
+    // through both paths to the SAME double (bit-compared on the
+    // driver — Spark SQL's own =!= treats NaN = NaN). Also pins the
+    // round(·,4) composition used by the IVF/SemDeDup threshold
+    // queries: exact parity means a 5e-5-boundary value can never
+    // round differently between the fused kernel and the prenormed
+    // pair form (the same class as the accepted DSIR last-ulp risk —
+    // closed here in a spec instead of a comment).
+    val nan = Float.NaN
+    val inf = Float.PositiveInfinity
+    val rows = Seq(
+      (1L, Array(nan, 1f, 2f)), (2L, Array(1f, 2f, 3f)),
+      (3L, Array(inf, 1f, 0f)), (4L, Array(-inf, inf, 1f)),
+      (5L, Array(0f, 0f, 0f)), (6L, Array(1e-8f, -1e-8f, 0f)),
+      // values engineered near a k·5e-5 rounding boundary
+      (7L, Array(0.99995f, 1f, 0f)), (8L, Array(0.000049999f, 1f, 1f)))
+      .toDF("id", "v")
+      .select(col("id"), col("v"), VectorFunctions.rowNorm(col("v")).as("nrm"))
+    val out = rows.as("a").crossJoin(rows.as("b"))
+      .select(
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("k"),
+        VectorFunctions.cosinePrenorm(
+          VectorFunctions.dotD(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("p"),
+        round(VectorFunctions.cosine(col("a.v"), col("b.v")), 4).as("rk"),
+        round(VectorFunctions.cosinePrenorm(
+          VectorFunctions.dotD(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")), 4).as("rp"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (k, p) = (r.getDouble(0), r.getDouble(1))
+      assert(java.lang.Double.doubleToLongBits(k) == java.lang.Double.doubleToLongBits(p),
+        s"non-finite/boundary parity broke: kernel=$k prenorm=$p")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"round-4 threshold flipped between forms: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+    // NaN rows exist in the input, so the parity above genuinely
+    // exercised the non-finite path.
+    assert(out.exists(r => r.getDouble(0).isNaN))
+  }
+
   test("kernel survives whole-stage codegen (no fallback in plan)") {
     val df = emb.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
     // Whole-stage-codegen'd operators print with a `*(stageId)` prefix.

@@ -170,8 +170,11 @@ class CurationSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     // AQE materializes each query stage as its own job id (the count's
-    // partial+final becomes 2) — off, so the pin is one action = one
-    // job, exactly the AlmaSpec one-job idiom.
+    // partial+final becomes 2) — off, so the un-threaded leg's job
+    // count stays small and predictable. Saved and restored to the
+    // PRE-TEST value, not a hard-coded one, so a suite-level conf
+    // change can't leak out of this test.
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     // The listener bus is async — wait until the count is stable (the
     // AlmaSpec one-job idiom).
@@ -193,18 +196,24 @@ class CurationSpec extends SparkSpec {
         knownBatchSigRows = Some(n))
       assert(settled() == 0,
         s"plan construction with a known count must be job-free, saw ${jobs.get()} jobs")
-      // Without it, the constructor pays exactly its one count job.
+      // Without it, the constructor must pay its count job. (>= 1, not
+      // == 1: the threaded leg's ZERO is the real contract; pinning the
+      // un-threaded leg to an exact job count is brittle against Spark
+      // version drift in job accounting.)
       jobs.set(0)
       val counted = Curation.incrementalCandidates(batch, index)
-      assert(settled() == 1,
-        s"un-threaded construction should cost exactly the one count job, saw ${jobs.get()}")
+      assert(settled() >= 1,
+        s"un-threaded construction should pay a count job, saw ${jobs.get()}")
       // And the threaded count changes the plan decision only, never
       // the rows.
       def key(df: DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).sorted.toList
       assert(key(threaded) == key(counted), "threaded count changed results")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
       spark.sparkContext.removeSparkListener(listener)
     }
   }

@@ -109,6 +109,53 @@ class SessionMemoSpec extends SparkSpec {
     assert(get() == "build3")
   }
 
+  test("fingerprint I/O is bounded on a many-file table, and still invalidates") {
+    // The structural cap (verdict r13 #1): content is sampled for at
+    // most the first/last SampleFiles files in path order, so a
+    // many-hundred-part table on an object store pays a CONSTANT
+    // number of GETs per fingerprint — while (name, length, mtime)
+    // stays folded for every file, so any metadata change anywhere
+    // still misses.
+    val dir = java.nio.file.Files.createTempDirectory("memobound")
+    val n = 40
+    def write(i: Int, bytes: Array[Byte], mtime: Long = 1700000000000L): Unit = {
+      val f = dir.resolve(f"part-$i%05d.bin").toFile
+      val out = new java.io.FileOutputStream(f)
+      try out.write(bytes) finally out.close()
+      assert(f.setLastModified(mtime))
+    }
+    (0 until n).foreach(i => write(i, Array.tabulate[Byte](128)(b => (b + i).toByte)))
+    val memo = new graft.internal.SessionMemo[String](
+      "spark.graft.test.boundMemo", "bound_memo_build")
+    var builds = 0
+    def get(): String = memo.getOrBuild(spark, dir.toString) { builds += 1; s"build$builds" }
+    assert(get() == "build1" && get() == "build1", "unchanged table must hit")
+    val cap = 2 * graft.internal.SessionMemo.SampleFiles
+    assert(graft.internal.SessionMemo.lastSampledFiles <= cap,
+      s"fingerprint sampled ${graft.internal.SessionMemo.lastSampledFiles} of $n files — cap is $cap")
+    assert(graft.internal.SessionMemo.lastSampledFiles == cap,
+      "with more files than the cap, exactly the cap should be sampled")
+    // Content change in a SAMPLED file (first in path order), same
+    // length + mtime: must miss.
+    val head0 = Array.tabulate[Byte](128)(b => b.toByte); head0(3) = 0x7f
+    write(0, head0)
+    assert(get() == "build2", "head-file byte swap must invalidate")
+    // Content change in a sampled TAIL file: must miss.
+    val tailB = Array.tabulate[Byte](128)(b => (b + n - 1).toByte); tailB(120) = 0x7f
+    write(n - 1, tailB)
+    assert(get() == "build3", "tail-file byte swap must invalidate")
+    // A LENGTH change in an unsampled middle file still misses
+    // (metadata is folded for every file — only the content sample is
+    // capped).
+    write(n / 2, Array.tabulate[Byte](129)(b => (b + n / 2).toByte))
+    assert(get() == "build4", "middle-file length change must invalidate")
+    // An mtime change in an unsampled middle file still misses.
+    write(n / 2, Array.tabulate[Byte](129)(b => (b + n / 2).toByte), mtime = 1700000001000L)
+    assert(get() == "build5", "middle-file mtime change must invalidate")
+    // Steady state hits again.
+    assert(get() == "build5")
+  }
+
   test("memo builds surface as their own labeled ops in the metrics sink") {
     val dir = java.nio.file.Files.createTempDirectory("memolabel").toString
     graft.io.Tables.documents(spark, Sf).write.parquet(s"$dir/documents.parquet")

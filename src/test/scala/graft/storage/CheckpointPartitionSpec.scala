@@ -67,35 +67,141 @@ class CheckpointPartitionSpec extends SparkSpec {
     assert(store.checkpoints().count() == 4L)
   }
 
-  test("a legacy single-table checkpoint store migrates into per-run partitions on first access") {
-    val (store, root) = freshStore("legacy")
-    // Simulate a store written BEFORE the per-run layout: one versioned
-    // snapshot directly under the checkpoints root plus a root _CURRENT
-    // marker — exactly what commitSnapshot produced then.
+  /** Write a legacy (pre-per-run-layout) store: one versioned snapshot
+    * directly under the checkpoints root plus a root `_CURRENT` marker —
+    * exactly what commitSnapshot produced then.
+    */
+  private def writeLegacy(root: String, rows: Seq[Checkpoint],
+      snapName: String = "snap_000001_deadbeef"): String = {
     import spark.implicits._
-    val rows = Seq(
-      ck("a1", "runA", "b0", 1), ck("a2", "runA", "b0", 2),
-      ck("b1", "runB", "b0", 1))
-    val snapName = "snap_000001_deadbeef"
     val ckRoot = s"$root/${MemoryType.Checkpoints}"
     rows.toDS().toDF().write.parquet(s"$ckRoot/$snapName")
     val fs = new HPath(ckRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new HPath(s"$ckRoot/_CURRENT"), true)
     try out.write(snapName.getBytes("UTF-8")) finally out.close()
+    ckRoot
+  }
+
+  test("a legacy store: reads are pure (union, no writes); a write entry point migrates") {
+    val (store, root) = freshStore("legacy")
+    val ckRoot = writeLegacy(root, Seq(
+      ck("a1", "runA", "b0", 1), ck("a2", "runA", "b0", 2),
+      ck("b1", "runB", "b0", 1)))
+    val fs = new HPath(ckRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapName = "snap_000001_deadbeef"
     // First read sees every legacy row — not a silently-empty table
-    // (this IS the crash-recovery path).
+    // (this IS the crash-recovery path) — and run-scoped reads work too.
     val got = store.checkpoints().collect().map(_.id).sorted
     assert(got.toSeq == Seq("a1", "a2", "b1"),
-      s"legacy checkpoints lost in migration: ${got.mkString(",")}")
-    // Rows now live in per-run partitions; the legacy root snapshot and
-    // marker are gone (vacuum has nothing legacy left to orphan).
+      s"legacy checkpoints invisible to a reader: ${got.mkString(",")}")
     assert(store.checkpoints(Some("runA")).count() == 2L)
+    // ... WITHOUT writing anything: the legacy snapshot and marker are
+    // untouched and no partition dirs appeared (a consumer with
+    // read-only filesystem access must not fail).
+    assert(fs.exists(new HPath(s"$ckRoot/$snapName")),
+      "a pure read physically migrated the store")
+    assert(fs.exists(new HPath(s"$ckRoot/_CURRENT")),
+      "a pure read removed the legacy marker")
+    assert(!fs.listStatus(new HPath(ckRoot)).exists(_.getPath.getName.startsWith("runId=")),
+      "a pure read created partition dirs")
+    // A write/maintenance entry point performs the physical migration:
+    // rows land in per-run partitions, legacy snapshot + marker gone.
+    store.saveCheckpoints(Seq(ck("a3", "runA", "b0", 3)))
+    assert(store.checkpoints(Some("runA")).count() == 3L)
     assert(store.checkpoints(Some("runB")).count() == 1L)
+    assert(store.checkpoints().count() == 4L)
     assert(!fs.exists(new HPath(s"$ckRoot/$snapName")), "legacy snapshot not reclaimed")
     assert(!fs.exists(new HPath(s"$ckRoot/_CURRENT")), "legacy marker not removed")
+    assert(!fs.exists(new HPath(s"$ckRoot/_migrating")), "migration staging not cleaned up")
     // And the per-run maintenance paths work on the migrated rows.
-    assert(store.cleanupCheckpoints("runA", keepLatest = 1) == 1L)
+    assert(store.cleanupCheckpoints("runA", keepLatest = 1) == 2L)
     assert(store.checkpoints().count() == 2L)
+  }
+
+  test("migration is idempotent under crash re-entry: staged rows partially appended never duplicate") {
+    val (store, root) = freshStore("crashmig")
+    val ckRoot = s"$root/${MemoryType.Checkpoints}"
+    val fs = new HPath(ckRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    // Simulate a migration that crashed between the per-run append and
+    // the staging cleanup: the legacy snapshot already RENAMED into
+    // _migrating/, and runA's rows ALREADY appended to their partition.
+    val legacyRows = Seq(
+      ck("a1", "runA", "b0", 1), ck("a2", "runA", "b0", 2),
+      ck("b1", "runB", "b0", 1))
+    legacyRows.toDS().toDF().write
+      .parquet(s"$ckRoot/_migrating/snap_000001_deadbeef")
+    // pre-populate runA's partition with the same rows (the crashed
+    // migration's partial progress)
+    Seq(ck("a1", "runA", "b0", 1), ck("a2", "runA", "b0", 2)).toDS().toDF()
+      .write.parquet(s"$ckRoot/runId=runA/snap_000001_cafe0001")
+    val ok = fs.create(new HPath(s"$ckRoot/runId=runA/_CURRENT"), true)
+    try ok.write("snap_000001_cafe0001".getBytes("UTF-8")) finally ok.close()
+    // A read mid-migration already sees everything exactly once.
+    assert(store.checkpoints().collect().map(_.id).sorted.toSeq == Seq("a1", "a2", "b1"),
+      "mid-migration read lost or duplicated rows")
+    // The write entry point resumes the drain — id-deduped, so the
+    // already-appended runA rows do NOT double.
+    store.saveCheckpoints(Seq(ck("c1", "runC", "b0", 1)))
+    val ids = store.checkpoints().collect().map(_.id).sorted
+    assert(ids.toSeq == Seq("a1", "a2", "b1", "c1"),
+      s"crash re-entry duplicated or lost rows: ${ids.mkString(",")}")
+    assert(!fs.exists(new HPath(s"$ckRoot/_migrating")), "staging not cleaned up after drain")
+    // Re-running the whole migration path again stays a no-op.
+    store.saveCheckpoints(Seq(ck("c2", "runC", "b0", 2)))
+    assert(store.checkpoints().count() == 5L)
+  }
+
+  test("legacy null-runId rows are quarantined readable, not a permanent brick") {
+    val (store, root) = freshStore("nulllegacy")
+    // Schema built WITHOUT touching the store: a checkpoints() call on
+    // the still-empty root would settle the per-instance layout check
+    // before the test plants the legacy snapshot behind the store's
+    // back (real stores never regress layouts; tests do).
+    val sch = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.Encoders.product[Checkpoint].schema.map(_.copy(nullable = true)))
+    val legacy = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("x1", null, "node", "b0", 1L, null, "{}",
+          new Timestamp(1700000000000L)),
+        org.apache.spark.sql.Row("a1", "runA", "node", "b0", 1L, null, "{}",
+          new Timestamp(1700000000001L))),
+      sch)
+    val ckRoot = s"$root/${MemoryType.Checkpoints}"
+    legacy.write.parquet(s"$ckRoot/snap_000001_deadbeef")
+    val fs = new HPath(ckRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new HPath(s"$ckRoot/_CURRENT"), true)
+    try out.write("snap_000001_deadbeef".getBytes("UTF-8")) finally out.close()
+    // The bad row must not brick the store: migration quarantines it
+    // (runId stays null IN the data) and every entry point keeps working.
+    store.saveCheckpoints(Seq(ck("a2", "runA", "b0", 2)))
+    val all = store.checkpoints().collect()
+    assert(all.map(_.id).sorted.toSeq == Seq("a1", "a2", "x1"),
+      "null-runId legacy row lost (or others dropped) in migration")
+    assert(all.find(_.id == "x1").get.runId == null, "quarantined row's runId must stay null")
+    // Run-scoped reads never see the quarantined row.
+    assert(store.checkpoints(Some("runA")).count() == 2L)
+    // New writes still reject null runIds loudly.
+    val e = intercept[IllegalArgumentException] {
+      store.appendRows(legacy.filter(org.apache.spark.sql.functions.col("runId").isNull),
+        MemoryType.Checkpoints)
+    }
+    assert(e.getMessage.contains("runId"))
+  }
+
+  test("the migration layout check runs once per store instance (then short-circuits)") {
+    val (store, _) = freshStore("migonce")
+    store.saveCheckpoints(Seq(ck("a1", "runA", "b0", 1)))
+    val after = store.ckMigrationChecks.get()
+    assert(after >= 1L, "the first entry point must run the layout check")
+    // Steady state: further entry points (writes, reads, maintenance)
+    // must not re-pay the root listing — the check count stays frozen.
+    store.saveCheckpoints(Seq(ck("a2", "runA", "b0", 2)))
+    store.checkpoints().count()
+    store.cleanupCheckpoints("runA", keepLatest = 10)
+    store.compact(MemoryType.Checkpoints)
+    assert(store.ckMigrationChecks.get() == after,
+      s"migration check re-ran on a settled store: $after -> ${store.ckMigrationChecks.get()}")
   }
 
   test("checkpoint rows with a null runId are rejected loudly, not NPE'd") {
