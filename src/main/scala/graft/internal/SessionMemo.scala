@@ -52,22 +52,29 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
     * the sampled 64-byte tail covers the footer-length + magic region),
     * and the head catches raw-file edits.
     *
-    * Cost is bounded STRUCTURALLY, not by convention: (name, length,
-    * mtime) is folded for EVERY file (from the listing alone — no
-    * extra I/O), but content is sampled only for the first and last
-    * [[SessionMemo.SampleFiles]] files in path order — at most 32
+    * Cost is bounded STRUCTURALLY, not by convention — in both I/O and
+    * driver memory. The listing is consumed in ONE streaming pass:
+    * per-file (name, length, mtime) folds into an ORDER-INDEPENDENT
+    * accumulator (sum + xor of per-file FNV sub-hashes, commutative,
+    * so no sort — and no buffering of `LocatedFileStatus` objects,
+    * whose block-location payload would make a sort-the-listing
+    * approach O(parts) driver memory on a many-hundred-part
+    * object-store table). Only the content-sample candidates — the
+    * [[SessionMemo.SampleFiles]] lexicographically smallest and
+    * largest paths, with their lengths — are retained, in two bounded
+    * heaps; they are then sampled (first 16 + last 64 bytes) in
+    * path-sorted order, so the sampled SET and the fingerprint are
+    * stable against filesystem listing-order variance while the sort
+    * touches ≤ 2·SampleFiles elements, never the listing. At most 32
     * opens + 64 positioned reads per fingerprint no matter how many
-    * parts the table has, so a future caller memoizing a
-    * many-hundred-part table on an object store pays a constant number
-    * of GETs, never one per part. A same-length/same-mtime byte
-    * rewrite of an UNSAMPLED middle file can alias (accepted residual
-    * — it requires forging mtime to sub-granularity AND preserving
-    * length on a file the sort order hides); any length, mtime, name
-    * or count change anywhere still misses. Files are visited in
-    * path-sorted order so the sampled set — and the whole fingerprint —
-    * is stable against filesystem listing-order variance. A file that
-    * cannot be sampled (raced delete) mixes a sentinel, so the
-    * fingerprint still changes when the listing does.
+    * parts the table has — a constant number of GETs, never one per
+    * part. A same-length/same-mtime byte rewrite of an UNSAMPLED
+    * middle file can alias (accepted residual — it requires forging
+    * mtime to sub-granularity AND preserving length on a file the
+    * path order hides); any length, mtime, name or count change
+    * anywhere still misses. A file that cannot be sampled (raced
+    * delete) mixes a sentinel, so the fingerprint still changes when
+    * the listing does.
     */
   private def fingerprint(s: SparkSession, tablePath: String): String = {
     val p = new org.apache.hadoop.fs.Path(tablePath)
@@ -77,40 +84,57 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
       var i = 0
       while (i < 8) { h ^= (x >>> (i * 8)) & 0xff; h *= 0x100000001b3L; i += 1 }
     }
-    val listed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    def fileHash(name: String, len: Long, mtime: Long): Long = {
+      var hf = 0xcbf29ce484222325L
+      def mixf(x: Long): Unit = {
+        var i = 0
+        while (i < 8) { hf ^= (x >>> (i * 8)) & 0xff; hf *= 0x100000001b3L; i += 1 }
+      }
+      mixf(name.hashCode.toLong); mixf(len); mixf(mtime)
+      hf
+    }
+    var metaSum = 0L
+    var metaXor = 0L
+    var n = 0
+    // headK keeps the SampleFiles smallest paths (max-heap: dequeue
+    // evicts the largest); tailK the SampleFiles largest (min-heap).
+    val byPath = Ordering.by[(String, Long), String](_._1)
+    val headK = scala.collection.mutable.PriorityQueue.empty[(String, Long)](byPath)
+    val tailK = scala.collection.mutable.PriorityQueue.empty[(String, Long)](byPath.reverse)
     if (fs.exists(p)) {
       val it = fs.listFiles(p, true)
-      while (it.hasNext) listed += it.next()
-    }
-    val sorted = listed.sortBy(_.getPath.toString)
-    val n = sorted.length
-    var sampled = 0
-    var i = 0
-    while (i < n) {
-      val st = sorted(i)
-      mix(st.getPath.getName.hashCode.toLong)
-      mix(st.getLen)
-      mix(st.getModificationTime)
-      if (i < SessionMemo.SampleFiles || i >= n - SessionMemo.SampleFiles) {
-        sampled += 1
-        try {
-          val in = fs.open(st.getPath)
-          try {
-            val head = new Array[Byte](math.min(16L, st.getLen).toInt)
-            in.readFully(0L, head)
-            head.foreach(b => mix(b.toLong))
-            if (st.getLen > head.length) {
-              val tailLen = math.min(64L, st.getLen - head.length).toInt
-              val tail = new Array[Byte](tailLen)
-              in.readFully(st.getLen - tailLen, tail)
-              tail.foreach(b => mix(b.toLong))
-            }
-          } finally in.close()
-        } catch { case _: java.io.IOException => mix(-1L) }
+      while (it.hasNext) {
+        val st = it.next()
+        val hf = fileHash(st.getPath.getName, st.getLen, st.getModificationTime)
+        metaSum += hf
+        metaXor ^= hf
+        n += 1
+        val cand = (st.getPath.toString, st.getLen)
+        headK.enqueue(cand); if (headK.size > SessionMemo.SampleFiles) { headK.dequeue(): Unit }
+        tailK.enqueue(cand); if (tailK.size > SessionMemo.SampleFiles) { tailK.dequeue(): Unit }
       }
-      i += 1
     }
-    SessionMemo.lastSampledFiles = sampled
+    mix(metaSum); mix(metaXor)
+    // On a table with ≤ 2·SampleFiles files the two windows overlap —
+    // dedup so each file is sampled once (and counted once).
+    val toSample = (headK.toSeq ++ tailK.toSeq).distinct.sortBy(_._1)
+    SessionMemo.lastSampledFiles = toSample.length
+    toSample.foreach { case (pathStr, len) =>
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(pathStr))
+        try {
+          val head = new Array[Byte](math.min(16L, len).toInt)
+          in.readFully(0L, head)
+          head.foreach(b => mix(b.toLong))
+          if (len > head.length) {
+            val tailLen = math.min(64L, len - head.length).toInt
+            val tail = new Array[Byte](tailLen)
+            in.readFully(len - tailLen, tail)
+            tail.foreach(b => mix(b.toLong))
+          }
+        } finally in.close()
+      } catch { case _: java.io.IOException => mix(-1L) }
+    }
     mix(n.toLong)
     java.lang.Long.toHexString(h)
   }
@@ -150,9 +174,11 @@ private[graft] object SessionMemo {
     */
   val SampleFiles = 16
 
-  /** Observability/spec hook: how many files the LAST fingerprint pass
-    * content-sampled (SessionMemoSpec pins the ≤ 2·SampleFiles bound on
-    * a many-file table).
+  /** TEST-ONLY observability hook: how many files the LAST fingerprint
+    * pass content-sampled (SessionMemoSpec pins the ≤ 2·SampleFiles
+    * bound on a many-file table). Process-global and racy across
+    * concurrent fingerprints by design — it is never an input to the
+    * fingerprint itself, and no production path reads it.
     */
   @volatile private[graft] var lastSampledFiles: Int = 0
 }

@@ -75,9 +75,25 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * directory (covers the marker-swap window on filesystems where the
     * overwrite-rename is delete+rename, and a corrupted marker).
     */
-  private def currentSnapshot(memoryType: String): Option[(Long, HPath)] = {
+  private def currentSnapshot(memoryType: String): Option[(Long, HPath)] =
+    probedSnapshot(memoryType)._1
+
+  /** [[currentSnapshot]] plus a trust flag for the EMPTY answer: the
+    * flag is true iff every filesystem probe behind a `None` completed
+    * without an I/O error. A missing directory or marker is a real
+    * observation (`FileNotFoundException` = known empty); any other
+    * `IOException` means UNKNOWN — the caller must not treat the
+    * emptiness as fact. The legacy-migration settled latch feeds on
+    * this: a transient listing failure read as "no legacy snapshot"
+    * would hide undrained rows for the instance lifetime
+    * ([[legacyPendingRows]]). When the Option is `Some` the flag is
+    * vacuously true (the snapshot was found; nothing was inferred
+    * from an error-masked empty).
+    */
+  private def probedSnapshot(memoryType: String): (Option[(Long, HPath)], Boolean) = {
     val marker = markerOf(memoryType)
     val fs = fsOf(marker)
+    var clean = true
     val fromMarker =
       try {
         if (!fs.exists(marker)) None
@@ -94,8 +110,8 @@ final class MemoryStore(val spark: SparkSession, val root: String,
           if (versionOf(name) < 0 || !fs.exists(snap)) None
           else Some((versionOf(name), snap))
         }
-      } catch { case _: java.io.IOException => None }
-    fromMarker.orElse {
+      } catch { case _: java.io.IOException => clean = false; None }
+    val resolved = fromMarker.orElse {
       try {
         fsOf(tableDir(memoryType)).listStatus(tableDir(memoryType)).toSeq
           .filter(st => st.isDirectory && versionOf(st.getPath.getName) >= 0)
@@ -103,8 +119,12 @@ final class MemoryStore(val spark: SparkSession, val root: String,
           .map(st => (versionOf(st.getPath.getName), st.getPath))
           .sortBy { case (v, p) => (v, p.getName) }
           .lastOption
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        case _: java.io.FileNotFoundException => None
+        case _: java.io.IOException => clean = false; None
+      }
     }
+    (resolved, resolved.isDefined || clean)
   }
 
   /** Write `df` as a brand-new snapshot directory, then atomically flip
@@ -406,6 +426,16 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     *
     * A legacy store that cannot be READ (corrupt snapshot) fails loudly
     * here rather than masquerading as empty.
+    *
+    * Cross-PROCESS drain race (accepted, inherited): two store
+    * instances in different JVMs can both enter Phase 2 — the
+    * per-instance lock does not reach across processes, and the drain's
+    * id anti-join is read-then-append — so two simultaneous drains of
+    * the same staged snapshot could both append its rows. The damage
+    * collapses to the store's documented last-writer-wins commit
+    * contract (same-version snapshot siblings, last marker wins — see
+    * [[commitSnapshot]]), not a migration-specific duplicate; not worth
+    * a lock file.
     */
   private def migrateLegacyCheckpoints(): Unit = {
     if (ckMigrationSettled) return
@@ -419,13 +449,24 @@ final class MemoryStore(val spark: SparkSession, val root: String,
         cleanupSnapshots(MemoryType.Checkpoints,
           keepFromVersion = Long.MaxValue, protect = Some(snap.getName))
         val fs = fsOf(snap)
-        try {
-          if (!fs.exists(ckStagingDir)) fs.mkdirs(ckStagingDir): Unit
-          fs.rename(snap, new HPath(ckStagingDir, snap.getName)): Unit
-        } catch { case _: java.io.IOException => () }
-        val marker = markerOf(MemoryType.Checkpoints)
-        try { if (fs.exists(marker)) fs.delete(marker, false): Unit }
-        catch { case _: java.io.IOException => () }
+        val claimed =
+          try {
+            if (!fs.exists(ckStagingDir)) fs.mkdirs(ckStagingDir): Unit
+            // rename=false with the source GONE means a concurrent
+            // claimant won the race — the snapshot is claimed, just
+            // not by us.
+            fs.rename(snap, new HPath(ckStagingDir, snap.getName)) || !fs.exists(snap)
+          } catch { case _: java.io.IOException => false }
+        // The marker goes only once the snapshot is KNOWN claimed. A
+        // failed rename must leave the marker in place: re-detection
+        // through the listing fallback requires a _SUCCESS file, but
+        // the marker does not — deleting it unconditionally would make
+        // a _SUCCESS-less legacy snapshot invisible forever.
+        if (claimed) {
+          val marker = markerOf(MemoryType.Checkpoints)
+          try { if (fs.exists(marker)) fs.delete(marker, false): Unit }
+          catch { case _: java.io.IOException => () }
+        }
       }
       // Phase 2 — drain staging (possibly left by a crashed migration).
       val staged = stagedLegacyDirs()
@@ -444,10 +485,14 @@ final class MemoryStore(val spark: SparkSession, val root: String,
             s"migration staging $ckStagingDir ($e) — the next entry point re-drains (id-deduped)")
         }
       }
-      // Settled only when nothing legacy remains anywhere — a rename
-      // that kept failing leaves the root snapshot in place, and the
-      // next entry point must retry.
-      if (currentSnapshot(MemoryType.Checkpoints).isEmpty && stagedLegacyDirs().isEmpty)
+      // Settled only when nothing legacy remains anywhere AND every
+      // probe behind that emptiness completed error-free — a rename
+      // that kept failing leaves the root snapshot in place (retry on
+      // the next entry point), and an IOException-masked listing must
+      // not be read as "drained".
+      val (snapAfter, snapClean) = probedSnapshot(MemoryType.Checkpoints)
+      val (stagedAfter, stagedClean) = probedStagedLegacyDirs()
+      if (snapAfter.isEmpty && snapClean && stagedAfter.isEmpty && stagedClean)
         ckMigrationSettled = true
     }
   }
@@ -455,13 +500,22 @@ final class MemoryStore(val spark: SparkSession, val root: String,
   /** The staged legacy snapshot dirs awaiting drain (empty when no
     * migration is in flight).
     */
-  private def stagedLegacyDirs(): Seq[HPath] = {
+  private def stagedLegacyDirs(): Seq[HPath] = probedStagedLegacyDirs()._1
+
+  /** Staged dirs plus the same emptiness-trust flag as
+    * [[probedSnapshot]]: false means an I/O error masked the answer
+    * and `Nil` must not be read as "nothing staged".
+    */
+  private def probedStagedLegacyDirs(): (Seq[HPath], Boolean) = {
     val dir = ckStagingDir
     try {
       val fs = fsOf(dir)
-      if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
-    } catch { case _: java.io.IOException => Nil }
+      if (!fs.exists(dir)) (Nil, true)
+      else (fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath), true)
+    } catch {
+      case _: java.io.FileNotFoundException => (Nil, true)
+      case _: java.io.IOException => (Nil, false)
+    }
   }
 
   /** Legacy checkpoint rows not yet drained into per-run partitions —
@@ -471,9 +525,20 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     */
   private def legacyPendingRows(): Option[DataFrame] = {
     if (ckMigrationSettled) return None
-    val srcs = currentSnapshot(MemoryType.Checkpoints).map(_._2).toSeq ++
-      stagedLegacyDirs()
-    if (srcs.isEmpty) { ckMigrationSettled = true; return None }
+    val (snap, snapClean) = probedSnapshot(MemoryType.Checkpoints)
+    val (staged, stagedClean) = probedStagedLegacyDirs()
+    val srcs = snap.map(_._2).toSeq ++ staged
+    if (srcs.isEmpty) {
+      // Latch only on TRUSTWORTHY emptiness (every probe error-free) —
+      // a transient listing failure must not hide undrained legacy
+      // rows for the instance lifetime. The flag write is deliberately
+      // OUTSIDE migrateLegacyCheckpoints' lock: volatile, monotone
+      // false→true, and re-derived from the filesystem, so racing
+      // writers can only agree — do not "fix" this into taking the
+      // migration lock on the read path.
+      if (snapClean && stagedClean) ckMigrationSettled = true
+      return None
+    }
     Some(srcs.map(d => spark.read
         .schema(emptyOf(MemoryType.Checkpoints).schema).parquet(d.toString))
       .reduce(_.unionByName(_))
@@ -550,6 +615,18 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     * vacuum, compact).
     */
   def checkpoints(runId: Option[String] = None): Dataset[graft.workflow.Checkpoint] = {
+    // Legacy sources are resolved BEFORE the partition listing: a
+    // migration completing between the two probes (another thread or
+    // JVM draining staging) then only ADDS partitions — visible to
+    // the later listing — and the id anti-join below drops the
+    // now-duplicated pending rows. The reverse order could observe
+    // pre-drain partitions and then post-drain (empty) legacy
+    // sources, reading a legacy store as empty — the exact
+    // resume-point-lost case the migration doc forbids. (Executing
+    // the pending scan still races a concurrent drain's staging
+    // delete the same way any read races a vacuum — the store-wide
+    // read-vs-reclaim contract, not a migration-specific case.)
+    val pending1 = legacyPendingRows()
     val parts = runId match {
       case Some(r) => Seq(ckPartType(r)).filter(exists)
       case None => ckPartTypes().filter(exists)
@@ -557,7 +634,7 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     val base =
       if (parts.isEmpty) emptyOf(MemoryType.Checkpoints)
       else parts.map(readTable).reduce(_.unionByName(_))
-    val df = legacyPendingRows() match {
+    val df = pending1 match {
       case None => base
       case Some(pending0) =>
         val pending = runId match {

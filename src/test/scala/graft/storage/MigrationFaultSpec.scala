@@ -1,0 +1,208 @@
+package graft.storage
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.workflow.Checkpoint
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path => HPath, RawLocalFileSystem}
+
+/** Test-only fault-injecting local filesystem, registered under the
+  * `flaky://` scheme. Faults are driven by process-global substring
+  * toggles (Hadoop instantiates and caches the filesystem
+  * reflectively, so instance state can't be handed in):
+  *
+  *  - [[FlakyFs.failListOf]]: `listStatus` on a matching path throws a
+  *    plain (non-FileNotFound) IOException — a transient listing
+  *    failure.
+  *  - [[FlakyFs.failOpenOf]]: `open` on a matching path throws.
+  *  - [[FlakyFs.renameFailOf]]: `rename` FROM a matching source
+  *    returns false without moving anything — the legal "rename
+  *    failed" signal many object-store adapters use instead of
+  *    throwing.
+  */
+class FlakyFs extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+
+  private def matches(toggle: String, p: HPath): Boolean =
+    toggle != null && p.toString.contains(toggle)
+
+  override def listStatus(f: HPath): Array[FileStatus] = {
+    if (matches(FlakyFs.failListOf, f))
+      throw new java.io.IOException(s"injected transient listing failure: $f")
+    super.listStatus(f)
+  }
+
+  override def open(f: HPath, bufferSize: Int): FSDataInputStream = {
+    if (matches(FlakyFs.failOpenOf, f))
+      throw new java.io.IOException(s"injected transient open failure: $f")
+    super.open(f, bufferSize)
+  }
+
+  override def rename(src: HPath, dst: HPath): Boolean = {
+    if (matches(FlakyFs.renameFailOf, src)) false
+    else super.rename(src, dst)
+  }
+}
+
+object FlakyFs {
+  @volatile var failListOf: String = null
+  @volatile var failOpenOf: String = null
+  @volatile var renameFailOf: String = null
+  def clear(): Unit = { failListOf = null; failOpenOf = null; renameFailOf = null }
+}
+
+/** FileContext-side binding for `flaky://` (the store's marker commits
+  * go through FileContext, which resolves AbstractFileSystem, not
+  * FileSystem). Pure delegation — the faults live in [[FlakyFs]].
+  */
+class FlakyAbstractFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(uri, new FlakyFs, conf, "flaky", false)
+
+/** The legacy-checkpoint migration under filesystem FAULTS — the cases
+  * a clean local run never exercises:
+  *
+  *  1. a transient listing/open failure must not latch the
+  *     per-instance "settled" flag (an error-masked empty is not an
+  *     observation — the next fault-free read must still see the
+  *     legacy rows);
+  *  2. a failed Phase-1 claim rename must leave the root `_CURRENT`
+  *     marker in place, so a `_SUCCESS`-less legacy snapshot (which
+  *     the listing fallback cannot re-detect) stays discoverable;
+  *  3. a three-way mid-migration overlap — the same checkpoint id in a
+  *     per-run partition AND staging AND the root legacy snapshot —
+  *     reads exactly once and drains without duplicates.
+  */
+class MigrationFaultSpec extends SparkSpec {
+
+  private def ck(id: String, run: String, branch: String, seq: Long): Checkpoint =
+    Checkpoint(id, run, "node", branch, seq, None, s"""{"v":$seq}""",
+      new Timestamp(1700000000000L + seq))
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def freshRoot(tag: String, scheme: Option[String] = None): String = {
+    hconf.set("fs.flaky.impl", classOf[FlakyFs].getName)
+    hconf.set("fs.AbstractFileSystem.flaky.impl", classOf[FlakyAbstractFs].getName)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mfault_$tag"
+    val p = new HPath(base)
+    val fs = p.getFileSystem(hconf)
+    if (fs.exists(p)) fs.delete(p, true)
+    scheme.map(s => s"$s://$base").getOrElse(base)
+  }
+
+  /** One versioned snapshot directly under the checkpoints root plus a
+    * root `_CURRENT` marker — the pre-per-run layout.
+    */
+  private def writeLegacy(root: String, rows: Seq[Checkpoint],
+      snapName: String = "snap_000001_deadbeef"): String = {
+    import spark.implicits._
+    val ckRoot = s"$root/${MemoryType.Checkpoints}"
+    rows.toDS().toDF().write.parquet(s"$ckRoot/$snapName")
+    val fs = new HPath(ckRoot).getFileSystem(hconf)
+    val out = fs.create(new HPath(s"$ckRoot/_CURRENT"), true)
+    try out.write(snapName.getBytes("UTF-8")) finally out.close()
+    ckRoot
+  }
+
+  test("a transient listing failure does not latch 'settled' — the next read still sees legacy rows") {
+    val root = freshRoot("latch", scheme = Some("flaky"))
+    writeLegacy(root, Seq(
+      ck("a1", "runA", "b0", 1), ck("a2", "runA", "b0", 2),
+      ck("b1", "runB", "b0", 1)))
+    val store = new MemoryStore(spark, root)
+    try {
+      // Fault window: the marker read and the checkpoints-root listing
+      // both fail with a plain IOException. Every legacy probe is now
+      // error-masked — the read may legitimately come up short, but it
+      // must NOT conclude "no legacy rows, ever again".
+      FlakyFs.failOpenOf = s"graft_mfault_latch/${MemoryType.Checkpoints}/_CURRENT"
+      FlakyFs.failListOf = s"graft_mfault_latch/${MemoryType.Checkpoints}"
+      val duringFault = store.checkpoints().count()
+      assert(duringFault == 0L,
+        s"fault window should read empty (probes masked), got $duringFault")
+      // Fault clears; the SAME instance must now see the legacy rows.
+      // (Before the probed-emptiness fix, legacyPendingRows latched
+      // ckMigrationSettled on the masked empty and this read stayed 0.)
+      FlakyFs.clear()
+      val after = store.checkpoints().collect().map(_.id).sorted
+      assert(after.toSeq == Seq("a1", "a2", "b1"),
+        s"transient listing failure hid legacy rows for the instance lifetime: ${after.mkString(",")}")
+      // And the write entry points migrate normally afterwards.
+      store.saveCheckpoints(Seq(ck("c1", "runC", "b0", 1)))
+      assert(store.checkpoints().count() == 4L)
+    } finally FlakyFs.clear()
+  }
+
+  test("a failed claim rename keeps the marker — a _SUCCESS-less legacy snapshot stays discoverable") {
+    val root = freshRoot("rename", scheme = Some("flaky"))
+    val snapName = "snap_000001_deadbeef"
+    val ckRoot = writeLegacy(root, Seq(
+      ck("a1", "runA", "b0", 1), ck("b1", "runB", "b0", 1)), snapName)
+    val fs = new HPath(ckRoot).getFileSystem(hconf)
+    // The worst-case legacy snapshot: no _SUCCESS file, so only the
+    // marker can re-detect it.
+    fs.delete(new HPath(s"$ckRoot/$snapName/_SUCCESS"), false)
+    val store = new MemoryStore(spark, root)
+    try {
+      FlakyFs.renameFailOf = s"graft_mfault_rename/${MemoryType.Checkpoints}/$snapName"
+      // A write entry point attempts the migration; the claim rename
+      // fails. The marker must survive (deleting it would make the
+      // _SUCCESS-less snapshot invisible forever) and no data may be
+      // lost meanwhile.
+      store.saveCheckpoints(Seq(ck("c1", "runC", "b0", 1)))
+      assert(fs.exists(new HPath(s"$ckRoot/_CURRENT")),
+        "failed claim rename must leave the legacy marker in place")
+      assert(fs.exists(new HPath(s"$ckRoot/$snapName")), "legacy snapshot vanished")
+      val mid = store.checkpoints().collect().map(_.id).sorted
+      assert(mid.toSeq == Seq("a1", "b1", "c1"),
+        s"rows lost while the claim keeps failing: ${mid.mkString(",")}")
+      // Fault clears; the next entry point completes the migration.
+      FlakyFs.clear()
+      store.saveCheckpoints(Seq(ck("c2", "runC", "b0", 2)))
+      val ids = store.checkpoints().collect().map(_.id).sorted
+      assert(ids.toSeq == Seq("a1", "b1", "c1", "c2"),
+        s"retried migration lost or duplicated rows: ${ids.mkString(",")}")
+      assert(!fs.exists(new HPath(s"$ckRoot/_CURRENT")), "marker not removed after successful claim")
+      assert(!fs.exists(new HPath(s"$ckRoot/$snapName")), "legacy snapshot not reclaimed")
+      assert(!fs.exists(new HPath(s"$ckRoot/_migrating")), "staging not cleaned up")
+    } finally FlakyFs.clear()
+  }
+
+  test("three-way overlap (partition + staging + root legacy) reads once and drains without duplicates") {
+    import spark.implicits._
+    val root = freshRoot("overlap")
+    val ckRoot = s"$root/${MemoryType.Checkpoints}"
+    val fs = new HPath(ckRoot).getFileSystem(hconf)
+    // An older migration claimed-and-crashed (staging holds a1,b1 and
+    // runA's partition already has a1), then a stale writer re-created
+    // a root legacy snapshot holding a1,a2,b1 — every id now exists in
+    // up to three places.
+    Seq(ck("a1", "runA", "b0", 1), ck("b1", "runB", "b0", 1)).toDS().toDF()
+      .write.parquet(s"$ckRoot/_migrating/snap_000000_cafe0000")
+    Seq(ck("a1", "runA", "b0", 1)).toDS().toDF()
+      .write.parquet(s"$ckRoot/runId=runA/snap_000001_cafe0001")
+    val mk = fs.create(new HPath(s"$ckRoot/runId=runA/_CURRENT"), true)
+    try mk.write("snap_000001_cafe0001".getBytes("UTF-8")) finally mk.close()
+    writeLegacy(root, Seq(
+      ck("a1", "runA", "b0", 1), ck("a2", "runA", "b0", 2),
+      ck("b1", "runB", "b0", 1)))
+    val store = new MemoryStore(spark, root)
+    // Pure read: each id exactly once, across all three sources.
+    val got = store.checkpoints().collect().map(_.id).sorted
+    assert(got.toSeq == Seq("a1", "a2", "b1"),
+      s"three-source union lost or duplicated rows: ${got.mkString(",")}")
+    val runA = store.checkpoints(Some("runA")).collect().map(_.id).sorted
+    assert(runA.toSeq == Seq("a1", "a2"),
+      s"run-scoped three-source read wrong: ${runA.mkString(",")}")
+    // A write entry point drains everything — still no duplicates, and
+    // all legacy layout gone.
+    store.saveCheckpoints(Seq(ck("c1", "runC", "b0", 1)))
+    val ids = store.checkpoints().collect().map(_.id).sorted
+    assert(ids.toSeq == Seq("a1", "a2", "b1", "c1"),
+      s"drain duplicated or lost rows: ${ids.mkString(",")}")
+    assert(!fs.exists(new HPath(s"$ckRoot/_migrating")), "staging not cleaned up")
+    assert(!fs.exists(new HPath(s"$ckRoot/_CURRENT")), "root marker not removed")
+    assert(!fs.listStatus(new HPath(ckRoot)).exists(_.getPath.getName.startsWith("snap_")),
+      "root legacy snapshot not reclaimed")
+  }
+}
