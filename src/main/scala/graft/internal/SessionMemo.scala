@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *
   *  - '''Mutation invalidation.''' The cache key folds in a fingerprint
   *    of the table directory's file listing (file count plus per-file
-  *    name, length, mtime AND a head/tail content sample, via the
+  *    path, length, mtime AND a head/tail content sample, via the
   *    Hadoop FileSystem, so it works on HDFS/S3 paths too). A
   *    rewritten table misses naturally — no reliance on the opt-out
   *    conf — and the superseded entry for the same path is evicted so
@@ -42,8 +42,8 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
     new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, V]]()
 
   /** FNV-1a 64 over the recursive listing: file count, then per file
-    * (name, length, mtime) PLUS a bounded content sample — the first 16
-    * and last 64 bytes. (name, length, mtime) alone aliases a
+    * (path, length, mtime) PLUS a bounded content sample — the first 16
+    * and last 64 bytes. (path, length, mtime) alone aliases a
     * same-length in-place rewrite that lands within the filesystem's
     * mtime granularity (1 s on many stores) to the SAME key, silently
     * serving a stale frame. The tail sample closes that for the format
@@ -54,7 +54,7 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
     *
     * Cost is bounded STRUCTURALLY, not by convention — in both I/O and
     * driver memory. The listing is consumed in ONE streaming pass:
-    * per-file (name, length, mtime) folds into an ORDER-INDEPENDENT
+    * per-file (path, length, mtime) folds into an ORDER-INDEPENDENT
     * accumulator (sum + xor of per-file FNV sub-hashes, commutative,
     * so no sort — and no buffering of `LocatedFileStatus` objects,
     * whose block-location payload would make a sort-the-listing
@@ -72,27 +72,34 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
     * middle file can alias (accepted residual — it requires forging
     * mtime to sub-granularity AND preserving length on a file the
     * path order hides); any length, mtime, name or count change
-    * anywhere still misses. A file that cannot be sampled (raced
-    * delete) mixes a sentinel, so the fingerprint still changes when
-    * the listing does.
+    * anywhere still misses — including length/mtime PERMUTATIONS
+    * among same-named files in different partition dirs, which the
+    * full-path sub-hash keeps distinct under the commutative combine.
+    * A file that cannot be sampled (raced delete) mixes a sentinel,
+    * so the fingerprint still changes when the listing does.
     */
   private def fingerprint(s: SparkSession, tablePath: String): String = {
     val p = new org.apache.hadoop.fs.Path(tablePath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    var h = 0xcbf29ce484222325L
-    def mix(x: Long): Unit = {
+    // One FNV-1a 64 byte-fold serves both the outer fingerprint and
+    // the per-file sub-hashes — a single definition so the two can
+    // never drift in strength.
+    def fnv(h0: Long, x: Long): Long = {
+      var h = h0
       var i = 0
       while (i < 8) { h ^= (x >>> (i * 8)) & 0xff; h *= 0x100000001b3L; i += 1 }
+      h
     }
-    def fileHash(name: String, len: Long, mtime: Long): Long = {
-      var hf = 0xcbf29ce484222325L
-      def mixf(x: Long): Unit = {
-        var i = 0
-        while (i < 8) { hf ^= (x >>> (i * 8)) & 0xff; hf *= 0x100000001b3L; i += 1 }
-      }
-      mixf(name.hashCode.toLong); mixf(len); mixf(mtime)
-      hf
-    }
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = h = fnv(h, x)
+    // The per-file sub-hash keys on the FULL path, not the basename:
+    // the commutative combine below has no positional information, and
+    // partitioned tables legitimately repeat basenames across partition
+    // dirs (p=1/part-00000, p=2/part-00000) — name-only sub-hashes
+    // would let two same-named files EXCHANGE (len, mtime) without
+    // moving the multiset, aliasing a real rewrite to the same key.
+    def fileHash(path: String, len: Long, mtime: Long): Long =
+      fnv(fnv(fnv(0xcbf29ce484222325L, path.hashCode.toLong), len), mtime)
     var metaSum = 0L
     var metaXor = 0L
     var n = 0
@@ -105,7 +112,7 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
-        val hf = fileHash(st.getPath.getName, st.getLen, st.getModificationTime)
+        val hf = fileHash(st.getPath.toString, st.getLen, st.getModificationTime)
         metaSum += hf
         metaXor ^= hf
         n += 1

@@ -110,7 +110,14 @@ final class MemoryStore(val spark: SparkSession, val root: String,
           if (versionOf(name) < 0 || !fs.exists(snap)) None
           else Some((versionOf(name), snap))
         }
-      } catch { case _: java.io.IOException => clean = false; None }
+      } catch {
+        // A marker that vanishes between exists() and open() (raced
+        // delete — e.g. a concurrent migration finishing its claim) is
+        // a real "no marker" observation, same as exists()=false: fall
+        // to the listing with the probe still clean.
+        case _: java.io.FileNotFoundException => None
+        case _: java.io.IOException => clean = false; None
+      }
     val resolved = fromMarker.orElse {
       try {
         fsOf(tableDir(memoryType)).listStatus(tableDir(memoryType)).toSeq

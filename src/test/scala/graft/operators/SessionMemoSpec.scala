@@ -156,6 +156,42 @@ class SessionMemoSpec extends SparkSpec {
     assert(get() == "build5")
   }
 
+  test("a (len, mtime) exchange between same-named files in different dirs still misses") {
+    // The fingerprint's per-file metadata folds through an
+    // ORDER-INDEPENDENT (commutative) combine. Partitioned tables
+    // repeat basenames across partition dirs (p=1/part-00000,
+    // p=2/part-00000) — if the per-file sub-hash keyed on the basename
+    // alone, two unsampled middle files could EXCHANGE lengths (and
+    // contents) without moving the multiset, aliasing a real rewrite
+    // to the same key. The sub-hash keys on the full path to keep the
+    // permutation distinct.
+    val dir = java.nio.file.Files.createTempDirectory("memoswapdirs")
+    val n = 40
+    def write(i: Int, len: Int): Unit = {
+      val sub = dir.resolve(f"d$i%02d")
+      java.nio.file.Files.createDirectories(sub)
+      val f = sub.resolve("part-00000.bin").toFile
+      val out = new java.io.FileOutputStream(f)
+      try out.write(Array.tabulate[Byte](len)(b => (b + i).toByte)) finally out.close()
+      assert(f.setLastModified(1700000000000L))
+    }
+    (0 until n).foreach(i => write(i, 100 + i))
+    val memo = new graft.internal.SessionMemo[String](
+      "spark.graft.test.swapDirsMemo", "swap_dirs_memo_build")
+    var builds = 0
+    def get(): String = memo.getOrBuild(spark, dir.toString) { builds += 1; s"build$builds" }
+    assert(get() == "build1" && get() == "build1", "unchanged table must hit")
+    // d18 and d19 sit in the unsampled middle of the 40-file path
+    // order (head = d00..d15, tail = d24..d39). Exchange their
+    // lengths: same basenames, same count, same mtimes, permuted
+    // (len, mtime) multiset per basename.
+    write(18, 100 + 19)
+    write(19, 100 + 18)
+    assert(get() == "build2",
+      "length exchange between same-named middle files must invalidate the memo")
+    assert(get() == "build2")
+  }
+
   test("memo builds surface as their own labeled ops in the metrics sink") {
     val dir = java.nio.file.Files.createTempDirectory("memolabel").toString
     graft.io.Tables.documents(spark, Sf).write.parquet(s"$dir/documents.parquet")

@@ -13,9 +13,7 @@ import org.apache.hadoop.fs.{Path => HPath}
   */
 class CheckpointPartitionSpec extends SparkSpec {
 
-  private def ck(id: String, run: String, branch: String, seq: Long): Checkpoint =
-    Checkpoint(id, run, "node", branch, seq, None, s"""{"v":$seq}""",
-      new Timestamp(1700000000000L + seq))
+  import CheckpointFixtures.ck
 
   private def freshStore(tag: String): (MemoryStore, String) = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_ckpart_$tag"
@@ -67,20 +65,9 @@ class CheckpointPartitionSpec extends SparkSpec {
     assert(store.checkpoints().count() == 4L)
   }
 
-  /** Write a legacy (pre-per-run-layout) store: one versioned snapshot
-    * directly under the checkpoints root plus a root `_CURRENT` marker —
-    * exactly what commitSnapshot produced then.
-    */
   private def writeLegacy(root: String, rows: Seq[Checkpoint],
-      snapName: String = "snap_000001_deadbeef"): String = {
-    import spark.implicits._
-    val ckRoot = s"$root/${MemoryType.Checkpoints}"
-    rows.toDS().toDF().write.parquet(s"$ckRoot/$snapName")
-    val fs = new HPath(ckRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new HPath(s"$ckRoot/_CURRENT"), true)
-    try out.write(snapName.getBytes("UTF-8")) finally out.close()
-    ckRoot
-  }
+      snapName: String = "snap_000001_deadbeef"): String =
+    CheckpointFixtures.writeLegacy(spark, root, rows, snapName)
 
   test("a legacy store: reads are pure (union, no writes); a write entry point migrates") {
     val (store, root) = freshStore("legacy")

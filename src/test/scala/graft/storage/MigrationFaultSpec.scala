@@ -1,7 +1,5 @@
 package graft.storage
 
-import java.sql.Timestamp
-
 import graft.SparkSpec
 import graft.workflow.Checkpoint
 import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path => HPath, RawLocalFileSystem}
@@ -74,9 +72,11 @@ class FlakyAbstractFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configurat
   */
 class MigrationFaultSpec extends SparkSpec {
 
-  private def ck(id: String, run: String, branch: String, seq: Long): Checkpoint =
-    Checkpoint(id, run, "node", branch, seq, None, s"""{"v":$seq}""",
-      new Timestamp(1700000000000L + seq))
+  import CheckpointFixtures.ck
+
+  private def writeLegacy(root: String, rows: Seq[Checkpoint],
+      snapName: String = "snap_000001_deadbeef"): String =
+    CheckpointFixtures.writeLegacy(spark, root, rows, snapName)
 
   private def hconf = spark.sparkContext.hadoopConfiguration
 
@@ -88,20 +88,6 @@ class MigrationFaultSpec extends SparkSpec {
     val fs = p.getFileSystem(hconf)
     if (fs.exists(p)) fs.delete(p, true)
     scheme.map(s => s"$s://$base").getOrElse(base)
-  }
-
-  /** One versioned snapshot directly under the checkpoints root plus a
-    * root `_CURRENT` marker — the pre-per-run layout.
-    */
-  private def writeLegacy(root: String, rows: Seq[Checkpoint],
-      snapName: String = "snap_000001_deadbeef"): String = {
-    import spark.implicits._
-    val ckRoot = s"$root/${MemoryType.Checkpoints}"
-    rows.toDS().toDF().write.parquet(s"$ckRoot/$snapName")
-    val fs = new HPath(ckRoot).getFileSystem(hconf)
-    val out = fs.create(new HPath(s"$ckRoot/_CURRENT"), true)
-    try out.write(snapName.getBytes("UTF-8")) finally out.close()
-    ckRoot
   }
 
   test("a transient listing failure does not latch 'settled' — the next read still sees legacy rows") {
