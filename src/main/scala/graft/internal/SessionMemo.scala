@@ -98,8 +98,24 @@ private[graft] final class SessionMemo[V](confKey: String, opLabel: String) {
     // dirs (p=1/part-00000, p=2/part-00000) — name-only sub-hashes
     // would let two same-named files EXCHANGE (len, mtime) without
     // moving the multiset, aliasing a real rewrite to the same key.
+    // The path folds as its CHARACTER BYTES, not String.hashCode: the
+    // 32-bit Java hash collides trivially ("Aa" vs "BB"), and a
+    // collision re-opens the exchange aliasing the full-path keying
+    // exists to close. Still one streaming pass, O(path length) per
+    // file.
+    def fnvStr(h0: Long, s: String): Long = {
+      var h = h0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        h ^= c & 0xff; h *= 0x100000001b3L
+        h ^= (c >>> 8) & 0xff; h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
     def fileHash(path: String, len: Long, mtime: Long): Long =
-      fnv(fnv(fnv(0xcbf29ce484222325L, path.hashCode.toLong), len), mtime)
+      fnv(fnv(fnvStr(0xcbf29ce484222325L, path), len), mtime)
     var metaSum = 0L
     var metaXor = 0L
     var n = 0

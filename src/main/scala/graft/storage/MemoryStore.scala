@@ -431,6 +431,12 @@ final class MemoryStore(val spark: SparkSession, val root: String,
     *     throwing. Staging is deleted only after every run drained; a
     *     failed delete re-drains (id-deduped) on the next entry point.
     *
+    * If the claim failed because staging already held a SAME-NAMED
+    * sibling (a crashed object-store copy+delete), the drain removes
+    * the blocker — so after Phase 2 the claim is retried once, letting
+    * a single entry point fully settle the store rather than deferring
+    * the claim to the next one.
+    *
     * A legacy store that cannot be READ (corrupt snapshot) fails loudly
     * here rather than masquerading as empty.
     *
@@ -452,45 +458,61 @@ final class MemoryStore(val spark: SparkSession, val root: String,
       // Phase 1 — claim: currentSnapshot() on the checkpoints ROOT
       // resolves exactly the legacy layout (root marker, else highest
       // complete root snap_*).
-      currentSnapshot(MemoryType.Checkpoints).foreach { case (_, snap) =>
-        cleanupSnapshots(MemoryType.Checkpoints,
-          keepFromVersion = Long.MaxValue, protect = Some(snap.getName))
-        val fs = fsOf(snap)
-        val claimed =
-          try {
-            if (!fs.exists(ckStagingDir)) fs.mkdirs(ckStagingDir): Unit
-            // rename=false with the source GONE means a concurrent
-            // claimant won the race — the snapshot is claimed, just
-            // not by us.
-            fs.rename(snap, new HPath(ckStagingDir, snap.getName)) || !fs.exists(snap)
-          } catch { case _: java.io.IOException => false }
-        // The marker goes only once the snapshot is KNOWN claimed. A
-        // failed rename must leave the marker in place: re-detection
-        // through the listing fallback requires a _SUCCESS file, but
-        // the marker does not — deleting it unconditionally would make
-        // a _SUCCESS-less legacy snapshot invisible forever.
-        if (claimed) {
-          val marker = markerOf(MemoryType.Checkpoints)
-          try { if (fs.exists(marker)) fs.delete(marker, false): Unit }
-          catch { case _: java.io.IOException => () }
+      def claimRoot(): Unit =
+        currentSnapshot(MemoryType.Checkpoints).foreach { case (_, snap) =>
+          cleanupSnapshots(MemoryType.Checkpoints,
+            keepFromVersion = Long.MaxValue, protect = Some(snap.getName))
+          val fs = fsOf(snap)
+          val claimed =
+            try {
+              if (!fs.exists(ckStagingDir)) fs.mkdirs(ckStagingDir): Unit
+              // rename=false with the source GONE means a concurrent
+              // claimant won the race — the snapshot is claimed, just
+              // not by us.
+              fs.rename(snap, new HPath(ckStagingDir, snap.getName)) || !fs.exists(snap)
+            } catch { case _: java.io.IOException => false }
+          // The marker goes only once the snapshot is KNOWN claimed. A
+          // failed rename must leave the marker in place: re-detection
+          // through the listing fallback requires a _SUCCESS file, but
+          // the marker does not — deleting it unconditionally would make
+          // a _SUCCESS-less legacy snapshot invisible forever.
+          if (claimed) {
+            val marker = markerOf(MemoryType.Checkpoints)
+            try { if (fs.exists(marker)) fs.delete(marker, false): Unit }
+            catch { case _: java.io.IOException => () }
+          }
+        }
+      // Phase 2 — drain staging (possibly left by a crashed migration).
+      def drainStaging(): Unit = {
+        val staged = stagedLegacyDirs()
+        if (staged.nonEmpty) {
+          val rows = staged.map(d => spark.read
+              .schema(emptyOf(MemoryType.Checkpoints).schema).parquet(d.toString))
+            .reduce(_.unionByName(_))
+            // an object-store rename that crashed mid copy+delete can
+            // leave the same snapshot in BOTH places briefly; staged
+            // sibling copies carry identical rows — dedupe by id
+            .dropDuplicates("id")
+          appendMigrated(rows)
+          try fsOf(ckStagingDir).delete(ckStagingDir, true): Unit
+          catch { case e: java.io.IOException =>
+            System.err.println(s"[graft.MemoryStore] could not remove checkpoint " +
+              s"migration staging $ckStagingDir ($e) — the next entry point re-drains (id-deduped)")
+          }
         }
       }
-      // Phase 2 — drain staging (possibly left by a crashed migration).
-      val staged = stagedLegacyDirs()
-      if (staged.nonEmpty) {
-        val rows = staged.map(d => spark.read
-            .schema(emptyOf(MemoryType.Checkpoints).schema).parquet(d.toString))
-          .reduce(_.unionByName(_))
-          // an object-store rename that crashed mid copy+delete can
-          // leave the same snapshot in BOTH places briefly; staged
-          // sibling copies carry identical rows — dedupe by id
-          .dropDuplicates("id")
-        appendMigrated(rows)
-        try fsOf(ckStagingDir).delete(ckStagingDir, true): Unit
-        catch { case e: java.io.IOException =>
-          System.err.println(s"[graft.MemoryStore] could not remove checkpoint " +
-            s"migration staging $ckStagingDir ($e) — the next entry point re-drains (id-deduped)")
-        }
+      claimRoot()
+      drainStaging()
+      // A claim can fail because the staging DESTINATION already held
+      // a same-named sibling (a crashed object-store copy+delete) —
+      // the drain above just removed it, so loop back to Phase 1 ONCE
+      // and a single entry point settles the store instead of
+      // deferring the claim to the next one. Bounded: one extra pass,
+      // and only when the first claim left the root snapshot in place.
+      val (snapMid, snapMidClean) = probedSnapshot(MemoryType.Checkpoints)
+      if (snapMid.nonEmpty && snapMidClean) {
+        claimRoot()
+        drainStaging()
       }
       // Settled only when nothing legacy remains anywhere AND every
       // probe behind that emptiness completed error-free — a rename

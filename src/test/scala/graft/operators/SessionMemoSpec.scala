@@ -192,6 +192,83 @@ class SessionMemoSpec extends SparkSpec {
     assert(get() == "build2")
   }
 
+  test("a (len, mtime) exchange between hashCode-colliding paths still misses") {
+    // The sub-hash folds the path's BYTES, not String.hashCode. "Aa"
+    // and "BB" have equal 32-bit Java hashes, and String hashing is
+    // positional-polynomial, so two full paths differing only in such
+    // a segment collide too — a hashCode-keyed sub-hash would let the
+    // two files exchange (len, mtime) without moving the commutative
+    // multiset, re-opening the exact aliasing class the full-path
+    // keying closed.
+    val dir = java.nio.file.Files.createTempDirectory("memohashcoll")
+    def write(sub: String, len: Int): Unit = {
+      val d = dir.resolve(sub)
+      java.nio.file.Files.createDirectories(d)
+      val f = d.resolve("part-00000.bin").toFile
+      val out = new java.io.FileOutputStream(f)
+      try out.write(Array.tabulate[Byte](len)(b => (b + len).toByte)) finally out.close()
+      assert(f.setLastModified(1700000000000L))
+    }
+    // 16 head dirs (A00..A15) and 16 tail dirs (C00..C15) pin the
+    // content-sample windows; "Aa" and "BB" sort between them, so the
+    // colliding pair is UNSAMPLED — only the metadata multiset can
+    // catch the exchange.
+    (0 until 16).foreach(i => write(f"A$i%02d", 100 + i))
+    (0 until 16).foreach(i => write(f"C$i%02d", 200 + i))
+    write("Aa", 150)
+    write("BB", 151)
+    val aPath = dir.resolve("Aa").resolve("part-00000.bin").toString
+    val bPath = dir.resolve("BB").resolve("part-00000.bin").toString
+    assert(aPath.hashCode == bPath.hashCode,
+      "test premise: the two full paths must hashCode-collide")
+    val memo = new graft.internal.SessionMemo[String](
+      "spark.graft.test.hashCollMemo", "hash_coll_memo_build")
+    var builds = 0
+    def get(): String = memo.getOrBuild(spark, dir.toString) { builds += 1; s"build$builds" }
+    assert(get() == "build1" && get() == "build1", "unchanged table must hit")
+    write("Aa", 151)
+    write("BB", 150)
+    assert(get() == "build2",
+      "length exchange between hashCode-colliding paths must invalidate the memo")
+    assert(get() == "build2")
+  }
+
+  test("a rename-only move (same bytes, len, mtime; different dir) still misses") {
+    // The last unpinned edge of the full-path sub-hash: a file whose
+    // CONTENT, length, and mtime are untouched but whose path moved
+    // between partition dirs. The path is part of the sub-hash, so the
+    // metadata multiset moves and the memo must invalidate.
+    val dir = java.nio.file.Files.createTempDirectory("memorenameonly")
+    val n = 40
+    def dirOf(i: Int) = dir.resolve(f"d$i%02d")
+    def write(i: Int): Unit = {
+      java.nio.file.Files.createDirectories(dirOf(i))
+      val f = dirOf(i).resolve("part-00000.bin").toFile
+      val out = new java.io.FileOutputStream(f)
+      try out.write(Array.tabulate[Byte](100 + i)(b => (b + i).toByte)) finally out.close()
+      assert(f.setLastModified(1700000000000L))
+    }
+    (0 until n).foreach(write)
+    val memo = new graft.internal.SessionMemo[String](
+      "spark.graft.test.renameOnlyMemo", "rename_only_memo_build")
+    var builds = 0
+    def get(): String = memo.getOrBuild(spark, dir.toString) { builds += 1; s"build$builds" }
+    assert(get() == "build1" && get() == "build1", "unchanged table must hit")
+    // Move d18's file into a NEW middle dir (d18x sorts between d18
+    // and d19 — still unsampled): same basename, bytes, length, and a
+    // re-pinned identical mtime. Only the path changed.
+    val src = dirOf(18).resolve("part-00000.bin")
+    val dstDir = dir.resolve("d18x")
+    java.nio.file.Files.createDirectories(dstDir)
+    val dst = dstDir.resolve("part-00000.bin")
+    java.nio.file.Files.move(src, dst)
+    java.nio.file.Files.delete(dirOf(18))
+    assert(dst.toFile.setLastModified(1700000000000L))
+    assert(get() == "build2",
+      "a rename-only move between partition dirs must invalidate the memo")
+    assert(get() == "build2")
+  }
+
   test("memo builds surface as their own labeled ops in the metrics sink") {
     val dir = java.nio.file.Files.createTempDirectory("memolabel").toString
     graft.io.Tables.documents(spark, Sf).write.parquet(s"$dir/documents.parquet")

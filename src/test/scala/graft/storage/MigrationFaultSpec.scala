@@ -17,6 +17,19 @@ import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path => HPath, RawLo
   *    returns false without moving anything — the legal "rename
   *    failed" signal many object-store adapters use instead of
   *    throwing.
+  *  - [[FlakyFs.renameFailIfDstExistsOf]]: `rename` TO a matching
+  *    destination returns false iff the destination already exists —
+  *    the object-store "destination occupied" refusal, which
+  *    self-heals once the blocker is deleted.
+  *
+  * Scoping contract: the toggles are process-global (and Hadoop caches
+  * the FileSystem instance process-wide), so every match string MUST
+  * embed the test's unique root tag (`graft_mfault_<tag>`) — a bare
+  * substring would bleed faults into unrelated suites if ScalaTest
+  * ever ran them in parallel in one JVM. Fault-injecting test bodies
+  * additionally run under [[FlakyFs.locked]], which serializes them on
+  * the companion: the build currently runs suites serially, but the
+  * lock makes the assumption enforced rather than ambient.
   */
 class FlakyFs extends RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("flaky:///")
@@ -38,6 +51,7 @@ class FlakyFs extends RawLocalFileSystem {
 
   override def rename(src: HPath, dst: HPath): Boolean = {
     if (matches(FlakyFs.renameFailOf, src)) false
+    else if (matches(FlakyFs.renameFailIfDstExistsOf, dst) && exists(dst)) false
     else super.rename(src, dst)
   }
 }
@@ -46,7 +60,18 @@ object FlakyFs {
   @volatile var failListOf: String = null
   @volatile var failOpenOf: String = null
   @volatile var renameFailOf: String = null
-  def clear(): Unit = { failListOf = null; failOpenOf = null; renameFailOf = null }
+  @volatile var renameFailIfDstExistsOf: String = null
+  def clear(): Unit = {
+    failListOf = null; failOpenOf = null; renameFailOf = null
+    renameFailIfDstExistsOf = null
+  }
+
+  /** Serializes fault-injecting test bodies on this companion — the
+    * toggles are process-global, so two suites injecting faults in
+    * parallel (one JVM) would bleed into each other. Always clears on
+    * the way out, even when the body already cleared.
+    */
+  def locked[A](body: => A): A = synchronized { try body finally clear() }
 }
 
 /** FileContext-side binding for `flaky://` (the store's marker commits
@@ -96,7 +121,7 @@ class MigrationFaultSpec extends SparkSpec {
       ck("a1", "runA", "b0", 1), ck("a2", "runA", "b0", 2),
       ck("b1", "runB", "b0", 1)))
     val store = new MemoryStore(spark, root)
-    try {
+    FlakyFs.locked {
       // Fault window: the marker read and the checkpoints-root listing
       // both fail with a plain IOException. Every legacy probe is now
       // error-masked — the read may legitimately come up short, but it
@@ -116,7 +141,7 @@ class MigrationFaultSpec extends SparkSpec {
       // And the write entry points migrate normally afterwards.
       store.saveCheckpoints(Seq(ck("c1", "runC", "b0", 1)))
       assert(store.checkpoints().count() == 4L)
-    } finally FlakyFs.clear()
+    }
   }
 
   test("a failed claim rename keeps the marker — a _SUCCESS-less legacy snapshot stays discoverable") {
@@ -129,7 +154,7 @@ class MigrationFaultSpec extends SparkSpec {
     // marker can re-detect it.
     fs.delete(new HPath(s"$ckRoot/$snapName/_SUCCESS"), false)
     val store = new MemoryStore(spark, root)
-    try {
+    FlakyFs.locked {
       FlakyFs.renameFailOf = s"graft_mfault_rename/${MemoryType.Checkpoints}/$snapName"
       // A write entry point attempts the migration; the claim rename
       // fails. The marker must survive (deleting it would make the
@@ -151,7 +176,50 @@ class MigrationFaultSpec extends SparkSpec {
       assert(!fs.exists(new HPath(s"$ckRoot/_CURRENT")), "marker not removed after successful claim")
       assert(!fs.exists(new HPath(s"$ckRoot/$snapName")), "legacy snapshot not reclaimed")
       assert(!fs.exists(new HPath(s"$ckRoot/_migrating")), "staging not cleaned up")
-    } finally FlakyFs.clear()
+    }
+  }
+
+  test("a same-named staged sibling blocking the claim settles in ONE entry point") {
+    // A crashed object-store copy+delete can leave the legacy snapshot
+    // in BOTH places: staged under `_migrating/<name>` AND still at the
+    // root. The claim rename then fails because the staging DESTINATION
+    // is occupied — Phase 2 drains and deletes staging, and the claim
+    // is retried once within the same call, so a single entry point
+    // fully settles the store instead of deferring to the next one.
+    import spark.implicits._
+    val root = freshRoot("dstbusy", scheme = Some("flaky"))
+    val snapName = "snap_000001_deadbeef"
+    val ckRoot = writeLegacy(root, Seq(
+      ck("a1", "runA", "b0", 1), ck("b1", "runB", "b0", 1)), snapName)
+    // The staged sibling carries the same rows (a copy+delete crashed
+    // after the copy) — identical ids, deduped on drain.
+    Seq(ck("a1", "runA", "b0", 1), ck("b1", "runB", "b0", 1)).toDS().toDF()
+      .write.parquet(s"$ckRoot/_migrating/$snapName")
+    val fs = new HPath(ckRoot).getFileSystem(hconf)
+    val store = new MemoryStore(spark, root)
+    FlakyFs.locked {
+      // Model the object-store refusal deterministically: rename TO the
+      // staged path returns false while the destination exists, and
+      // succeeds once the drain removed it.
+      FlakyFs.renameFailIfDstExistsOf =
+        s"graft_mfault_dstbusy/${MemoryType.Checkpoints}/_migrating/$snapName"
+      store.saveCheckpoints(Seq(ck("c1", "runC", "b0", 1)))
+      val ids = store.checkpoints().collect().map(_.id).sorted
+      assert(ids.toSeq == Seq("a1", "b1", "c1"),
+        s"drain through the blocked claim lost or duplicated rows: ${ids.mkString(",")}")
+      assert(!fs.exists(new HPath(s"$ckRoot/$snapName")),
+        "root legacy snapshot must be reclaimed by the SAME entry point once the drain unblocked the claim")
+      assert(!fs.exists(new HPath(s"$ckRoot/_migrating")), "staging not cleaned up")
+      assert(!fs.exists(new HPath(s"$ckRoot/_CURRENT")), "root marker not removed")
+      // The settled latch must have closed in that single migration
+      // check: a second write entry point performs no further checks.
+      val checksAfterFirst = store.ckMigrationChecks.get()
+      store.saveCheckpoints(Seq(ck("c2", "runC", "b0", 2)))
+      assert(store.ckMigrationChecks.get() == checksAfterFirst,
+        "store did not settle within the single blocked-claim entry point")
+      val all = store.checkpoints().collect().map(_.id).sorted
+      assert(all.toSeq == Seq("a1", "b1", "c1", "c2"))
+    }
   }
 
   test("three-way overlap (partition + staging + root legacy) reads once and drains without duplicates") {
