@@ -21,6 +21,8 @@ import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path => HPath, RawLo
   *    destination returns false iff the destination already exists —
   *    the object-store "destination occupied" refusal, which
   *    self-heals once the blocker is deleted.
+  *  - [[FlakyFs.failDeleteOf]]: `delete` of a matching path throws a
+  *    plain IOException — a transient delete failure.
   *
   * Scoping contract: the toggles are process-global (and Hadoop caches
   * the FileSystem instance process-wide), so every match string MUST
@@ -54,6 +56,12 @@ class FlakyFs extends RawLocalFileSystem {
     else if (matches(FlakyFs.renameFailIfDstExistsOf, dst) && exists(dst)) false
     else super.rename(src, dst)
   }
+
+  override def delete(f: HPath, recursive: Boolean): Boolean = {
+    if (matches(FlakyFs.failDeleteOf, f))
+      throw new java.io.IOException(s"injected transient delete failure: $f")
+    super.delete(f, recursive)
+  }
 }
 
 object FlakyFs {
@@ -61,9 +69,10 @@ object FlakyFs {
   @volatile var failOpenOf: String = null
   @volatile var renameFailOf: String = null
   @volatile var renameFailIfDstExistsOf: String = null
+  @volatile var failDeleteOf: String = null
   def clear(): Unit = {
     failListOf = null; failOpenOf = null; renameFailOf = null
-    renameFailIfDstExistsOf = null
+    renameFailIfDstExistsOf = null; failDeleteOf = null
   }
 
   /** Serializes fault-injecting test bodies on this companion — the
@@ -220,6 +229,53 @@ class MigrationFaultSpec extends SparkSpec {
       val all = store.checkpoints().collect().map(_.id).sorted
       assert(all.toSeq == Seq("a1", "b1", "c1", "c2"))
     }
+  }
+
+  test("a failed marker delete after a successful claim leaves a harmless dangling marker") {
+    // The claim's marker delete is best-effort (the snapshot is already
+    // safely in staging); a transient failure leaves a root `_CURRENT`
+    // naming a directory that no longer exists. The documented contract:
+    // snapshot resolution treats a marker naming a vanished dir as
+    // corrupt and falls to the listing, so the dangling marker must
+    // neither resurrect the legacy snapshot, block settling, nor
+    // confuse a FRESH store instance later.
+    val root = freshRoot("marker", scheme = Some("flaky"))
+    val snapName = "snap_000001_deadbeef"
+    val ckRoot = writeLegacy(root, Seq(
+      ck("a1", "runA", "b0", 1), ck("b1", "runB", "b0", 1)), snapName)
+    val fs = new HPath(ckRoot).getFileSystem(hconf)
+    val store = new MemoryStore(spark, root)
+    FlakyFs.locked {
+      FlakyFs.failDeleteOf = s"graft_mfault_marker/${MemoryType.Checkpoints}/_CURRENT"
+      store.saveCheckpoints(Seq(ck("c1", "runC", "b0", 1)))
+      // Claim + drain completed; only the marker delete failed.
+      assert(!fs.exists(new HPath(s"$ckRoot/$snapName")), "legacy snapshot not reclaimed")
+      assert(!fs.exists(new HPath(s"$ckRoot/_migrating")), "staging not cleaned up")
+      assert(fs.exists(new HPath(s"$ckRoot/_CURRENT")),
+        "test premise: the injected fault should have kept the marker")
+      val ids = store.checkpoints().collect().map(_.id).sorted
+      assert(ids.toSeq == Seq("a1", "b1", "c1"),
+        s"dangling marker perturbed the drained rows: ${ids.mkString(",")}")
+      // The dangling marker must not re-arm detection: the store
+      // settles despite it (marker → vanished dir → corrupt → listing
+      // fallback finds nothing), so further entry points skip the check.
+      val checksAfterFirst = store.ckMigrationChecks.get()
+      store.saveCheckpoints(Seq(ck("c2", "runC", "b0", 2)))
+      assert(store.ckMigrationChecks.get() == checksAfterFirst,
+        "dangling marker kept the migration check re-arming")
+    }
+    // Fault cleared — a FRESH instance (new process, in spirit) must
+    // read the same rows and settle on its first entry point too.
+    val fresh = new MemoryStore(spark, root)
+    val all = fresh.checkpoints().collect().map(_.id).sorted
+    assert(all.toSeq == Seq("a1", "b1", "c1", "c2"),
+      s"fresh instance misread under the dangling marker: ${all.mkString(",")}")
+    fresh.saveCheckpoints(Seq(ck("c3", "runC", "b0", 3)))
+    val checks = fresh.ckMigrationChecks.get()
+    fresh.saveCheckpoints(Seq(ck("c4", "runC", "b0", 4)))
+    assert(fresh.ckMigrationChecks.get() == checks,
+      "fresh instance did not settle under the dangling marker")
+    assert(fresh.checkpoints().count() == 6L)
   }
 
   test("three-way overlap (partition + staging + root legacy) reads once and drains without duplicates") {
