@@ -508,18 +508,27 @@ final class MemoryStore(val spark: SparkSession, val root: String,
       // the drain above just removed it, so loop back to Phase 1 ONCE
       // and a single entry point settles the store instead of
       // deferring the claim to the next one. Bounded: one extra pass,
-      // and only when the first claim left the root snapshot in place.
-      val (snapMid, snapMidClean) = probedSnapshot(MemoryType.Checkpoints)
-      if (snapMid.nonEmpty && snapMidClean) {
-        claimRoot()
-        drainStaging()
-      }
+      // and only when the first claim left the root snapshot in place
+      // (probedSnapshot's trust flag is vacuously true for non-empty
+      // answers, so the snapshot's presence alone arms the retry). The
+      // second drain runs only if the retry claim actually MOVED the
+      // snapshot into staging — a claim that failed again changed
+      // nothing, and re-draining would only repeat no-op Spark jobs.
+      // The post-retry probe doubles as the settled check below, so
+      // the common no-retry path pays exactly one probe, as before.
+      val mid = probedSnapshot(MemoryType.Checkpoints)
+      val (snapAfter, snapClean) =
+        if (mid._1.nonEmpty) {
+          claimRoot()
+          val after = probedSnapshot(MemoryType.Checkpoints)
+          if (after._1.isEmpty) drainStaging()
+          after
+        } else mid
       // Settled only when nothing legacy remains anywhere AND every
       // probe behind that emptiness completed error-free — a rename
       // that kept failing leaves the root snapshot in place (retry on
       // the next entry point), and an IOException-masked listing must
       // not be read as "drained".
-      val (snapAfter, snapClean) = probedSnapshot(MemoryType.Checkpoints)
       val (stagedAfter, stagedClean) = probedStagedLegacyDirs()
       if (snapAfter.isEmpty && snapClean && stagedAfter.isEmpty && stagedClean)
         ckMigrationSettled = true
