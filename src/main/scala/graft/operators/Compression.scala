@@ -18,23 +18,34 @@ import org.apache.spark.sql.functions._
 object Compression {
 
   // A11 rule-based compression: 10-token segments, marker-scored, keep
-  // ceil(n/3) best per doc, reassemble in original order. Explode +
-  // two windows + ordered re-concat — no driver loop.
+  // ceil(n/3) best per doc, reassemble in document order.
   private def compressTopThird(s: SparkSession, dir: String): DataFrame = {
-    // Chunk via token explode + groupBy (codegen'd, map-side combined)
-    // rather than per-row interpreted slice-transforms: only
-    // (doc, chunk, token) rows move, keyed by (doc_id, chunk_id).
+    // r16: chunks are built as a per-row PROJECTION (slice the token
+    // array per chunk index) instead of the old token explode +
+    // (doc_id, chunk_id) groupBy. collect_list has no map-side
+    // combine, so that groupBy's exchange carried EVERY TOKEN of the
+    // corpus, and the ranking window then re-shuffled the chunk rows a
+    // second time (hashpartitioning(doc, chunk) does not satisfy the
+    // window's doc_id clustering). Slicing in place leaves ONE
+    // corpus exchange — the window's — carrying one row per chunk.
+    // Same chunking (tokens 10i..10i+9, space-joined), same marker
+    // score (count of marker tokens per chunk), same n_chunks
+    // (ceil(n_toks/10) — exactly the old per-doc chunk-row count).
+    val markers = Seq("data", "spark", "join", "query")
     val chunks = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), expr("pos div 10").cast("long").as("chunk_id"),
-        col("pos"), col("col").as("tok"))
-      .groupBy("doc_id", "chunk_id")
-      .agg(
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("chunk"),
-        sum(when(col("tok").isin("data", "spark", "join", "query"), 1L)
-          .otherwise(0L)).as("score"))
-      .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("(size(toks) + 9) div 10").cast("long").as("n_chunks"),
+        posexplode(transform(
+          sequence(lit(0), expr("(size(toks) + 9) div 10 - 1")),
+          i => {
+            val seg = slice(col("toks"), i * lit(10) + lit(1), lit(10))
+            struct(array_join(seg, " ").as("chunk"),
+              size(filter(seg, t => t.isin(markers: _*))).cast("long").as("score"))
+          })))
+      .select(col("doc_id"), col("n_chunks"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col.chunk").as("chunk"), col("col.score").as("score"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("chunk_id"))
     chunks
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -219,11 +219,16 @@ object Curation {
     val total = bigc.agg(count(lit(1)).as("nbi"))
     docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("bigram"))
+      // the w1/w2 join keys are projected ONCE below the three joins
+      // (as join-condition expressions each substring_index re-parsed
+      // the bigram string per probe; Catalyst does not share
+      // subexpressions across operators)
+      .select(col("doc_id"), col("bigram"),
+        substring_index(col("bigram"), " ", 1).as("bw1"),
+        substring_index(col("bigram"), " ", -1).as("bw2"))
       .join(broadcast(bigc.select("bigram", "cb")), Seq("bigram"), "left")
-      .join(broadcast(left),
-        substring_index(col("bigram"), " ", 1) === col("w1"), "left")
-      .join(broadcast(right),
-        substring_index(col("bigram"), " ", -1) === col("w2"), "left")
+      .join(broadcast(left), col("bw1") === col("w1"), "left")
+      .join(broadcast(right), col("bw2") === col("w2"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), {
         val pcont = coalesce(col("n1b"), lit(0L)).cast("double") / col("nbi")

@@ -208,16 +208,26 @@ object Entities {
       .filter(col("a.name") < col("b.name"))
       .select(col("a.name").as("src"), col("b.name").as("dst"))
       .distinct()
+    // r16: the out-degree rides ON the checkpointed edge list (one
+    // window over the edge build, before the checkpoint) instead of
+    // being a groupBy re-derived from it at every use — the old lazy
+    // tree recomputed `deg` and its join once per iteration and again
+    // for the final projection (two shuffle joins per iteration; now
+    // one), and `n`/`pr₀` re-aggregated the same frame. Each
+    // iteration is now exactly one edge ⋈ rank join + one node-sized
+    // aggregate — the canonical PageRank step — and the per-iteration
+    // round(_, 9) keeps the rank vector identical to the oracle's.
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true) // read per iteration + degree
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint(true) // read per iteration + degrees + final
+    val deg = edges.groupBy("src").agg(first(col("deg")).as("deg"))
     val n = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(n))
       .select(col("src").as("name"), round(lit(1.0) / col("n"), 9).as("pr"))
     for (_ <- 1 to 2) {
       val contrib = edges
         .join(pr, col("src") === col("name"))
-        .join(deg, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("in_pr"))
       pr = contrib.crossJoin(broadcast(n))
         .select(col("dst").as("name"),

@@ -125,17 +125,40 @@ object Profiling {
     * combines to ≤ |users| rows).
     */
   private def funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
-      unix_micros(col("ts")).as("tu"))
-    val t1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("tu").as("t1"))
-    val t2 = ev.filter(col("event_type") === "click").join(t1, Seq("user_id"))
-      .filter(col("tu") > col("t1"))
-      .groupBy("user_id").agg(min("tu").as("t2"))
-    val t3 = ev.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
-      .filter(col("tu") > col("t2"))
-      .groupBy("user_id").agg(min("tu").as("t3"))
-    val (n1, n2, n3) = (t1.count(), t2.count(), t3.count())
+    // r16 shape: the old three-stage chain ran THREE count() actions,
+    // and each stage's plan re-derived its predecessors (t3.count()
+    // re-scanned events and re-built t1 and t2 — six event scans and
+    // three shuffle joins across the three jobs). The per-user stage
+    // times are min-aggregates over one user's events, so they compute
+    // in ONE pass as three unordered whole-partition windows over the
+    // SAME user_id partitioning (no second exchange: each window's
+    // min(when(...)) only needs the rows of its own user, and window k
+    // may reference window k-1's column because it is a prior Window
+    // operator in the same stage):
+    //   t1 = min view-time; t2 = min click-time > t1 (null when t1 is
+    //   null, exactly the old inner-join semantics); t3 likewise.
+    // One row per user survives (any row carries the user's three
+    // window values; groupBy(user_id) reuses the window's partitioning
+    // with no exchange), and all three stage counts come back in ONE
+    // single-row collect instead of three count() jobs.
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val staged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tu"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("tu") > col("t1"), col("tu")))
+          .over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("tu") > col("t2"), col("tu")))
+          .over(byUser))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+    val r = staged.agg(
+      count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+      count(col("t3")).as("n3")).head()
+    val (n1, n2, n3) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val rows = Seq(("1_view", n1, 1.0),
       ("2_click_after_view", n2, if (n1 == 0) 0.0 else n2.toDouble / n1),
       ("3_purchase_after_click", n3, if (n2 == 0) 0.0 else n3.toDouble / n2))

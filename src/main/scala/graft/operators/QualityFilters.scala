@@ -1116,10 +1116,24 @@ object QualityFilters {
     val grams = Tables.documents(s, dir)
       .select(col("source"), explode(grams5(col("text"))).as("gram"))
       .distinct()
-    val other = grams.select(col("gram"), col("source").as("src_b"))
-    grams.join(other, Seq("gram"))
-      .filter(col("source") < col("src_b"))
-      .groupBy(col("source").as("src_a"), col("src_b"))
+    // r16: per-gram source SETS instead of the gram-keyed self-join.
+    // The old shape tokenized + distinct'd the corpus TWICE (once per
+    // join side) and its build side was the whole distinct (source,
+    // gram) frame — corpus-sized, so at scale the join either
+    // broadcasts something that grows with the corpus or re-shuffles
+    // both legs. A gram's contribution is a pure function of its
+    // distinct source set (bounded at |sources|, the same cap the old
+    // per-gram fan-out note relied on), so collect that set once and
+    // emit the a<b combinations inside the row: one tokenize pass, no
+    // join, and the only post-distinct exchange carries ≤ |sources|
+    // entries per gram.
+    grams.groupBy("gram")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(col("ss"), posexplode(col("ss")).as(Seq("i", "src_a")))
+      .select(col("src_a"),
+        explode(slice(col("ss"), col("i") + lit(2),
+          size(col("ss")) - col("i") - lit(1))).as("src_b"))
+      .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("shared_grams"))
       .orderBy("src_a", "src_b")
   }
@@ -1155,13 +1169,29 @@ object QualityFilters {
     val docs = Tables.documents(s, dir)
     val tok = Tables.spread(docs)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
-    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    // r16: ONE tokenize pass. Everything downstream is a function of
+    // the per-(source, w) occurrence counts, so aggregate those first
+    // and derive the vocabulary (corpus counts = Σ over sources,
+    // exactly the multiset the old per-w aggregate counted) and the
+    // vocab-filtered per-source counts from that one frame. The two
+    // corpus explodes (vocab pass + semi-joined count pass) and the
+    // third documents scan for the source list (a source appears in
+    // the output iff it has ≥ 1 vocab token — i.e. iff it has a srcTot
+    // row; the old inner join on srcTot enforced the same set) all
+    // collapse. srcW is localCheckpointed because FIVE consumers read
+    // it (vocab → vtot → broadcast, srcCounts, srcTot, sources, grid)
+    // and the un-materialized tree replicated the scan + explode 8×,
+    // relying on runtime exchange reuse; the checkpoint is the
+    // map-side-combined (source, word) count table — bounded by
+    // distinct (source, word) pairs, never raw token occurrences.
+    val srcW = tok.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      .localCheckpoint(true)
+    val vocab = srcW.groupBy("w").agg(sum("cs").as("c"))
       .orderBy(col("c").desc, col("w")).limit(KlVocabCap)
     val vtot = vocab.agg(sum("c").as("n"), count(lit(1)).as("v"))
-    val srcCounts = tok.join(broadcast(vocab.select("w")), Seq("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val srcCounts = srcW.join(broadcast(vocab.select("w")), Seq("w"))
     val srcTot = srcCounts.groupBy("source").agg(sum("cs").as("ns"))
-    val sources = docs.select("source").distinct()
+    val sources = srcTot.select("source")
     vocab.crossJoin(broadcast(sources))
       .join(srcCounts, Seq("source", "w"), "left")
       .join(broadcast(srcTot), Seq("source"))

@@ -188,9 +188,23 @@ object Selection {
     val tok = Tables.spread(docs)
       .select(col("doc_id"), isPos.as("pos"),
         explode(split(col("text"), " ")).as("w"))
-    val model = tok.groupBy("w").agg(
-      count(lit(1)).as("n"),
-      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"))
+    // r16: ONE tokenize pass. Both the model and the scorer are
+    // functions of the per-(doc, w) occurrence counts, so aggregate
+    // those once; the model's per-w totals are the exact integer sums
+    // of the per-doc counts, and the two uses of `docW` share one
+    // scan + explode + exchange via AQE ReuseExchange (the old shape
+    // exploded the corpus twice — model pass + scoring pass — and
+    // probed the broadcast model once per token INSTANCE instead of
+    // once per distinct (doc, w)). The per-doc score is Σ cnt·lw
+    // instead of lw added cnt times — same accepted last-ulp residual
+    // risk as q_dsir_select's kernel fold (see the note there): the
+    // shared round(_, 4) absorbs the reassociation everywhere except a
+    // logit sitting exactly on a 5e-5 boundary; re-verified green
+    // against the oracle at sf0.001/0.01/0.1 after this change.
+    val docW = tok.groupBy("doc_id", "pos", "w").agg(count(lit(1)).as("cnt"))
+    val model = docW.groupBy("w").agg(
+      sum("cnt").as("n"),
+      sum(when(col("pos"), col("cnt")).otherwise(0L)).as("cp"))
       .orderBy(col("n").desc, col("w"))
       .limit(NbVocabCap)
     // Totals + vocabulary size from the capped model table itself —
@@ -202,16 +216,16 @@ object Selection {
     val priors = docs.agg(
       sum(when(isPos, 1L).otherwise(0L)).as("dp"),
       sum(when(isPos, 0L).otherwise(1L)).as("dn"))
-    tok
+    docW
       .join(broadcast(model), Seq("w"), "left")
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("cnt"),
         (log((coalesce(col("cp"), lit(0L)) + lit(1.0)) /
             (col("tp") + col("v") + lit(1.0))) -
           log((coalesce(col("n") - col("cp"), lit(0L)) + lit(1.0)) /
             (col("tn") + col("v") + lit(1.0)))).as("lw"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"), sum("lw").as("sw"))
+      .agg(sum("cnt").as("n_toks"), sum(col("lw") * col("cnt")).as("sw"))
       .crossJoin(broadcast(priors))
       .select(col("doc_id"), col("n_toks"),
         round(col("sw") +
@@ -666,20 +680,39 @@ object Selection {
       // (the window exchange used to do this as a side effect)
       .repartition(col("doc_id"))
       .localCheckpoint(true) // read by every step's score + grad pass
-    val nDocs = feat.select("doc_id").distinct().count().toDouble
 
-    // One evaluation of the current model: (doc_id, y, z, p).
-    def scoreWith(w: DataFrame, bias: Double): DataFrame =
-      feat.join(broadcast(w), Seq("b"), "left")
+    // One evaluation of the current model: (doc_id, y, z, p). The
+    // weight table is 64 driver-held doubles rendered as a literal
+    // broadcast relation — the old DataFrame w cost a join + a
+    // localCheckpoint job per step to update 64 rows.
+    def scoreWith(w: Array[Double], bias: Double): DataFrame = {
+      val wDf = s.createDataFrame(
+        w.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }.toSeq)
+        .toDF("b", "wt")
+      feat.join(broadcast(wDf), Seq("b"), "left")
         .groupBy("doc_id", "y")
         .agg(round(sum(coalesce(col("wt"), lit(0.0)) * col("x")) + bias, 9).as("z"))
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+    }
 
-    var w = s.range(0, LrBuckets).toDF("b").select(col("b"), lit(0.0).as("wt"))
+    // r16 job shape: each step's score frame is evaluated ONCE and
+    // localCheckpointed (docs-sized); the metrics row, the bias
+    // gradient, and the weight gradient all read that checkpoint. The
+    // old shape re-ran the broadcast-join + per-doc aggregate score
+    // pass SEVEN times per invocation (once inside each step's grad,
+    // once for each step's bias fold, and once per step again when the
+    // final union executed) and paid a separate distinct().count()
+    // pass for nDocs — the score frame's own row count (one row per
+    // distinct doc_id, y functional on doc_id). Three score passes and
+    // two grad passes over `feat` remain: the contract's floor
+    // (scores at steps 0..2, gradients at 0..1). Every per-row
+    // expression and every rounding site is unchanged.
+    var w = Array.fill(LrBuckets.toInt)(0.0)
     var bias = 0.0
+    var nDocs = 0.0
     val metrics = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (step <- 0 to LrSteps) {
-      val sc = scoreWith(w, bias)
+      val sc = scoreWith(w, bias).localCheckpoint(true)
       metrics += sc.agg(
         round(avg(-(col("y") * log(col("p")) +
           (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6).as("loss"),
@@ -687,15 +720,16 @@ object Selection {
           .cast("int")), 4).as("acc"))
         .select(lit(step).as("step"), col("loss"), col("acc"))
       if (step < LrSteps) {
+        val bi = sc.agg(sum(col("p") - col("y")), count(lit(1))).head()
+        if (step == 0) nDocs = bi.getLong(1).toDouble
         val err = sc.select(col("doc_id"), (col("p") - col("y")).as("err"))
         val grad = feat.join(err, Seq("doc_id"))
           .groupBy("b").agg((sum(col("err") * col("x")) / nDocs).as("g"))
-        w = w.join(grad, Seq("b"), "left")
-          .select(col("b"),
-            round(col("wt") - lit(LrRate) * coalesce(col("g"), lit(0.0)), 9).as("wt"))
-          .localCheckpoint(true) // cut the per-step lineage
-        bias = round9(bias - LrRate *
-          sc.agg(sum(col("p") - col("y"))).head().getDouble(0) / nDocs)
+          .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
+        w = w.zipWithIndex.map { case (wt, b) =>
+          round9(wt - LrRate * grad.getOrElse(b, 0.0))
+        }
+        bias = round9(bias - LrRate * bi.getDouble(0) / nDocs)
       }
     }
     metrics.reduce(_ unionByName _).orderBy("step")

@@ -129,7 +129,17 @@ object Sketches {
   private def hllCardinality(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(Tables.documents(s, dir))
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-    val hashed = toks.select(col("source"),
+    // r16: both the register state and the exact audit are functions of
+    // the DISTINCT (source, tok) set — a duplicate token maps to the
+    // same (reg, rank), so max-rank over distinct values equals max
+    // over all occurrences, and countDistinct IS a count over the
+    // distinct set. Deriving both branches from the SAME .distinct()
+    // makes their scan → explode → (source, tok) exchange subtrees
+    // identical, so AQE's ReuseExchange tokenizes the corpus ONCE (the
+    // old shape ran two full spread + explode passes, one per branch);
+    // past the shared distinct only sources-sized aggregates move.
+    val d = toks.distinct()
+    val hashed = d.select(col("source"),
       TextAnalysisShared.hash64(col("tok")).as("h"))
     // shiftright, not `/`: a double division on a 60-bit hash loses the
     // low bits past 2^53 and would silently diverge from the oracle's
@@ -146,8 +156,8 @@ object Sketches {
     val est = when(raw <= lit(2.5 * HllM) && col("zeros") > 0,
       lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros")))
       .otherwise(raw)
-    val exact = toks.groupBy("source")
-      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    val exact = d.groupBy("source")
+      .agg(count(lit(1)).as("exact_distinct"))
     perSource
       .select(col("source"), round(est, 2).as("hll_est"), col("zeros"))
       .join(exact, Seq("source"))

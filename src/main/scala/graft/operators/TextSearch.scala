@@ -42,10 +42,16 @@ object TextSearch {
     // map-side partial combine, so a stop-word term shuffles one
     // partial count per task instead of funneling every row of that
     // term into a single window partition — the difference between
-    // fine and catastrophic at 100 TB. (Catalyst's column pruning
-    // keeps this branch a separate scan; measured equal locally, and
-    // the skew-free shuffle is what matters at scale.)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // fine and catastrophic at 100 TB.
+    //
+    // The counted expression REFERENCES tf (count of `tf >= 1`, which
+    // holds for every row, so the value is count(*) exactly) so that
+    // column pruning cannot strip the partial_count from this branch's
+    // exchange: with the count kept, the exchange subtree is
+    // byte-identical to the tf branch's and AQE's ReuseExchange runs
+    // the scan + explode + (doc_id, term) shuffle ONCE for both (the
+    // pruned form re-scanned and re-exploded the whole corpus for df).
+    val df = tf.groupBy("term").agg(count(when(col("tf") >= 1, 1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(df), Seq("term"))
@@ -72,22 +78,41 @@ object TextSearch {
 
   /** BM25 scores for the fixed query, unlimited (shared by bm25 top-k and
     * RRF). Okapi BM25 with k1=1.2, b=0.75.
+    *
+    * Shape (r16): the query terms are a 3-element constant, so per-doc
+    * term frequencies are `size(filter(toks, _ == term))` — a pure
+    * projection — and doc length is `#spaces + 1` (split on a single
+    * space yields exactly separator-count + 1 fields, so this equals
+    * the exploded-token count the old groupBy measured, including the
+    * one empty token of an empty text). That removes BOTH full token
+    * explodes, the corpus-sized groupBy(doc_id) for dl, and the
+    * dl-join: tf rows carry dl with them. avgdl and N fold into ONE
+    * single-row aggregate (they were two separate corpus scans). The
+    * only corpus-sized exchange left is the per-doc score aggregate
+    * over ≤ |terms| rows per doc; every per-row arithmetic expression
+    * is unchanged, so scores are bit-identical.
     */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val t = tok(s, dir)
-    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val avgdl = dl.agg(avg("dl").as("avgdl"))
-    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-    val tf = t.filter(col("term").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .cast("long").as("dl"))
+    val stats = base.agg(avg("dl").as("avgdl"), count(lit(1)).as("n"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("dl"),
+        explode(array(Bm25Terms.map(t0 =>
+          struct(lit(t0).as("term"),
+            size(filter(col("toks"), x => x === lit(t0))).cast("long").as("tf"))): _*))
+          .as("e"))
+      .select(col("doc_id"), col("dl"), col("e.term").as("term"), col("e.tf").as("tf"))
+      .filter(col("tf") > 0)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = col("tf") * lit(K1 + 1.0) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
     tf.join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(avgdl))
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(round(sum(idf * tfNorm), 6).as("bm25"))
   }
