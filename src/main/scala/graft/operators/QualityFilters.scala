@@ -76,15 +76,28 @@ object QualityFilters {
   // -------------------------------------------------------------------
   // Repetition filters (Gopher-style): distinct-token ratio and the
   // most-frequent-token mass fraction; keep = both under threshold.
+  //
+  // r16: the three per-doc statistics come from ONE compiled hash pass
+  // per row ([[graft.functions.expressions.TokenStatsExpr]], the
+  // GopherRepWorker pattern) — the old explode + groupBy(doc_id, t) +
+  // groupBy(doc_id) chain shuffled one partial count per distinct
+  // (doc, token) and then re-shuffled the per-token rows; a per-doc
+  // statistic is map-side work and now ships zero rows to any
+  // exchange (the output sort is all that remains). Values are
+  // all-integer and tokenization is identical, so the output is exact
+  // (KernelProps pins kernel == brute force on adversarial token
+  // streams; the oracle pins the corpus).
   private def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-    tok.groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(
-        sum("n").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max("n").as("top_n"))
+    val st = ExpressionUtils.column(graft.functions.expressions.TokenStatsExpr(
+      ExpressionUtils.expression(col("text"))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), st.as("st"))
+      .filter(col("st").isNotNull) // null text had no exploded rows
+      .select(
+        col("doc_id"),
+        element_at(col("st"), 1).as("n_tokens"),
+        element_at(col("st"), 2).as("n_distinct"),
+        element_at(col("st"), 3).as("top_n"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6).as("dup_frac"),

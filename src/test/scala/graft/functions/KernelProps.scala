@@ -208,4 +208,14 @@ object KernelProps extends Properties("compiled-kernels") {
         .toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
       Prop(got == exp) :| s"text='$s' n=$n got=$got exp=$exp"
     }
+
+  property("token stats kernel == brute-force counts (n, distinct, top)") =
+    Prop.forAll(textGen) { text =>
+      val toks = text.split(" ", -1).toSeq
+      val byTok = toks.groupBy(identity).map { case (_, v) => v.size }
+      val exp = Seq(toks.size.toLong, byTok.size.toLong, byTok.max.toLong)
+      val got = new graft.functions.expressions.TokenStatsWorker()
+        .stats(text).toLongArray.toSeq
+      Prop(got == exp) :| s"text='$text' got=$got exp=$exp"
+    }
 }
