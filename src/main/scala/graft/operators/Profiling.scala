@@ -28,11 +28,17 @@ object Profiling {
         countDistinct(col(c)).as(s"distinct_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    cols.map { c =>
-      one.select(lit(table).as("table_name"), lit(c).as("column_name"),
-        col(s"rows_$c").as("n_rows"), col(s"null_$c").as("n_null"),
-        col(s"distinct_$c").as("n_distinct"))
-    }.reduce(_ unionByName _)
+    // r16: unpivot with stack() instead of a union of per-column
+    // selects — column pruning SPECIALIZED each union branch's
+    // aggregate to its own column (different subtrees, no exchange
+    // reuse), so the "one scan per table" claim was false in the plan:
+    // the table scanned once per profiled column. stack keeps the one
+    // wide aggregate and emits the per-column rows from its single
+    // result row; values are the identical counters.
+    val stacked = cols
+      .map(c => s"'$c', rows_$c, null_$c, distinct_$c").mkString(", ")
+    one.selectExpr(s"'$table' as table_name",
+      s"stack(${cols.size}, $stacked) as (column_name, n_rows, n_null, n_distinct)")
   }
 
   private def profileStats(s: SparkSession, dir: String): DataFrame =
@@ -72,26 +78,32 @@ object Profiling {
     val docs = Tables.documents(s, dir)
     val events = Tables.events(s, dir)
     val custKeys = Tables.customer(s, dir).select(col("c_custkey").as("user_id"))
-    def check(name: String, violations: Column, from: DataFrame): DataFrame =
-      from.agg(violations.cast("long").as("violations"))
-        .select(lit(name).as("check_name"), col("violations"),
-          when(col("violations") === 0L, lit("pass")).otherwise(lit("fail")).as("status"))
-    val unique = check("doc_id_unique",
-      count(lit(1)) - countDistinct(col("doc_id")), docs)
-    val nonnull = check("text_non_null",
-      sum(col("text").isNull.cast("long")), docs)
-    val lenOk = check("n_chars_matches_text",
-      sum((col("n_chars") =!= length(col("text"))).cast("long")), docs)
-    val langOk = check("lang_in_domain",
-      sum((!col("lang").isin(KnownLangs: _*)).cast("long")), docs)
-    val evUnique = check("event_id_unique",
-      count(lit(1)) - countDistinct(col("event_id")), events)
+    // r16: all four document checks compute in ONE aggregate pass and
+    // unpivot with stack() (the old one-aggregate-per-check union
+    // scanned documents four times); same counters, same values. The
+    // events check and the referential anti-join keep their own scans
+    // (different tables / a join, not foldable).
+    val docChecks = docs.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).cast("long").as("v_unique"),
+      sum(col("text").isNull.cast("long")).cast("long").as("v_nonnull"),
+      sum((col("n_chars") =!= length(col("text"))).cast("long"))
+        .cast("long").as("v_len"),
+      sum((!col("lang").isin(KnownLangs: _*)).cast("long")).cast("long").as("v_lang"))
+      .selectExpr("stack(4, 'doc_id_unique', v_unique, 'text_non_null', v_nonnull, " +
+        "'n_chars_matches_text', v_len, 'lang_in_domain', v_lang) " +
+        "as (check_name, violations)")
+      .select(col("check_name"), col("violations"),
+        when(col("violations") === 0L, lit("pass")).otherwise(lit("fail")).as("status"))
+    val evUnique = events
+      .agg((count(lit(1)) - countDistinct(col("event_id"))).cast("long").as("violations"))
+      .select(lit("event_id_unique").as("check_name"), col("violations"),
+        when(col("violations") === 0L, lit("pass")).otherwise(lit("fail")).as("status"))
     val refOk = events.select("user_id").distinct()
       .join(custKeys, Seq("user_id"), "left_anti")
       .agg(count(lit(1)).cast("long").as("violations"))
       .select(lit("user_id_in_customers").as("check_name"), col("violations"),
         when(col("violations") === 0L, lit("pass")).otherwise(lit("fail")).as("status"))
-    Seq(unique, nonnull, lenOk, langOk, evUnique, refOk)
+    Seq(docChecks, evUnique, refOk)
       .reduce(_ unionByName _).orderBy("check_name")
   }
 

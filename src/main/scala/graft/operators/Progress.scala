@@ -122,12 +122,22 @@ object Progress {
   private[operators] def itemLedger(s: SparkSession, dir: String): DataFrame = {
     val items = workItems(s, dir)
     val edges = blockedByEdges(items)
-    val blockedBy = edges.groupBy("item_id").agg(count(lit(1)).as("blocked_by_count"))
-    val unblocks = edges.groupBy("blocker").agg(count(lit(1)).as("unblocks"))
-      .withColumnRenamed("blocker", "item_id")
+    // r16: both degree counts come from ONE aggregate over the edge
+    // list — each edge contributes a 'b' row under its item_id and a
+    // 'u' row under its blocker, and one (node)-keyed aggregate counts
+    // both roles (the old shape aggregated edges twice on different
+    // keys and left-joined items twice, so the plan carried four edge
+    // scans and two shuffle joins; now two and one). Counts are
+    // identical: sum over role flags ≡ count per original grouping,
+    // with absent nodes 0-filled exactly as before.
+    val deg = edges
+      .select(explode(array(
+        struct(col("item_id").as("k"), lit(1L).as("b"), lit(0L).as("u")),
+        struct(col("blocker").as("k"), lit(0L).as("b"), lit(1L).as("u")))).as("e"))
+      .groupBy(col("e.k").as("item_id"))
+      .agg(sum(col("e.b")).as("blocked_by_count"), sum(col("e.u")).as("unblocks"))
     items
-      .join(blockedBy, Seq("item_id"), "left")
-      .join(unblocks, Seq("item_id"), "left")
+      .join(deg, Seq("item_id"), "left")
       .na.fill(0L, Seq("blocked_by_count", "unblocks"))
       .withColumn("actionable",
         (col("status").isin("pending", "in_progress") &&
