@@ -852,8 +852,12 @@ object QualityFilters {
   // explode only.
   private def mixtureResample(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // r16: the per-lang count table is langs-sized — checkpoint it and
+    // derive the total from it (Σ per-lang counts ≡ count(*), nulls
+    // included), so the corpus scans once instead of once per branch.
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val total = docs.agg(count(lit(1)).as("n_total"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum("n_lang").as("n_total"))
     val weightPm = when(col("lang") === "en", 300L)
       .when(col("lang") === "zh", 250L)
       .when(col("lang") === "es", 200L)
@@ -916,9 +920,12 @@ object QualityFilters {
   private val UnimaxEpochCap = 2L
 
   private def unimaxMix(s: SparkSession, dir: String): DataFrame = {
+    // r16: same checkpoint as temperatureMix — four consumers (totals,
+    // ranked, kp, final) otherwise replay the corpus tokenize-sum.
     val perLang = Tables.documents(s, dir)
       .groupBy("lang")
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+      .localCheckpoint(true)
     val totals = perLang.agg(sum("n_toks").as("tt"), count(lit(1)).as("nl"))
     // The window frame is the per-language table (≤ a few hundred rows
     // for any real corpus) — a global window over it is a bounded
@@ -996,9 +1003,13 @@ object QualityFilters {
   private val TemperatureAlpha = 0.7
 
   private def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    // r16: checkpoint the langs-sized token-count table — its two
+    // consumers (np and the totals fold) otherwise each replay the
+    // corpus tokenize-sum pass.
     val perLang = Tables.documents(s, dir)
       .groupBy("lang")
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+      .localCheckpoint(true)
     val np = perLang.withColumn("np", pow(col("n_toks").cast("double"), lit(TemperatureAlpha)))
     val totals = np.agg(sum("n_toks").as("tt"), sum("np").as("tp"))
     np.crossJoin(broadcast(totals))
