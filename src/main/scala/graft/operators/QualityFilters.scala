@@ -782,8 +782,13 @@ object QualityFilters {
   // footer) and the operator under test strips it back out. Shape at
   // scale: explode lines → distinct-doc count per line (one map-side-
   // combined shuffle; the qualifying set is heavy-hitters-small by
-  // definition) → broadcast anti-join → per-doc reassembly (the one
-  // honest corpus shuffle — it IS the rewrite).
+  // definition — at a 5% floor at most 1/0.05 lines can qualify) →
+  // the qualifying set folds to ONE broadcast array and each document
+  // rewrites in place. The corpus text itself never shuffles: the
+  // former anti-join + groupBy(doc_id) re-assembly paid a corpus-sized
+  // collect_list exchange just to rebuild the line order each row
+  // already had (guide §8: decide on the small proxy, keep the heavy
+  // bytes where they are).
   private def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
     val planted = concat_ws("|",
       lit("copyright example corp all rights reserved"),
@@ -792,19 +797,25 @@ object QualityFilters {
       concat(lit("subscribe to the "), col("source"), lit(" newsletter")))
     val docs = Tables.documents(s, dir).select(col("doc_id"), planted.as("raw"))
     val lines = docs
-      .select(col("doc_id"), posexplode(split(col("raw"), "\\|")).as(Seq("pos", "line")))
+      .select(col("doc_id"), explode(split(col("raw"), "\\|")).as("line"))
     val totals = docs.agg(count(lit(1)).as("n_total"))
-    val boiler = lines.groupBy("line")
+    val boilerArr = lines.groupBy("line")
       .agg(countDistinct("doc_id").as("n_docs"))
       .crossJoin(broadcast(totals))
       .filter(col("n_docs") >= col("n_total") * 0.05)
-      .select("line")
-    lines.join(broadcast(boiler), Seq("line"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws("|", transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x("line"))).as("clean_text"))
+      .agg(collect_list(col("line")).as("barr"))
+    // Per-row rewrite: HOF filter preserves split order (= the old pos
+    // order); a document whose every line is boilerplate produced no
+    // group under the anti-join shape, so the empty-kept filter keeps
+    // the contract identical.
+    docs.crossJoin(broadcast(boilerArr))
+      .select(col("doc_id"),
+        filter(split(col("raw"), "\\|"),
+          l => !array_contains(col("barr"), l)).as("kept"))
+      .filter(size(col("kept")) >= 1)
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "|").as("clean_text"))
       .orderBy("doc_id")
   }
 

@@ -85,15 +85,23 @@ object TokenizerTrain {
   /** The training loop's full trace: (merge frame, words-after-merge)
     * per round, over the materialized vocab. The vocab is bounded and
     * every round re-reads it — localCheckpoint instead of re-running
-    * the corpus aggregate per round.
+    * the corpus aggregate per round. Each round's merge row and
+    * post-merge vocab are ALSO checkpointed (r16): both have ≥ 2
+    * downstream consumers (the merge feeds applyMerge and the output
+    * union; round r's words feed round r+1's pair counts, its apply,
+    * and the compression-curve aggregate), and without materialization
+    * the lazy trees replicate every earlier round's explode + argmax +
+    * fold per consumer — q_bpe_compression's initial plan carried 52
+    * Exchanges for a 3-round trainer. All frames are vocab-sized or
+    * 1-row, never corpus-sized.
     */
   private def trainRounds(s: SparkSession, dir: String)
       : (DataFrame, Seq[(DataFrame, DataFrame)]) = {
     val w0 = vocab(s, dir).localCheckpoint(true)
     var words = w0
     (w0, (1 to BpeRounds).map { r =>
-      val m = top1(pairCounts(words))
-      words = applyMerge(words, m)
+      val m = top1(pairCounts(words)).localCheckpoint(true)
+      words = applyMerge(words, m).localCheckpoint(true)
       (m.select(lit(r).as("round"), col("lhs"), col("rhs"), col("pair_cnt")),
         words)
     })

@@ -185,16 +185,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"training grams shuffled for the join:\n$p")
   }
 
-  test("boilerplate strip broadcasts the line set; the corpus never sort-merge joins") {
+  test("boilerplate strip broadcasts the line set; the corpus text never joins or regroups") {
     val p = plan("q_boilerplate_strip")
     // The qualifying boilerplate set is heavy-hitters-small by
     // definition (each line appears in ≥5% of docs, so there are ≤20
-    // distinct such lines per 1 line/doc) — both it and the 1-row
-    // total must replicate via broadcast; the exploded corpus side
-    // shuffles only for the line-count aggregate and the per-doc
-    // reassembly.
-    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftAnti".r.findFirstIn(p).isDefined,
-      s"boiler set not broadcast:\n$p")
+    // distinct such lines per 1 line/doc). r16 shape: it folds to ONE
+    // broadcast array and each document rewrites in place with a HOF
+    // filter — the corpus side must carry NO join keyed on its rows
+    // (the former LeftAnti + groupBy(doc_id) reassembly shuffled every
+    // document's text through a collect_list exchange) and shuffle only
+    // for the line-count aggregate and the ordered output.
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findFirstIn(p).isDefined,
+      s"boiler array not broadcast onto the corpus:\n$p")
+    assert(!p.contains("LeftAnti"), s"anti-join shape is back:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
