@@ -293,10 +293,18 @@ object Curation {
   private val DoremiT = 0.5
 
   private def doremiWeights(s: SparkSession, dir: String): DataFrame = {
+    // r16: the per-source loss table is sources-sized with three lazy
+    // consumers (the min fold, the softmax numerators, and — through
+    // them — the total); un-materialized, every consumer re-ran the
+    // LM-score ⋈ documents join. The checkpoint is ≤ |sources| rows;
+    // the numerator frame (expd) deliberately stays lazy — its replicas
+    // are sources-sized arithmetic over this checkpoint, cheaper than a
+    // second eager materialization barrier (measured).
     val perSource = lmScored(s, dir)
       .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), round(avg("xent"), 6).as("mean_xent"))
+      .localCheckpoint(true)
     val base = perSource.agg(min("mean_xent").as("min_xent"))
     val expd = perSource.crossJoin(broadcast(base))
       .withColumn("e", exp((col("mean_xent") - col("min_xent")) / lit(DoremiT)))

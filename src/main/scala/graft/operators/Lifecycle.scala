@@ -767,8 +767,15 @@ object Lifecycle {
       .select(col("user_id"), col("event_id").as("purchase_id"), col("value").as("pv"))
     val diffs = errs.join(purch, Seq("user_id"))
       .withColumn("d", round(abs(col("ev") - col("pv")), 6))
-    val mins = diffs.groupBy("error_id").agg(min("d").as("dmin"))
-    diffs.join(mins, Seq("error_id"))
+    // r16: argmin as a window min instead of aggregate + join-back —
+    // the join-back shape evaluated the errs⋈purch pair stream twice
+    // (once per side of the mins join) and paid an extra error_id
+    // exchange; the window min keeps identical rows (filter d = min(d)
+    // over the same partition) and its error_id partitioning is reused
+    // by the final aggregate, so the pair stream is built and shuffled
+    // exactly once.
+    val w = Window.partitionBy("error_id")
+    diffs.withColumn("dmin", min("d").over(w))
       .filter(col("d") === col("dmin"))
       .groupBy("error_id")
       .agg(min("purchase_id").as("matched_purchase"), min("dmin").as("value_gap"))
