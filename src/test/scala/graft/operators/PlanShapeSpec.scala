@@ -202,6 +202,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("strategy match builds the pair stream once: window argmin, no join-back") {
+    val p = plan("q_strategy_match")
+    // r16 shape: the argmin is a window min over error_id whose
+    // partitioning the final aggregate reuses — exactly ONE error_id
+    // hash exchange in the plan. The old aggregate + join-back shape
+    // evaluated the errs⋈purch pair stream once per join side and
+    // carried a second error_id exchange.
+    val errIdExchanges = "hashpartitioning\\(error_id".r.findAllIn(p).size
+    assert(errIdExchanges == 1,
+      s"expected exactly 1 error_id exchange (window + reused-by-agg), got $errIdExchanges:\n$p")
+    assert(p.contains("Window"), s"argmin window missing:\n$p")
+  }
+
   test("sequence packing windows by language stream (no global window)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
