@@ -44,6 +44,26 @@ object Dedup {
       .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
       .head().getLong(0)
 
+  /** Per-(session, dir) memo of [[lshPairCensus]] over the memoized
+    * raw-table signature frame. Three queries (q_dedup_minhash_lsh,
+    * q_contrastive_pairs, q_hard_negatives) price the IDENTICAL
+    * bucket census before their pair stage, and each re-ran the
+    * aggregate per invocation; the value is a pure function of the
+    * table state the fingerprint keys on, so within a session the
+    * first guard pays the job and the rest read a Long. Same
+    * discipline as the sig cache ([[graft.internal.SessionMemo]]);
+    * `spark.graft.pair.censusCache=false` opts out (every guard then
+    * re-prices, as before).
+    */
+  private val pairCensusCache =
+    new graft.internal.SessionMemo[java.lang.Long](
+      "spark.graft.pair.censusCache", "pair_guard_census")
+
+  private def cachedLshPairCensus(s: SparkSession, dir: String,
+      sigs: DataFrame): Long =
+    pairCensusCache.getOrBuild(s, s"$dir/documents.parquet")(
+      java.lang.Long.valueOf(lshPairCensus(sigs))).longValue()
+
   /** MinHash-LSH candidate pairs: 4 bands, signature = min md5 over
     * salted 3-token shingles. Docs collide only within a (band, sig)
     * bucket, so the self-join is bucket-local — the scale-safe shape of
@@ -70,7 +90,8 @@ object Dedup {
     // 0.86 → 1.44 s). Session-memoized: five queries sign the same raw
     // table ([[TextAnalysisShared.cachedDocSigs]]).
     val sigs = TextAnalysisShared.cachedDocSigs(s, dir)
-    val exact = PairGuard.allowExact(s, "q_dedup_minhash_lsh")(lshPairCensus(sigs))
+    val exact = PairGuard.allowExact(s, "q_dedup_minhash_lsh")(
+      cachedLshPairCensus(s, dir, sigs))
     val src = if (exact) sigs else sigs.join(familyReps(sigs), Seq("doc_id"))
     // First-match emission ([[TextAnalysisShared.firstMatchBand]]):
     // both join sides carry the doc's signature vector, bands_matched
@@ -666,11 +687,38 @@ object Dedup {
     * routed output = exact output restricted to surviving anchors,
     * row-for-row (`PairGuardSpec` pins it).
     */
-  private def cappedAnchorPairs(s: SparkSession, dir: String,
+  /** Per-(session, dir) memo of the CHECKPOINTED capped anchor-pair
+    * frame — q_contrastive_pairs and q_hard_negatives derive their
+    * positives from the IDENTICAL `pos` chain (same census, same pair
+    * join, same per-anchor window; the query name only labels the
+    * guard), and each paid the full formation + checkpoint per
+    * invocation. The frame is bounded (≤ [[CtrPosPerAnchor]] rows per
+    * anchor, two id columns). The guard decision (exact vs routed) is
+    * conf-dependent, so it is stored WITH the frame and a hit whose
+    * decision no longer matches the session's current guard verdict is
+    * rebuilt un-memoized — a mid-session mode/cap flip can never be
+    * served a stale shape. `spark.graft.pair.anchorCache=false` opts
+    * out (both queries then rebuild per invocation, as before).
+    */
+  private val anchorPairsCache =
+    new graft.internal.SessionMemo[(java.lang.Boolean, DataFrame)](
+      "spark.graft.pair.anchorCache", "anchor_pairs_build")
+
+  private def cachedAnchorPairs(s: SparkSession, dir: String,
       query: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sigs = TextAnalysisShared.cachedDocSigs(s, dir)
-    val exact = PairGuard.allowExact(s, query)(lshPairCensus(sigs))
+    val exact = PairGuard.allowExact(s, query)(cachedLshPairCensus(s, dir, sigs))
+    if (!s.conf.get("spark.graft.pair.anchorCache", "true").toBoolean)
+      return cappedAnchorPairs(sigs, exact).localCheckpoint(true)
+    val (cachedExact, df) = anchorPairsCache.getOrBuild(s, s"$dir/documents.parquet")(
+      (java.lang.Boolean.valueOf(exact),
+        cappedAnchorPairs(sigs, exact).localCheckpoint(true)))
+    if (cachedExact.booleanValue() == exact) df
+    else cappedAnchorPairs(sigs, exact).localCheckpoint(true)
+  }
+
+  private def cappedAnchorPairs(sigs: DataFrame, exact: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val src = if (exact) sigs else sigs.join(pairFamilyReps(sigs), Seq("doc_id"))
     // First-match emission ([[TextAnalysisShared.firstMatchBand]]): one
     // row per colliding pair with its matched-band count inline — no
@@ -749,8 +797,9 @@ object Dedup {
   private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val pos = cappedAnchorPairs(s, dir, "q_contrastive_pairs")
-      .localCheckpoint(true) // read 2x (cand + anti)
+    // Already checkpointed (read 2x here: cand + anti) and
+    // session-shared with q_hard_negatives via [[anchorPairsCache]].
+    val pos = cachedAnchorPairs(s, dir, "q_contrastive_pairs")
     val nd = docs.agg(count(lit(1)).as("n"))
     val cand = pos
       .select(col("anchor"), col("positive"),
@@ -808,8 +857,9 @@ object Dedup {
   private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val pos = cappedAnchorPairs(s, dir, "q_hard_negatives")
-      .localCheckpoint(true) // read 2x (cand + anti)
+    // Already checkpointed (read 2x here: cand + anti) and
+    // session-shared with q_contrastive_pairs via [[anchorPairsCache]].
+    val pos = cachedAnchorPairs(s, dir, "q_hard_negatives")
     val buckets = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         graft.functions.VectorFunctions.signBucket(col("embedding"), 8).as("bucket"))

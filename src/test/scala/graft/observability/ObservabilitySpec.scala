@@ -83,12 +83,20 @@ class ObservabilitySpec extends SparkSpec {
     // separate guard overhead from query cost.
     val sink = new MetricsSink
     spark.listenerManager.register(sink)
+    // The census memo ([[graft.operators.Dedup]]) may already hold this
+    // (session, dir)'s estimate from an earlier spec — a hit runs no
+    // job, so nothing would surface. Attribution is a property of the
+    // census JOB; force it to run by opting out of the memo here.
+    spark.conf.set("spark.graft.pair.censusCache", "false")
     try {
       graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, Sf).collect()
       awaitRecords(sink, "pair_guard_census", 1)
       val rec = sink.snapshot().find(_.op == "pair_guard_census")
       assert(rec.nonEmpty, "guard census must appear under its own op label")
       assert(rec.get.status == "ok")
-    } finally spark.listenerManager.unregister(sink)
+    } finally {
+      spark.conf.unset("spark.graft.pair.censusCache")
+      spark.listenerManager.unregister(sink)
+    }
   }
 }

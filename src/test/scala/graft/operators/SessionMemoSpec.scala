@@ -22,11 +22,15 @@ class SessionMemoSpec extends SparkSpec {
     spark.conf.set("spark.graft.lm.scoreCache", "false")
     spark.conf.set("spark.graft.bpe.mergeCache", "false")
     spark.conf.set("spark.graft.ivf.codebookCache", "false")
+    spark.conf.set("spark.graft.pair.censusCache", "false")
+    spark.conf.set("spark.graft.pair.anchorCache", "false")
     try body finally {
       spark.conf.unset("spark.graft.sig.cache")
       spark.conf.unset("spark.graft.lm.scoreCache")
       spark.conf.unset("spark.graft.bpe.mergeCache")
       spark.conf.unset("spark.graft.ivf.codebookCache")
+      spark.conf.unset("spark.graft.pair.censusCache")
+      spark.conf.unset("spark.graft.pair.anchorCache")
     }
   }
 
@@ -52,6 +56,34 @@ class SessionMemoSpec extends SparkSpec {
       assert(canonEq(cached, SparkEntry.queries("q_bpe_fertility")(spark, Sf)),
         "merge-memo on/off must be bit-identical — it is a work reduction, not semantics")
     }
+  }
+
+  test("the pair-census + anchor-pairs memos are output-invariant (both pair queries cached == uncached)") {
+    val hn = SparkEntry.queries("q_hard_negatives")(spark, Sf).localCheckpoint(true)
+    val cp = SparkEntry.queries("q_contrastive_pairs")(spark, Sf).localCheckpoint(true)
+    withCachesOff {
+      assert(canonEq(hn, SparkEntry.queries("q_hard_negatives")(spark, Sf)),
+        "census/anchor memos on/off must be bit-identical — work reduction, not semantics")
+      assert(canonEq(cp, SparkEntry.queries("q_contrastive_pairs")(spark, Sf)),
+        "census/anchor memos on/off must be bit-identical — work reduction, not semantics")
+    }
+  }
+
+  test("a mid-session guard flip is never served the other decision's anchor frame") {
+    // With the anchor memo ON, a stored exact-mode frame must NOT be
+    // returned once the session's guard verdict flips to routed (and
+    // vice versa) — the decision is stored with the frame and a
+    // mismatch rebuilds un-memoized.
+    // Populate the memo with the exact-mode frame first.
+    SparkEntry.queries("q_hard_negatives")(spark, Sf).localCheckpoint(true): Unit
+    spark.conf.set("spark.graft.pair.guard.maxPairs", "0") // force route
+    try {
+      val routedCachedOn = SparkEntry.queries("q_hard_negatives")(spark, Sf).localCheckpoint(true)
+      withCachesOff {
+        assert(canonEq(routedCachedOn, SparkEntry.queries("q_hard_negatives")(spark, Sf)),
+          "post-flip cached-on output must equal the uncached routed output")
+      }
+    } finally spark.conf.unset("spark.graft.pair.guard.maxPairs")
   }
 
   test("rewriting the table under a fixed path invalidates the memos (cache stays ON)") {
