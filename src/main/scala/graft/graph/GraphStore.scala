@@ -95,7 +95,15 @@ final class GraphStore(
           col("entity_id") === col("seen"), "left_anti")
         .withColumn("hop", lit(hop))
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      // The union's children are BOTH already materialized (seed
+      // checkpoint + per-hop frontier checkpoints), so re-checkpointing
+      // the union would only copy every visited row into fresh blocks
+      // each hop — O(V·hops) pure barrier cost with no re-derivation to
+      // save (the r16 calibration: checkpoint only when the replicated
+      // subtree does work above its reusable exchange). The per-hop
+      // anti-join and the final sort read the lazy ≤(maxHops+1)-leg
+      // union of those blocks directly.
+      visited = visited.union(next)
       frontier = next
     }
     visited.orderBy("hop", "entity_id")
@@ -143,7 +151,10 @@ final class GraphStore(
         .withColumn("hop", lit(hop))
         .select("entity_id", "hop", "path")
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      // Same as [[bfsFrom]]: both union legs are already materialized,
+      // so the union stays lazy — re-checkpointing it would copy every
+      // (entity, path) row again each hop for nothing.
+      visited = visited.union(next)
       frontier = next
     }
     visited.orderBy("hop", "entity_id")

@@ -930,6 +930,16 @@ object Curation {
         size(array_distinct(toks)).cast("double") / size(toks))
       .filter(col("dtr") >= 0.2)
       .select("doc_id", "text", "lang")
+    // NOT checkpointed — BOTH candidate materializations were measured
+    // and rejected (r17, ITERS=3 packs): checkpointing `scored` was
+    // flat at sf0.1 (1.93 vs 1.95 s) and ×30 (4.43 vs 4.38 s,
+    // bench/r17_gp_{pack,x30}_*) because the model tables its two
+    // consumers replicate are broadcast-reused at runtime (4
+    // ReusedExchange in plans/r17/q_pipeline_e2e_exec_lazy.txt);
+    // checkpointing `gated` was WORSE at ×30 (3.47 vs 3.17 s isolated,
+    // bench/r17_pipe_x30_{gatedckpt,lazy_old}.json) — it materializes
+    // corpus text for consumers that each prune it to narrower
+    // columns. Same calibration as the r16 batch-6 reverts.
     val scored = lmScoredOn(gated)
     val thr = scored.agg(expr("percentile(xent, 0.75)").as("thr"))
     val kept = scored.crossJoin(broadcast(thr))
