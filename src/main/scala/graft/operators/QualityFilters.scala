@@ -1148,27 +1148,36 @@ object QualityFilters {
   // universal grams, cap per-gram source sets upstream — documented,
   // not needed at |sources| = 20.)
   private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // r17: RESTORED the gram-keyed self-join after the ×30/×100 decade
+    // sweep adjudicated the r16 collect_set rewrite a REAL regression
+    // (ITERS=5 isolated: ×30 1.73 → 2.65 s, ×100 2.20 → 4.50 s,
+    // bench/r17_so_*): collect_set over millions of gram groups runs
+    // on ObjectHashAggregate, whose sort-based fallback (128-key
+    // threshold) map-side SORTS the whole gram stream; a bitmask
+    // bit_or variant (codegen HashAggregate) was also measured and
+    // also lost (2.07 / 3.60 s — millions of string groups spill the
+    // partial map either way). The self-join's two legs are the SAME
+    // distinct frame, so at runtime both the distinct exchange and the
+    // gram exchange + sort are built once and ReuseExchange'd — the
+    // join adds almost nothing over one pass.
+    //
+    // The r16 rewrite existed to kill a corpus-growing BROADCAST build
+    // side (Spark's size estimate after distinct stays under the
+    // auto-broadcast threshold far past the point the relation fits).
+    // That hazard is real at 100 TB, but the broadcast is not where
+    // the speed comes from: with autoBroadcastJoinThreshold=-1 the
+    // shuffle form reads 1.93 s at ×100 (bench/r17_so_x100_old_nobc)
+    // vs 2.20 broadcast. So the join is PINNED to a shuffle merge join
+    // — scale-safe at any corpus size, hash-co-partitioned on gram,
+    // per-gram fan-out bounded at |sources|² — keeping the fast shape
+    // without the OOM cliff.
     val grams = Tables.documents(s, dir)
       .select(col("source"), explode(grams5(col("text"))).as("gram"))
       .distinct()
-    // r16: per-gram source SETS instead of the gram-keyed self-join.
-    // The old shape tokenized + distinct'd the corpus TWICE (once per
-    // join side) and its build side was the whole distinct (source,
-    // gram) frame — corpus-sized, so at scale the join either
-    // broadcasts something that grows with the corpus or re-shuffles
-    // both legs. A gram's contribution is a pure function of its
-    // distinct source set (bounded at |sources|, the same cap the old
-    // per-gram fan-out note relied on), so collect that set once and
-    // emit the a<b combinations inside the row: one tokenize pass, no
-    // join, and the only post-distinct exchange carries ≤ |sources|
-    // entries per gram.
-    grams.groupBy("gram")
-      .agg(sort_array(collect_set(col("source"))).as("ss"))
-      .select(col("ss"), posexplode(col("ss")).as(Seq("i", "src_a")))
-      .select(col("src_a"),
-        explode(slice(col("ss"), col("i") + lit(2),
-          size(col("ss")) - col("i") - lit(1))).as("src_b"))
-      .groupBy("src_a", "src_b")
+    val other = grams.select(col("gram"), col("source").as("src_b"))
+    grams.hint("SHUFFLE_MERGE").join(other.hint("SHUFFLE_MERGE"), Seq("gram"))
+      .filter(col("source") < col("src_b"))
+      .groupBy(col("source").as("src_a"), col("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
       .orderBy("src_a", "src_b")
   }

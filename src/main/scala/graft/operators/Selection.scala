@@ -188,23 +188,23 @@ object Selection {
     val tok = Tables.spread(docs)
       .select(col("doc_id"), isPos.as("pos"),
         explode(split(col("text"), " ")).as("w"))
-    // r16: ONE tokenize pass. Both the model and the scorer are
-    // functions of the per-(doc, w) occurrence counts, so aggregate
-    // those once; the model's per-w totals are the exact integer sums
-    // of the per-doc counts, and the two uses of `docW` share one
-    // scan + explode + exchange via AQE ReuseExchange (the old shape
-    // exploded the corpus twice — model pass + scoring pass — and
-    // probed the broadcast model once per token INSTANCE instead of
-    // once per distinct (doc, w)). The per-doc score is Σ cnt·lw
-    // instead of lw added cnt times — same accepted last-ulp residual
-    // risk as q_dsir_select's kernel fold (see the note there): the
-    // shared round(_, 4) absorbs the reassociation everywhere except a
-    // logit sitting exactly on a 5e-5 boundary; re-verified green
-    // against the oracle at sf0.001/0.01/0.1 after this change.
-    val docW = tok.groupBy("doc_id", "pos", "w").agg(count(lit(1)).as("cnt"))
-    val model = docW.groupBy("w").agg(
-      sum("cnt").as("n"),
-      sum(when(col("pos"), col("cnt")).otherwise(0L)).as("cp"))
+    // r17: REVERTED to the two-pass shape after the ×30 decade sweep
+    // adjudicated the r16 single-pass rewrite a REAL regression at
+    // scale (pareto 2.94 → 3.91 s best-of, classifier 2.14 → 2.39;
+    // bench/r17_up4_x30_*). The r16 shape aggregated per (doc_id, w)
+    // FIRST to share one tokenize between model and scorer — but most
+    // (doc, w) counts are 1, so map-side combine barely shrinks that
+    // exchange and it shuffles near-raw corpus tokens; the two-pass
+    // shape's aggregates (per-w model, per-doc score) both combine
+    // map-side to tiny exchanges (guide §2.3: aggregate BEFORE you
+    // shuffle — the keys must actually collapse rows). The second
+    // corpus scan is linear and beats the corpus-sized exchange at
+    // every measured scale, including sf0.1 on this host (ITERS=5
+    // pack: pareto 0.90 → 0.77 s, classifier 0.79 → 0.70;
+    // bench/r17_nb_sf01_*).
+    val model = tok.groupBy("w").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"))
       .orderBy(col("n").desc, col("w"))
       .limit(NbVocabCap)
     // Totals + vocabulary size from the capped model table itself —
@@ -216,16 +216,16 @@ object Selection {
     val priors = docs.agg(
       sum(when(isPos, 1L).otherwise(0L)).as("dp"),
       sum(when(isPos, 0L).otherwise(1L)).as("dn"))
-    docW
+    tok
       .join(broadcast(model), Seq("w"), "left")
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("cnt"),
+      .select(col("doc_id"),
         (log((coalesce(col("cp"), lit(0L)) + lit(1.0)) /
             (col("tp") + col("v") + lit(1.0))) -
           log((coalesce(col("n") - col("cp"), lit(0L)) + lit(1.0)) /
             (col("tn") + col("v") + lit(1.0)))).as("lw"))
       .groupBy("doc_id")
-      .agg(sum("cnt").as("n_toks"), sum(col("lw") * col("cnt")).as("sw"))
+      .agg(count(lit(1)).as("n_toks"), sum("lw").as("sw"))
       .crossJoin(broadcast(priors))
       .select(col("doc_id"), col("n_toks"),
         round(col("sw") +
